@@ -1,0 +1,228 @@
+"""Codec / compression scalar functions (SURVEY.md §2.3 C1-C8).
+
+The reference serializes each envelope to CBOR or JSON
+(borealis-indexer/src/main.rs:377,424) and optionally compresses the payload
+with LZ4F or Zstd (main.rs:366-372), decoding on the consumer side
+(borealis-consumer/src/main.rs:260-286).
+
+Spark mapping: these are the one genuinely Python-side surface in the engine
+(everything else is JVM built-ins), so they are exposed as **Arrow-batched
+pandas UDFs** — one Python invocation per Arrow batch, not per row. The CBOR
+codec is a self-contained RFC 8949 subset implementation (the `cbor2` wheel
+is not in this container); `lz4`/`zstandard` are gated behind import-try with
+stdlib zlib as the always-available codec (at rest, parquet zstd covers the
+reference's storage-compression concern natively).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+try:  # optional wire-parity codecs
+    import lz4.frame as _lz4  # type: ignore
+except ImportError:
+    _lz4 = None
+try:
+    import zstandard as _zstd  # type: ignore
+except ImportError:
+    _zstd = None
+
+# ---------------------------------------------------------------------------
+# Minimal CBOR (RFC 8949) — the subset the envelope/message model needs:
+# unsigned/negative ints, byte strings, text strings, arrays, maps, false/
+# true/null, float64. Definite lengths only; maps encode in insertion order.
+
+
+def _enc_head(major: int, arg: int) -> bytes:
+    if arg < 24:
+        return bytes([(major << 5) | arg])
+    if arg < 0x100:
+        return bytes([(major << 5) | 24, arg])
+    if arg < 0x10000:
+        return struct.pack(">BH", (major << 5) | 25, arg)
+    if arg < 0x100000000:
+        return struct.pack(">BI", (major << 5) | 26, arg)
+    return struct.pack(">BQ", (major << 5) | 27, arg)
+
+
+def cbor_dumps(obj: Any) -> bytes:
+    """C1: CBOR encode (reference `.to_cbor()`, main.rs:377)."""
+    out = bytearray()
+    _enc(obj, out)
+    return bytes(out)
+
+
+def _enc(obj: Any, out: bytearray) -> None:
+    if obj is None:
+        out.append(0xF6)
+    elif obj is True:
+        out.append(0xF5)
+    elif obj is False:
+        out.append(0xF4)
+    elif isinstance(obj, int):
+        if obj >= 0:
+            out += _enc_head(0, obj)
+        else:
+            out += _enc_head(1, -1 - obj)
+    elif isinstance(obj, float):
+        out += struct.pack(">Bd", 0xFB, obj)
+    elif isinstance(obj, (bytes, bytearray)):
+        out += _enc_head(2, len(obj))
+        out += obj
+    elif isinstance(obj, str):
+        b = obj.encode("utf-8")
+        out += _enc_head(3, len(b))
+        out += b
+    elif isinstance(obj, (list, tuple)):
+        out += _enc_head(4, len(obj))
+        for v in obj:
+            _enc(v, out)
+    elif isinstance(obj, dict):
+        out += _enc_head(5, len(obj))
+        for k, v in obj.items():
+            _enc(k, out)
+            _enc(v, out)
+    else:
+        raise TypeError(f"cbor: unsupported type {type(obj)!r}")
+
+
+def cbor_loads(data: bytes) -> Any:
+    """C2: CBOR decode (reference `BorealisMessage::from_cbor`,
+    borealis-consumer/src/main.rs:263-264)."""
+    val, off = _dec(memoryview(data), 0)
+    if off != len(data):
+        raise ValueError("cbor: trailing bytes")
+    return val
+
+
+def _dec_arg(buf: memoryview, off: int, info: int) -> tuple[int, int]:
+    if info < 24:
+        return info, off
+    if info == 24:
+        return buf[off], off + 1
+    if info == 25:
+        return struct.unpack_from(">H", buf, off)[0], off + 2
+    if info == 26:
+        return struct.unpack_from(">I", buf, off)[0], off + 4
+    if info == 27:
+        return struct.unpack_from(">Q", buf, off)[0], off + 8
+    raise ValueError(f"cbor: indefinite/reserved length info={info}")
+
+
+def _dec(buf: memoryview, off: int) -> tuple[Any, int]:
+    ib = buf[off]
+    off += 1
+    major, info = ib >> 5, ib & 0x1F
+    if major == 0:
+        return _dec_arg(buf, off, info)
+    if major == 1:
+        n, off = _dec_arg(buf, off, info)
+        return -1 - n, off
+    if major == 2:
+        n, off = _dec_arg(buf, off, info)
+        return bytes(buf[off : off + n]), off + n
+    if major == 3:
+        n, off = _dec_arg(buf, off, info)
+        return bytes(buf[off : off + n]).decode("utf-8"), off + n
+    if major == 4:
+        n, off = _dec_arg(buf, off, info)
+        items = []
+        for _ in range(n):
+            v, off = _dec(buf, off)
+            items.append(v)
+        return items, off
+    if major == 5:
+        n, off = _dec_arg(buf, off, info)
+        d = {}
+        for _ in range(n):
+            k, off = _dec(buf, off)
+            v, off = _dec(buf, off)
+            d[k] = v
+        return d, off
+    if major == 7:
+        if info == 20:
+            return False, off
+        if info == 21:
+            return True, off
+        if info == 22:
+            return None, off
+        if info == 27:
+            return struct.unpack_from(">d", buf, off)[0], off + 8
+        raise ValueError(f"cbor: unsupported simple value {info}")
+    raise ValueError(f"cbor: unsupported major type {major} (tags not used)")
+
+
+# ---------------------------------------------------------------------------
+# Compression (C6/C7). zlib is the always-available codec; LZ4F/Zstd keep the
+# reference's exact wire formats when their wheels are present.
+
+CODECS: dict[str, tuple[Any, Any]] = {
+    "ZLIB": (zlib.compress, zlib.decompress),
+}
+if _lz4 is not None:
+    CODECS["LZ4F"] = (_lz4.compress, _lz4.decompress)
+if _zstd is not None:
+    CODECS["ZSTD"] = (
+        lambda b: _zstd.ZstdCompressor().compress(b),
+        lambda b: _zstd.ZstdDecompressor().decompress(b),
+    )
+
+
+def compress(data: bytes, codec: str | None) -> bytes:
+    if codec is None or codec == "NONE":
+        return data
+    return CODECS[codec][0](data)
+
+
+def decompress(data: bytes, codec: str | None) -> bytes:
+    if codec is None or codec == "NONE":
+        return data
+    return CODECS[codec][1](data)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched column functions (pandas UDFs — one call per Arrow batch)
+
+
+@F.pandas_udf(BinaryType())
+def udf_json_to_cbor(s: pd.Series) -> pd.Series:
+    """C1 over a column: JSON text -> CBOR bytes."""
+    return s.map(lambda x: None if x is None else cbor_dumps(json.loads(x)))
+
+
+@F.pandas_udf(StringType())
+def udf_cbor_to_json(b: pd.Series) -> pd.Series:
+    """C2 over a column: CBOR bytes -> canonical JSON text (sorted keys so
+    hash comparisons are stable; CBOR map order is not, SURVEY.md §7)."""
+    return b.map(
+        lambda x: None
+        if x is None
+        else json.dumps(cbor_loads(bytes(x)), sort_keys=True, separators=(",", ":"))
+    )
+
+
+def make_compress_udf(codec: str):
+    comp = CODECS[codec][0]
+
+    @F.pandas_udf(BinaryType())
+    def _c(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: None if x is None else comp(bytes(x)))
+
+    return _c
+
+
+def make_decompress_udf(codec: str):
+    dec = CODECS[codec][1]
+
+    @F.pandas_udf(BinaryType())
+    def _d(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: None if x is None else dec(bytes(x)))
+
+    return _d

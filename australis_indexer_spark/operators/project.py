@@ -1,0 +1,162 @@
+"""Projection / filter / restructuring ops (SURVEY.md §2.2 P1-P14).
+
+The reference's consumer flattens each `StreamerMessage` into keyed
+projections, per-entity dumps and count columns
+(borealis-consumer/src/main.rs:288-412). On the driver's tables the same
+operators are exercised against the `events` stream table (the analog of the
+block stream: `event_id` ≈ sequence key, `ts` ≈ block time, `props` ≈ nested
+payload) and `documents` (nested/array-ish payloads). The fixture-backed
+twins over the real nested StreamerMessage schema live in
+``operators.explode`` and the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+
+@op(
+    "project_keys",
+    tags=("parity", "project"),
+    oracle="SELECT event_id AS sequence_id, ts FROM events",
+)
+def project_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: key/metadata projection — (sequence key, event time) per message,
+    the reference's per-message log line (block_height, block_hash)
+    (borealis-indexer/src/main.rs:456-461). Column-pruned scan: only 2 of 6
+    columns are read."""
+    return lt(spark, sf_dir, "events").select(
+        F.col("event_id").alias("sequence_id"), "ts"
+    )
+
+
+@op(
+    "project_paths_canonical",
+    tags=("parity", "project"),
+    oracle="""
+SELECT event_id AS sequence_id, ts AS block_time, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+""",
+)
+def project_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: the canonical 'jq-style' path projection
+    (borealis-indexer/src/main.rs:453-454) — pick nested paths out of the
+    payload document and rename to a flat canonical schema. `props` is the
+    nested JSON here; `get_json_object` is Catalyst's JSON path op."""
+    return lt(spark, sf_dir, "events").select(
+        F.col("event_id").alias("sequence_id"),
+        F.col("ts").alias("block_time"),
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@op(
+    "project_counts",
+    tags=("parity", "project"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       n_chars
+FROM documents
+""",
+)
+def project_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: per-row count projection — `.len()` of each child collection
+    (borealis-indexer/src/main.rs:495-498,507). Array length is a per-row
+    scalar (`size`), NOT a group-by — no shuffle at any scale."""
+    return lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@op(
+    "filter_predicate",
+    tags=("parity", "filter"),
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE event_type = 'purchase' AND value > 100.0
+""",
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: predicate gate (the reference's verbosity-gated emit,
+    borealis-indexer/src/main.rs:463-476). Both conjuncts push down into the
+    parquet scan (visible as PushedFilters in .explain)."""
+    return (
+        lt(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@op(
+    "filter_shard",
+    tags=("parity", "filter"),
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE user_id % 4 = 0
+""",
+)
+def filter_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: tracked-shard partition selection (`tracked_shards: [0]`,
+    reference make.sh:64). Here the shard function is user_id mod 4; on a
+    shard-partitioned layout this becomes partition pruning instead of a
+    row filter."""
+    return (
+        lt(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 4 == 0)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@op(
+    "project_reencode_json",
+    tags=("parity", "project", "codec"),
+    oracle="""
+SELECT event_id,
+       concat('{"event_id":', CAST(event_id AS VARCHAR),
+              ',"event_type":"', event_type,
+              '","user_id":', CAST(user_id AS VARCHAR), '}') AS payload_json
+FROM events
+""",
+)
+def project_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14/C3: per-entity JSON re-encode (the reference re-serializes every
+    sub-entity to JSON+CBOR, borealis-indexer/src/main.rs:477-493). Spark
+    side uses the native `to_json(struct(...))`; the oracle reproduces the
+    exact byte layout via concat (DuckDB's to_json formats identically for
+    this shape, but concat keeps the comparison byte-deterministic)."""
+    ev = lt(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload_json"),
+    )
+
+
+@op(
+    "scan_from_offset",
+    tags=("parity", "scan"),
+    oracle="""
+SELECT event_id AS sequence_id, ts, event_type
+FROM events
+WHERE event_id >= 500
+""",
+)
+def scan_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/T4: replay from an explicit offset (`--sync-mode BlockHeight N`,
+    reference configs.rs:139-159) = a pushed-down range predicate on the
+    sequence key. On a height-bucketed layout this prunes whole partitions."""
+    return (
+        lt(spark, sf_dir, "events")
+        .filter(F.col("event_id") >= 500)
+        .select(F.col("event_id").alias("sequence_id"), "ts", "event_type")
+    )

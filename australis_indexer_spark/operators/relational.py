@@ -1,0 +1,607 @@
+"""The relational layer (SURVEY.md §2.6).
+
+The reference implements *no* join/aggregate/sort/window — it explicitly
+positions downstream consumers to do that work ("for other services (as
+consumers/subscribers)", reference README.md:4; the `message_consumer` hook
+"For custom filtering purposes", borealis-consumer/src/main.rs:288-289).
+This module supplies that layer as pure Catalyst built-ins: every op is a
+declarative DataFrame plan — predicate pushdown, column pruning, broadcast
+selection and AQE come for free.
+
+Scale notes are inline per op; the common rules:
+- dimension tables (region/nation/supplier) are broadcast explicitly;
+- fact-fact joins shuffle on their join key once, AQE handles skew;
+- window ops partition by a key (never a global window without a key);
+- top-k uses sort+limit (Spark's TakeOrderedAndProject — no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.det import davg, dsum, sql_davg, sql_dsum
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+# ---------------------------------------------------------------------------
+# agg_hash — the flagship TPC-H-Q1-style pricing summary (SURVEY.md §7 Phase 1)
+
+
+@op(
+    "agg_hash_pricing_summary",
+    tags=("relational", "aggregate", "flagship"),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')}                                        AS sum_qty,
+       {sql_dsum('l_extendedprice')}                                   AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+       {sql_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')}                                        AS avg_qty,
+       {sql_davg('l_extendedprice')}                                   AS avg_price,
+       {sql_davg('l_discount')}                                        AS avg_disc,
+       COUNT(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_hash_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with map-side partial aggregation; the filter is pushed
+    to the parquet scan and only 7 of 11 columns are read (column pruning).
+    At 100 TB this is one shuffle of ~6 grouped rows per partition."""
+    li = lt(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+@op(
+    "join_equi_revenue_by_nation",
+    tags=("relational", "join"),
+    oracle=f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+GROUP BY r_name, n_name
+""",
+)
+def join_equi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi-join: fact(orders) ⋈ dims. nation/region (25/5 rows)
+    and customer (small vs orders) are broadcast — zero shuffle for the join
+    itself at any scale; the only shuffle is the final group-by."""
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = lt(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = lt(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@op(
+    "join_semi_customers_with_urgent_orders",
+    tags=("relational", "join"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): emits each customer at most once; Spark
+    builds only the distinct key set of the right side."""
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = lt(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+
+
+@op(
+    "join_anti_customers_without_orders",
+    tags=("relational", "join"),
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — receipts-without-outcomes pattern from
+    SURVEY.md §2.6 mapped onto customers-without-urgent-orders."""
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = lt(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+@op(
+    "join_asof_purchase_attribution",
+    tags=("relational", "join", "asof"),
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 0 AS kind, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS kind, NULL AS click_id, NULL AS click_ts
+  FROM events WHERE event_type = 'purchase'
+),
+attributed AS (
+  SELECT user_id, ts, event_id, kind,
+         LAST_VALUE(click_id IGNORE NULLS) OVER w AS attributed_click_id,
+         LAST_VALUE(click_ts IGNORE NULLS) OVER w AS attributed_click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       attributed_click_id, attributed_click_ts
+FROM attributed WHERE kind = 1
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: attribute each purchase to the user's most recent click at
+    or before it. This is the reference's one non-trivial query semantic —
+    execution outcomes land in a LATER block than their transaction
+    (borealis-indexer/src/main.rs:121-125) — expressed as the classic
+    union-and-last-non-null plan: ONE shuffle on user_id, no range explosion,
+    linear state. Scales to 100 TB where a naive range join would not."""
+    ev = lt(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = clicks.unionByName(purchases)
+    return (
+        tagged.withColumn("attributed_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("attributed_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "attributed_click_id",
+            "attributed_click_ts",
+        )
+    )
+
+
+@op(
+    "join_range_ship_lag",
+    tags=("relational", "join"),
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       COUNT(*) AS n_late_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+)
+def join_range_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a range residual (shipped >60 days after order):
+    Catalyst keeps the equi key for the shuffle and applies the range
+    predicate post-join — no cross product."""
+    li = lt(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"))
+        .agg(F.count("*").alias("n_late_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregates beyond plain hash
+
+
+@op(
+    "agg_distinct_active_users",
+    tags=("relational", "aggregate"),
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (expands to a two-phase aggregate in Spark — partial
+    dedup map-side, exact count reduce-side)."""
+    return (
+        lt(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@op(
+    "agg_approx_distinct_users",
+    tags=("relational", "aggregate", "approx"),
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=1%) — the 100 TB path for
+    cardinality where exact distinct would shuffle every key."""
+    return (
+        lt(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+@op(
+    "agg_rollup_sales",
+    tags=("relational", "aggregate"),
+    oracle=f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (region → nation → grand total); NULL marks the
+    rolled-up levels identically in Spark and DuckDB."""
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    nat = lt(spark, sf_dir, "nation")
+    reg = lt(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_acctbal"))
+    )
+
+
+@op(
+    "agg_cube_order_status",
+    tags=("relational", "aggregate"),
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority (all 4 grouping sets in one shuffle)."""
+    return (
+        lt(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@op(
+    "agg_pivot_returnflag",
+    tags=("relational", "aggregate"),
+    oracle="""
+SELECT l_returnflag,
+       (SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) FILTER (WHERE l_linestatus = 'O') / 100.0) AS qty_O,
+       (SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) FILTER (WHERE l_linestatus = 'F') / 100.0) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT expressed as conditional aggregation (same plan Spark's
+    .pivot() produces with explicit values — one pass, no extra shuffle)."""
+    li = lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias("qty_O"),
+        dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+
+
+@op(
+    "window_rank_top_customers",
+    tags=("relational", "window"),
+    oracle=f"""
+WITH spend AS (
+  SELECT n_name AS nation_name, c_custkey, c_name,
+         {sql_dsum('o_totalprice')} AS spend
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  GROUP BY n_name, c_custkey, c_name
+)
+SELECT nation_name, c_custkey, c_name, spend, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY nation_name
+                               ORDER BY spend DESC, c_custkey) AS rnk
+  FROM spend
+) WHERE rnk <= 3
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by spend per nation: ranking window over a pre-
+    aggregated frame (ties broken by key for determinism). The window
+    partitions by nation — parallel across partitions, no global sort."""
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = lt(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = lt(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"), "c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("spend"))
+    )
+    w = W.partitionBy("nation_name").orderBy(F.col("spend").desc(), F.col("c_custkey"))
+    return spend.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+@op(
+    "window_frame_running_spend",
+    tags=("relational", "window"),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0)
+         AS running_spend
+FROM orders
+""",
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (frame aggregate) — the 'running supply'
+    pattern from SURVEY.md §2.6, in exact cents for cross-engine equality."""
+    from ..functions.det import cents
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        lt(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("running_spend", F.sum(cents("o_totalprice")).over(w) / F.lit(100.0))
+        .drop("o_totalprice")
+    )
+
+
+@op(
+    "window_lag_order_gap",
+    tags=("relational", "window"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev
+FROM orders
+""",
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: days between a customer's consecutive orders (NULL for first)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        lt(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn(
+            "days_since_prev",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+        )
+        .drop("o_orderdate")
+        .select("o_custkey", "o_orderkey", "days_since_prev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / set ops
+
+
+@op(
+    "sort_topk_orders",
+    tags=("relational", "sort"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject: each task keeps a
+    k-row heap; no global sort materialization — O(n) at 100 TB."""
+    return (
+        lt(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+_H1 = "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'"
+_H2 = "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+
+
+def _halves(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = lt(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    before = orders.filter(F.col("o_orderdate") < "1998-01-01").select("o_custkey").distinct()
+    after = orders.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey").distinct()
+    return before, after
+
+
+@op("set_union_buyers", tags=("relational", "setop"),
+    oracle=f"({_H1}) UNION ({_H2})")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of the two period buyer sets."""
+    before, after = _halves(spark, sf_dir)
+    return before.union(after).distinct()
+
+
+@op("set_intersect_repeat_buyers", tags=("relational", "setop"),
+    oracle=f"({_H1}) INTERSECT ({_H2})")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who bought in both periods."""
+    before, after = _halves(spark, sf_dir)
+    return before.intersect(after)
+
+
+@op("set_except_churned_buyers", tags=("relational", "setop"),
+    oracle=f"({_H1}) EXCEPT ({_H2})")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who bought before 1998 but not after."""
+    before, after = _halves(spark, sf_dir)
+    return before.exceptAll(after).distinct()
+
+
+# ---------------------------------------------------------------------------
+# time windows (batch twins of the streaming ops)
+
+
+@op(
+    "window_time_hourly_events",
+    tags=("relational", "window", "time"),
+    oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def window_time_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch form of T2/window_time;
+    the streaming twin lives in streaming.pipeline)."""
+    ev = lt(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@op(
+    "window_session_user",
+    tags=("relational", "window", "time"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM ordered
+)
+SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_no
+""",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands — one
+    shuffle on user_id; equivalent to Spark's session_window but expressed
+    portably so the oracle matches row-for-row."""
+    ev = lt(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new_session", new_sess)
+        .withColumn("session_no", F.sum("is_new_session").over(wrun))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function surface
+
+
+@op(
+    "scalar_funcs_showcase",
+    tags=("relational", "scalar"),
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       SUBSTR(p_name, 1, 8) AS name_prefix,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       ROUND(p_retailprice * 1.1, 2) AS price_with_tax,
+       ABS(p_size - 25) AS size_dev,
+       CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+       CONCAT(p_brand, ':', p_type) AS brand_type
+FROM part
+""",
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/conditional scalar functions — all JVM-side codegen'd
+    built-ins (pyspark.sql.functions), zero Python in the row path."""
+    p = lt(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_with_tax"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )

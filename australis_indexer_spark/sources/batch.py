@@ -1,0 +1,63 @@
+"""Batch scans (SURVEY.md §2.1 S6 `scan_batch`, S7 `init_config`).
+
+The reference's bulk backfill is a 256-worker s5cmd copy from S3
+(``/root/reference/.dl/mainnet/s5cmd.sh:12-15``); Spark's native parallel
+object-store scan replaces it: ``spark.read.parquet`` plans one task per
+~``maxPartitionBytes`` split, with Catalyst pushing filters and pruning
+columns into the scan. At 100 TB the same call simply fans across executors —
+no engine change.
+
+Explicit schemas only: like the reference (compile-time ``near-primitives``
+types), we never sample/infer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The driver's deterministic test tables (TESTDATA.md).
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`scan_batch`: parallel columnar scan of one table.
+
+    Parquet supplies the schema (written by the driver); Catalyst prunes
+    columns/filters at the scan, so callers should select/filter eagerly.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) in the file — a type Spark does
+    not support natively (PARQUET_TYPE_ILLEGAL). We read it via the
+    ``nanosAsLong`` legacy flag and rebuild a TIMESTAMP_NTZ column; the data
+    is µs-precision (ns % 1000 == 0 everywhere), so the conversion is
+    lossless. Set here (not only in the session factory) because the driver's
+    harness may hand us its own SparkSession.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """`init_config`: register every table as a temp view so operators can be
+    written in either DataFrame or SQL form against one catalog (the Spark
+    analog of the reference's `init` subcommand wiring config + schemas,
+    borealis-indexer/src/main.rs:1252-1256)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

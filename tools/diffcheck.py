@@ -1,0 +1,110 @@
+"""Local oracle-differential harness — a strict stand-in for the driver's
+t2 correctness gate.
+
+For every op in the registry: run the Spark query and the DuckDB oracle on
+the same sf dir, sort columns by name, sort rows, and compare **exactly**
+(no float tolerance — the engine's determinism convention must make values
+bit-identical; see functions/det.py). Stricter than any reasonable hash.
+
+Usage:  python tools/diffcheck.py [sf_dir] [op ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from australis_indexer_spark.registry import load_all
+from australis_indexer_spark.session import get_session
+from australis_indexer_spark.sources.batch import TABLES
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, Decimal):
+        return float(v)  # engine convention keeps decimals out of outputs
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows(df_pandas):
+    cols = sorted(df_pandas.columns)
+    recs = [tuple(_norm(v) for v in row) for row in df_pandas[cols].itertuples(index=False)]
+    return cols, sorted(recs, key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    ops = load_all()
+    spark = get_session("diffcheck")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, spec in sorted(ops.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(spec.oracle).fetch_df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        scols, srows = _rows(sdf)
+        ocols, orows = _rows(odf)
+        if scols != ocols:
+            print(f"FAIL  {name}: columns differ spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL  {name}: row count spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+        if bad:
+            print(f"FAIL  {name}: {len(bad)}/{len(srows)} rows differ; first: spark={bad[0][0]} oracle={bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,39 @@
+"""Vector scalar functions — JVM-side, no Python in the row path.
+
+Dot products are **sequential left folds** (`F.aggregate` over `zip_with`),
+which makes them bit-identical to DuckDB's `list_dot_product` on DOUBLE[]
+(verified empirically at build time) — the determinism anchor for every
+similarity/dedup oracle. sqrt and the final division are single IEEE ops.
+
+At scale these run inside whole-stage codegen; for very high dimensions a
+vectorized pandas UDF (numpy einsum per Arrow batch) is the drop-in upgrade
+path — kept out of the default because the fold is exact and fast at d=64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(dot(ca, ca))
+
+
+def with_norm(df: DataFrame, emb_col: str = "emb", out: str = "nrm") -> DataFrame:
+    return df.withColumn(out, norm(emb_col))
+
+
+def cosine_cols(emb_a: str, emb_b: str, nrm_a: str, nrm_b: str) -> Column:
+    """cosine = dot / (nrm_a * nrm_b) — same expression tree as the oracles."""
+    return dot(emb_a, emb_b) / (F.col(nrm_a) * F.col(nrm_b))

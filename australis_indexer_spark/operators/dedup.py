@@ -1,1 +1,387 @@
-"""Placeholder — ops land in a later milestone this round."""
+"""Deduplication operators (north-star: BASELINE.json LLM-data-pipeline ops).
+
+Five dedup families over `documents` / `embeddings`:
+
+- **exact**          — content-hash group-by (`sha256`), keep min doc_id;
+- **MinHash + LSH**  — word-3-shingles → 16 portable min-hashes → 4 bands of
+                       4 → band-bucket join for candidates → estimated
+                       Jaccard. The hash family is `md5(i || ':' || shingle)`
+                       so the DuckDB oracle reproduces it bit-for-bit;
+- **n-gram Jaccard** — exact 3-shingle Jaccard over shingle-equality
+                       candidate pairs (the verification pass LSH feeds);
+- **SimHash**        — 32-bit per-doc fingerprint from token md5 bit votes,
+                       near-pairs via 4×8-bit banding + Hamming distance;
+- **embedding cosine** — near-dup pairs with cosine ≥ τ, blocked by label.
+
+Scale design (the reason these shapes were chosen):
+- shingling/minhashing are narrow per-row ops after one `explode`;
+- LSH banding turns the O(n²) pair space into equi-JOINS on band keys —
+  at 100 TB each band join is an ordinary shuffle join on a high-cardinality
+  key, AQE-skew-handled; no cross product anywhere;
+- the only O(pairs) work is on LSH *candidates* (tiny by construction);
+- embedding near-dup uses blocking (label/bucket) — swap in the LSH bucket
+  from operators.similarity for unlabeled corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+@op(
+    "dedup_exact",
+    tags=("northstar", "dedup"),
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha256(text); survivor = min doc_id.
+    One shuffle on the 32-byte hash (uniform — never skewed); at 100 TB,
+    hash first so the shuffle carries 32 bytes/row, not the document."""
+    return (
+        lt(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared shingle machinery
+
+N_HASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASH // N_BANDS
+
+_SQL_SHINGLES = """
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+positions AS (
+  SELECT doc_id, toks, unnest(generate_series(1, n - 2)) AS p
+  FROM docs WHERE n >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', toks[p], toks[p + 1], toks[p + 2]) AS shingle
+  FROM positions
+)"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-shingles per doc (explode — narrow, no shuffle;
+    the DISTINCT is per-doc-local after a hash partition on doc_id)."""
+    docs = lt(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    return (
+        docs.filter(F.col("n") >= 3)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 2)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("toks", F.col("p")),
+                F.element_at("toks", F.col("p") + 1),
+                F.element_at("toks", F.col("p") + 2),
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """16 portable min-hashes per doc: h_i = MIN(md5(i || ':' || shingle))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_HASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_sig() -> str:
+    cols = ",\n         ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASH)
+    )
+    return f"sig AS (\n  SELECT doc_id, {cols}\n  FROM shingles GROUP BY doc_id\n)"
+
+
+def _band_col(j: int) -> Column:
+    return F.md5(F.concat(*[F.col(f"h{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]))
+
+
+def _sql_bands() -> str:
+    bands = ", ".join(
+        "md5(" + " || ".join(f"h{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS b{j}"
+        for j in range(N_BANDS)
+    )
+    return f"bands AS (SELECT *, {bands} FROM sig)"
+
+
+_SQL_EST = "(" + " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASH)
+) + f") / {float(N_HASH)}"
+
+_MINHASH_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_sig()},
+{_sql_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.b{j} = b.b{j}" for j in range(N_BANDS))})
+)
+SELECT doc_a, doc_b, {_SQL_EST} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE {_SQL_EST} >= 0.5
+"""
+
+
+@op("dedup_minhash_lsh", tags=("northstar", "dedup"), oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → minhash(16) → band(4×4) → bucket
+    equi-join per band → union → distinct pairs → estimated Jaccard ≥ 0.5.
+
+    Each band candidate generation is a self-equi-join on the band hash —
+    the LSH trick that keeps 100 TB dedup shuffle-bound instead of O(n²)."""
+    sig = _minhash_sig(_shingles(spark, sf_dir)).cache()
+    bands = sig.select("doc_id", *[_band_col(j).alias(f"b{j}") for j in range(N_BANDS)])
+    cand = None
+    for j in range(N_BANDS):
+        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"b{j}").alias("bk"))
+        b = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"b{j}").alias("bk"))
+        pairs_j = a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        cand = pairs_j if cand is None else cand.unionByName(pairs_j)
+    cand = cand.distinct()
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_HASH)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_HASH)])
+    est = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0) for i in range(N_HASH)
+    ) / F.lit(float(N_HASH))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       (n_common / (sa.sz + sb.sz - n_common)) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (n_common / (sa.sz + sb.sz - n_common)) >= 0.5
+"""
+
+
+@op("dedup_ngram_jaccard", tags=("northstar", "dedup"), oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard ≥ 0.5: candidate pairs from shingle equality
+    (inverted-index join), exact intersection count, |A∪B| by
+    inclusion-exclusion. This is the verification stage LSH candidates feed
+    at scale; standalone it is safe while shingle document-frequency is
+    bounded (salt or drop ultra-common shingles when it is not)."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 32-bit fingerprint from token-md5 bit votes. Bits are extracted
+# from hex nibbles with generated CASE expressions so the exact same SQL text
+# runs on both engines (no engine-specific bit ops).
+
+_HEX = "0123456789abcdef"
+
+
+def _bit_vote_sql(b: int) -> str:
+    """+1/-1 vote for bit b (0..31) of md5(token): nibble = hex char at
+    position b//4 (1-based), bit set iff nibble value has bit (b%4)."""
+    chars = [c for v, c in enumerate(_HEX) if (v >> (b % 4)) & 1]
+    inlist = ", ".join(f"'{c}'" for c in chars)
+    return f"(CASE WHEN substr(tok_md5, {b // 4 + 1}, 1) IN ({inlist}) THEN 1 ELSE -1 END)"
+
+
+_SIMHASH_BITS_SQL = ",\n       ".join(
+    f"(CASE WHEN SUM({_bit_vote_sql(b)}) > 0 THEN '1' ELSE '0' END) AS bit{b}"
+    for b in range(32)
+)
+_FP_CONCAT = "concat(" + ", ".join(f"bit{b}" for b in range(32)) + ")"
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS tok_md5 FROM toks),
+votes AS (
+  SELECT doc_id,
+       {_SIMHASH_BITS_SQL}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {_FP_CONCAT} AS simhash32 FROM votes
+"""
+
+
+@op("dedup_simhash", tags=("northstar", "dedup"), oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: per-token md5, ±1 vote per bit, sign → 32-bit
+    fingerprint (emitted as a bit string — portable across engines). One
+    explode + one groupBy(doc_id); near-pair search is `dedup_simhash_pairs`."""
+    hashed = (
+        lt(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("tok_md5"))
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.when(F.sum(F.expr(_bit_vote_sql(b))) > 0, "1").otherwise("0").alias(f"bit{b}")
+            for b in range(32)
+        ]
+    )
+    return votes.select("doc_id", F.concat(*[f"bit{b}" for b in range(32)]).alias("simhash32"))
+
+
+_HAMMING = "(32 - (" + " + ".join(
+    f"(CASE WHEN substr(a.simhash32, {i + 1}, 1) = substr(b.simhash32, {i + 1}, 1) THEN 1 ELSE 0 END)"
+    for i in range(32)
+) + "))"
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS tok_md5 FROM toks),
+votes AS (
+  SELECT doc_id,
+       {_SIMHASH_BITS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {_FP_CONCAT} AS simhash32 FROM votes),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {_HAMMING} AS hamming
+  FROM fp a JOIN fp b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"substr(a.simhash32, {k * 8 + 1}, 8) = substr(b.simhash32, {k * 8 + 1}, 8)" for k in range(4))})
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 6
+"""
+
+
+@op("dedup_simhash_pairs", tags=("northstar", "dedup"), oracle=_SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs: band the 32-bit fingerprint into 4 bytes; any
+    equal byte → candidate (catches all pairs with Hamming ≤ 6 among bands);
+    exact Hamming filter after. Same LSH-shaped plan: equi-joins on band
+    substrings, no cross product."""
+    fp = dedup_simhash(spark, sf_dir).cache()
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash32"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("simhash32_b"))
+    cand = None
+    for k in range(4):
+        aj = a.select("doc_a", "simhash32", F.substring("simhash32", k * 8 + 1, 8).alias("band"))
+        bj = b.select("doc_b", "simhash32_b", F.substring("simhash32_b", k * 8 + 1, 8).alias("band"))
+        pj = aj.join(bj, "band").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "simhash32", "simhash32_b"
+        )
+        cand = pj if cand is None else cand.unionByName(pj)
+    hamming = sum(
+        F.when(
+            F.substring("simhash32", i + 1, 1) == F.substring("simhash32_b", i + 1, 1), 0
+        ).otherwise(1)
+        for i in range(32)
+    )
+    return (
+        cand.distinct()
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+@op(
+    "dedup_embedding_cosine",
+    tags=("northstar", "dedup", "vector"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       (list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.35 within label blocks (threshold tuned to the synthetic embedding distribution). Blocking turns
+    all-pairs into a per-block join (swap the label for an LSH bucket from
+    operators.similarity on unlabeled data). Dot/norm are sequential folds —
+    bit-identical to DuckDB's list_dot_product."""
+    from ..functions.vectors import cosine_cols, with_norm
+
+    e = with_norm(
+        lt(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"))
+    cos = cosine_cols("emb_a", "emb_b", "nrm_a", "nrm_b")
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )

@@ -1,1 +1,148 @@
-"""Placeholder — ops land in a later milestone this round."""
+"""Multimodal columns (north-star: BASELINE.json).
+
+Treat image/audio/video as opaque `binary` payload columns with a typed
+metadata struct, exactly as the engine treats the reference's serialized
+block payloads (SURVEY.md §1.4): bytes + schema'd header. The Spark-side
+plumbing — schema, partition-preserving narrow ops, Arrow-batched
+`mapInPandas` decode signature — is real and tested; the actual media
+codecs are STUBBED (the image/audio libraries are not in this container):
+`decode_media(..., real=True)` raises NotImplementedError, the default path
+produces deterministic fake features from the payload bytes so the batch
+shape and schema are exercised end-to-end.
+
+At 100 TB: payloads stay in parquet binary columns (never strings), metadata
+lives beside them so filters (mime, size, dims) prune at the scan without
+touching bytes; decode fans out per Arrow batch with
+`spark.sql.execution.arrow.maxRecordsPerBatch` sizing the unit of work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("head_hex", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the multimodal table from `documents`: payload = utf-8 bytes of
+    the text (stand-in for image bytes), metadata derived deterministically."""
+    d = lt(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.when(F.col("source") == "src0", "image/png")
+            .when(F.col("source") == "src1", "audio/wav")
+            .otherwise("video/mp4")
+            .alias("mime"),
+            (64 + (F.col("doc_id") % 16) * 32).cast("int").alias("width"),
+            (64 + (F.col("doc_id") % 9) * 32).cast("int").alias("height"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, *, real: bool = False) -> DataFrame:
+    """Arrow-batched media decode over `mapInPandas`.
+
+    ``real=True`` is the seam where PIL/librosa/pyav decoding plugs in —
+    deliberately stubbed here."""
+    if real:
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/pyav) are not available in this "
+            "environment; the deterministic fake path exercises the full "
+            "Spark plumbing (schema, Arrow batching, partitioning)"
+        )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    # deterministic integer-exact mean: sum(bytes)/len as one division
+                    "mean_byte": [
+                        (float(sum(p)) / len(p)) if p else 0.0 for p in payloads
+                    ],
+                    "head_hex": [p[:8].hex() for p in payloads],
+                    "decoder": "stub-deterministic",
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+@op(
+    "multimodal_meta",
+    tags=("northstar", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       CASE WHEN source = 'src0' THEN 'image/png'
+            WHEN source = 'src1' THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS width,
+       CAST(64 + (doc_id % 9) * 32 AS INTEGER) AS height,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata projection off the multimodal table — the scan-prunable
+    columns a pipeline filters on before ever touching payload bytes."""
+    m = media_table(spark, sf_dir)
+    d = lt(spark, sf_dir, "documents").select("doc_id", F.sha2("text", 256).alias("payload_sha"))
+    return (
+        m.join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            "payload_sha",
+        )
+    )
+
+
+@op("multimodal_decode_features", tags=("northstar", "multimodal"))
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract path: binary payloads → mapInPandas (Arrow
+    batches) → typed feature rows. Rows-only check (byte-level UDF); the
+    deterministic fake decoder stands in for stubbed media codecs."""
+    return decode_media(media_table(spark, sf_dir))

@@ -1,1 +1,161 @@
-"""Placeholder — ops land in a later milestone this round."""
+"""Text-analysis operators (north-star: BASELINE.json LLM-data-pipeline ops).
+
+Language-ID (stopword-vote heuristic), quality/stats scoring, token counting
+(whitespace + BPE-ish estimate), and document fingerprinting over the
+`documents` table. Everything is built-in `pyspark.sql.functions` — string
+ops stay inside whole-stage codegen; no Python in the row path.
+
+Determinism: ratios are single integer/integer divisions (one IEEE op —
+identical in DuckDB); token pipelines use space-split semantics that match
+`string_split` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ein", "ist"),
+    "es": ("el", "los", "y", "que", "un", "es"),
+    "fr": ("le", "les", "et", "des", "une", "est"),
+}
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(col, " ")
+
+
+def _n_in_list(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def _sql_n_in_list(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({lst}))) AS BIGINT)"
+
+
+@op(
+    "text_stats_quality",
+    tags=("northstar", "text"),
+    oracle=f"""
+SELECT doc_id,
+       n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+       (LENGTH(replace(text, ' ', '')) / len(string_split(text, ' '))) AS avg_token_len,
+       ({_sql_n_in_list(STOPWORDS['en'])} / CAST(len(string_split(text, ' ')) AS BIGINT))
+         AS stopword_ratio,
+       (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+         AS uniq_ratio
+FROM documents
+""",
+)
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/diversity ratios per document — the
+    standard pre-training quality gates (length, stopword density, repetition)
+    as pure narrow projections; no shuffle at any scale."""
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    return lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens).alias("avg_token_len"),
+        (_n_in_list(toks, STOPWORDS["en"]) / n_tokens).alias("stopword_ratio"),
+        (n_uniq / n_tokens).alias("uniq_ratio"),
+    )
+
+
+_LANG_CASE_SQL = f"""
+CASE WHEN {_sql_n_in_list(STOPWORDS['en'])} >= greatest({_sql_n_in_list(STOPWORDS['de'])}, {_sql_n_in_list(STOPWORDS['es'])}, {_sql_n_in_list(STOPWORDS['fr'])}) THEN 'en'
+     WHEN {_sql_n_in_list(STOPWORDS['de'])} >= greatest({_sql_n_in_list(STOPWORDS['es'])}, {_sql_n_in_list(STOPWORDS['fr'])}) THEN 'de'
+     WHEN {_sql_n_in_list(STOPWORDS['es'])} >= {_sql_n_in_list(STOPWORDS['fr'])} THEN 'es'
+     ELSE 'fr' END
+"""
+
+
+@op(
+    "text_lang_id",
+    tags=("northstar", "text"),
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang,
+       {_sql_n_in_list(STOPWORDS['en'])} AS score_en,
+       {_sql_n_in_list(STOPWORDS['de'])} AS score_de,
+       {_sql_n_in_list(STOPWORDS['es'])} AS score_es,
+       {_sql_n_in_list(STOPWORDS['fr'])} AS score_fr,
+       {_LANG_CASE_SQL} AS predicted_lang
+FROM documents
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword votes, argmax with a
+    fixed priority tie-break (en>de>es>fr). A real deployment swaps the word
+    lists for char-n-gram profiles; the operator shape (narrow projection,
+    argmax over k scores) is identical."""
+    toks = _toks()
+    scores = {lang: _n_in_list(toks, ws) for lang, ws in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= F.greatest(scores["de"], scores["es"], scores["fr"])), "en"
+        )
+        .when(scores["de"] >= F.greatest(scores["es"], scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        scores["fr"].alias("score_fr"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@op(
+    "text_fingerprint",
+    tags=("northstar", "text"),
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the canonical-form content key used for cross-snapshot identity
+    (exact-dedup's portable cousin)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return lt(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+@op(
+    "text_token_count",
+    tags=("northstar", "text"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_bpe_est,
+       CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha_chars
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, a BPE-ish chars/4 estimate (the
+    standard budget heuristic), and alpha-only char count via regex."""
+    return lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_ws_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_bpe_est"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("long").alias("n_alpha_chars"),
+    )

@@ -15,12 +15,44 @@ Determinism contract (why oracles hash-match):
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_executor_pyfiles(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Ops whose pandas UDFs reference module-level functions (codecs, envelope)
+    are cloudpickled *by reference* — the worker must `import
+    australis_indexer_spark` itself. When the harness creates its own
+    SparkSession from an arbitrary CWD, the workers' PYTHONPATH does not
+    include this repo, so we ship the package the Spark-native way:
+    `sc.addPyFile` with a zip (works identically on a real cluster).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_aispark_pyfiles_added", False):
+        return
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"australis_indexer_spark-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(_PKG_DIR))
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._aispark_pyfiles_added = True
 
 
 @dataclass(frozen=True)
@@ -41,7 +73,16 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate op name: {name}")
-        REGISTRY[name] = OpSpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_executor_pyfiles(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = OpSpec(
+            name=name, fn=wrapped, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or "")
+        )
         return fn
 
     return deco

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark — the driver's per-round perf gate.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a ``noop`` datasource write — the full plan runs on
+executors (scan → shuffle → agg/join), nothing funnels through the driver, so
+the timing reflects distributed throughput rather than ``collect()`` overhead.
+
+The headline set spans every subsystem: TPC-H-style agg, broadcast-dim join,
+as-of join, ranking/frame windows, streaming-style time windows, exact +
+MinHash-LSH dedup, similarity top-k, and text analysis — the ops that
+dominate a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from australis_indexer_spark.registry import load_all
+from australis_indexer_spark.session import get_session
+
+HEADLINE = (
+    "agg_hash_pricing_summary",      # scan+filter+groupBy+sort (TPC-H Q1 shape)
+    "join_equi_revenue_by_nation",   # fact-fact join + broadcast dims
+    "join_asof_purchase_attribution",  # as-of join (the reference's tx→outcome semantic)
+    "window_rank_top_customers",     # partitioned ranking window
+    "window_frame_running_spend",    # running frame aggregate
+    "window_time_hourly_events",     # tumbling event-time window
+    "sort_topk_orders",              # global top-k
+    "dedup_exact",                   # content-hash dedup
+    "dedup_minhash_lsh",             # shingle→minhash→band join near-dup
+    "sim_topk_bruteforce",           # embedding cosine top-k
+    "text_stats_quality",            # text quality scoring
+    "explode_transactions",          # nested explode/normalize path
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bench")
+    ops = load_all()
+
+    # one warm-up pass on the smallest table so JVM/codegen/Arrow init cost
+    # does not land on the first measured query
+    ops["agg_hash_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

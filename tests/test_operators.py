@@ -1,0 +1,89 @@
+"""Operator semantics unit tests on driver tables (sf0.001) — fast
+invariant checks complementing the exhaustive oracle differential in
+tools/diffcheck.py (run separately; it is the t2 gate stand-in).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_dedup_exact_partitions_rows(spark, ops):
+    """Every doc lands in exactly one hash group; copies sum to table size."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    d = ops["dedup_exact"].fn(spark, SF_SMOKE)
+    total = d.agg(F.sum("n_copies")).first()[0]
+    assert total == docs.count()
+
+
+def test_dedup_minhash_lsh_finds_planted_dups(spark, ops):
+    """Near-dup pairs are symmetric-deduped (a<b) and estimated Jaccard is
+    in [0,1]; exact-duplicate texts must surface as candidates."""
+    pairs = ops["dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    assert pairs, "no near-dup candidates found at sf0.001"
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+def test_sim_topk_k_per_query(spark, ops):
+    df = ops["sim_topk_bruteforce"].fn(spark, SF_SMOKE)
+    from australis_indexer_spark.operators.similarity import TOP_K
+
+    per_q = df.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] <= TOP_K for r in per_q)
+    sims = df.select("cosine").collect()
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in sims)
+
+
+def test_window_rank_bounded(spark, ops):
+    df = ops["window_rank_top_customers"].fn(spark, SF_SMOKE)
+    assert df.groupBy().max("rnk").first()[0] <= 3
+
+
+def test_sort_topk_is_sorted(spark, ops):
+    rows = ops["sort_topk_orders"].fn(spark, SF_SMOKE).collect()
+    vals = [r["o_totalprice"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert len(vals) == 10
+
+
+def test_text_token_count_matches_split(spark, ops):
+    df = ops["text_token_count"].fn(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    joined = df.join(docs, "doc_id").filter(
+        F.col("n_ws_tokens") != F.size(F.split("text", " "))
+    )
+    assert joined.count() == 0
+
+
+def test_scan_from_offset_filters(spark, ops):
+    df = ops["scan_from_offset"].fn(spark, SF_SMOKE)
+    # op replays events from a height offset — nothing below the offset
+    mins = df.agg(F.min("sequence_id")).first()[0]
+    assert mins is not None
+
+
+def test_filter_shard_pruning_plan(spark, ops):
+    """T11 filter_shard must push its predicate into the parquet scan
+    (Catalyst PushedFilters) — the 100 TB partition-pruning analog."""
+    df = ops["filter_shard"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+
+
+@pytest.mark.parametrize("opname", ["agg_hash_pricing_summary", "join_equi_revenue_by_nation"])
+def test_headline_plans_stay_jvm_side(spark, ops, opname):
+    """Hot-path relational ops must not contain Python evaluation nodes
+    (BatchEvalPython/ArrowEvalPython absent) and must do map-side partial
+    aggregation before the shuffle (the 100 TB shuffle-minimization check).
+    WholeStageCodegen spans only appear in the AQE final plan, so we assert
+    on the pre-execution plan's structure instead."""
+    df = ops[opname].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "partial_" in plan  # map-side combine before the exchange
+    assert "PushedFilters: [" in plan or "Filter" not in plan

@@ -1,0 +1,41 @@
+"""Driver-contract surface tests: registry completeness + entry module."""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_registry_nonempty(ops):
+    assert len(ops) >= 50
+
+
+def test_oracles_are_subset(ops):
+    mod = _entry_module()
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert set(qs) == set(ops)
+    for sql in osql.values():
+        assert isinstance(sql, str) and sql.strip()
+
+
+def test_flagship_entry_returns_rows(spark):
+    mod = _entry_module()
+    df = mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_op_has_doc(ops):
+    for name, spec in ops.items():
+        assert spec.doc.strip(), f"{name} lacks a docstring/doc"

@@ -1,1 +1,280 @@
-"""Placeholder — ops land in a later milestone this round."""
+"""Structured Streaming parity layer (SURVEY.md §2.1 S1-S5, §2.5 T1-T4, §2.4 K1-K2).
+
+The reference's whole runtime is a streaming pipeline: an embedded node emits
+height-ordered `StreamerMessage`s on a channel (borealis-indexer/src/
+main.rs:1320-1323), the producer wraps/encodes/publishes each (main.rs:357-451),
+and the consumer replays them from a durable JetStream with a 24 h dedup
+window and explicit acks (borealis-consumer/src/main.rs:574-677).
+
+Spark mapping (all Structured Streaming built-ins):
+
+| reference                                   | here                               |
+|---------------------------------------------|------------------------------------|
+| node streamer channel (S1)                  | file-source `readStream` + schema  |
+| sync-mode offset selection (S2/T3)          | `checkpointLocation` + height filter|
+| backfill-vs-live gating (S3)                | `Trigger.AvailableNow` vs interval |
+| durable JetStream consumer (S5/T4)          | checkpointed source, replay = new  |
+|                                             | checkpoint dir (DeliverPolicy::All)|
+| publish / durable log sink (K1/K2)          | `foreachBatch` append parquet sink |
+| 24 h dedup window (T2)                      | `withWatermark + dropDuplicates`   |
+| strict height order (T1)                    | per-batch `orderBy(sequence_id)` + |
+|                                             | monotonic high-watermark column    |
+
+Scale notes (100 TB / 1000 executors): the sink writes partitioned by
+`height_bucket` so replay/range scans prune; dedup state lives in the state
+store (RocksDB provider on a cluster — session.CLUSTER_CONF); `foreachBatch`
+sorting is per-micro-batch (the cross-batch guarantee is the checkpoint's
+monotonic offset log, same as the reference's single-threaded channel).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import blocks_df
+from ..registry import op
+from ..schemas import STREAMER_SCHEMA
+from ..sources.batch import load_table as lt
+
+HEIGHT_BUCKET_BLOCKS = 100_000  # ~1 day of NEAR blocks per sink partition
+
+
+def write_stream_source(
+    spark: SparkSession, out_dir: str, *, n_blocks: int = 48, n_files: int = 6
+) -> None:
+    """Materialize the golden fixture as a directory of JSON files — the
+    test stand-in for the node's channel (one file ≈ one channel burst)."""
+    if os.path.isdir(out_dir) and any(f.endswith(".json") for f in os.listdir(out_dir)):
+        return
+    blocks_df(spark, n_blocks).repartitionByRange(
+        n_files, "block.header.height"
+    ).write.mode("overwrite").json(out_dir)
+
+
+def read_block_stream(
+    spark: SparkSession, src_dir: str, *, max_files_per_trigger: int | None = 2
+) -> DataFrame:
+    """S1 `scan_stream`: schema-explicit streaming scan (never inferred —
+    the reference's schema is fixed at compile time, SURVEY.md §1.1)."""
+    reader = spark.readStream.schema(STREAMER_SCHEMA)
+    if max_files_per_trigger:
+        # source-side pacing: the analog of the reference's bounded reconnect
+        # buffers (borealis-indexer/src/main.rs:819) — one trigger never
+        # exceeds executor memory
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(src_dir)
+
+
+def to_envelope_stream(blocks: DataFrame) -> DataFrame:
+    """P1 on the stream: key by height, carry event-time for watermarking.
+
+    The payload stays a JSON string here (JVM `to_json`); byte-level codecs
+    (CBOR/compression) are batch-side pandas UDFs — keeping the streaming hot
+    path 100% codegen."""
+    return blocks.select(
+        F.col("block.header.height").alias("sequence_id"),
+        F.timestamp_micros(
+            (F.col("block.header.timestamp") / F.lit(1000)).cast("long")
+        ).alias("event_time"),
+        F.to_json(F.struct("block", "shards")).alias("payload"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    from_height: int | None = None,
+    dedup: bool = True,
+    available_now: bool = True,
+) -> None:
+    """The end-to-end producer+consumer pipeline, batch-backfill mode.
+
+    - S2 `scan_from_offset`: ``from_height`` filters the replay start
+      (sync-mode BlockHeight, configs.rs:139-159); resuming with the same
+      ``checkpoint_dir`` is sync-mode FromInterruption.
+    - T2 `dedup_window`: drop duplicate heights within a 24 h watermark
+      (JetStream `duplicate_window: 86400`, consumer main.rs:578).
+    - T1 `order_by_height`: each micro-batch is sorted before append; the
+      sink carries `height_bucket` for partition-pruned replay.
+    - S3 `scan_backfill_mode`: ``available_now`` drains the backlog then
+      stops (WaitForFullSync); False would run live micro-batches.
+    """
+    env = to_envelope_stream(read_block_stream(spark, src_dir))
+    if from_height is not None:
+        env = env.filter(F.col("sequence_id") >= from_height)
+    if dedup:
+        env = env.withWatermark("event_time", "24 hours").dropDuplicates(
+            ["sequence_id"]
+        )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:  # K1/K2
+        (
+            batch.orderBy("sequence_id")
+            .withColumn(
+                "height_bucket",
+                (F.col("sequence_id") / HEIGHT_BUCKET_BLOCKS).cast("long"),
+            )
+            .write.mode("append")
+            .partitionBy("height_bucket")
+            .parquet(sink_dir)
+        )
+
+    writer = (
+        env.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# registered ops
+
+
+@op("scan_stream", tags=("parity", "streaming"))
+def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3+T1+T2+K2 end-to-end: fixture JSON stream → envelope →
+    watermarked dedup → ordered, height-bucketed durable parquet sink
+    (AvailableNow backfill), then read the durable table back."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="aispark_stream_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    write_stream_source(spark, src)
+    run_pipeline(spark, src, sink_d, ckpt)
+    out = spark.read.parquet(sink_d)
+    return out.select(
+        "sequence_id", "height_bucket", F.length("payload").alias("payload_chars")
+    )
+
+
+@op("scan_durable", tags=("parity", "streaming"))
+def scan_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+T4 `replay_all`: run the pipeline once (durable consumer), then a
+    SECOND run with a fresh checkpoint on the same source — DeliverPolicy::All
+    instant replay (consumer main.rs:640-648). Emits one row per height with
+    replay counts; `replayed_ok` proves the durable log re-delivered all."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="aispark_replay_")
+    src = os.path.join(base, "src")
+    write_stream_source(spark, src)
+    s1, c1 = os.path.join(base, "sink1"), os.path.join(base, "ck1")
+    s2, c2 = os.path.join(base, "sink2"), os.path.join(base, "ck2")
+    run_pipeline(spark, src, s1, c1)
+    run_pipeline(spark, src, s2, c2)  # fresh durable name => full replay
+    a = spark.read.parquet(s1).select("sequence_id")
+    b = spark.read.parquet(s2).select("sequence_id")
+    return (
+        a.groupBy("sequence_id")
+        .count()
+        .withColumnRenamed("count", "n_first")
+        .join(b.groupBy("sequence_id").count().withColumnRenamed("count", "n_replay"), "sequence_id")
+        .select(
+            "sequence_id",
+            "n_first",
+            "n_replay",
+            (F.col("n_first") == F.col("n_replay")).alias("replayed_ok"),
+        )
+    )
+
+
+@op("dedup_window", tags=("parity", "streaming"))
+def dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: planted duplicate heights are suppressed by the watermarked
+    dropDuplicates — output has exactly one row per height (JetStream
+    duplicate_window semantics, consumer main.rs:578)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="aispark_dedup_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    # source with every block written TWICE (duplicate delivery)
+    df = blocks_df(spark, 32)
+    df.unionAll(df).repartitionByRange(4, "block.header.height").write.mode(
+        "overwrite"
+    ).json(src)
+    run_pipeline(spark, src, sink_d, ckpt, dedup=True)
+    out = spark.read.parquet(sink_d)
+    return (
+        out.groupBy("sequence_id")
+        .count()
+        .select("sequence_id", F.col("count").alias("n_after_dedup"))
+    )
+
+
+@op(
+    "window_time_stream_complete",
+    tags=("parity", "streaming", "window"),
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+)
+def window_time_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation over the events table in
+    complete mode: the final emitted state equals the batch GROUP BY, so the
+    op is fully oracle-checkable — the streaming/batch unification Spark
+    gives for free (and the reference's consumers must hand-build).
+
+    Scale: partial aggregation happens map-side per micro-batch; state is
+    one row per (hour, type) in the state store."""
+    import tempfile
+    import uuid
+
+    events = lt(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="aispark_ev_src_")
+    sink_tbl = f"stream_hourly_{uuid.uuid4().hex[:12]}"
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 8
+    ).parquet(src)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_tbl)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_tbl)
+
+
+@op("health_check", tags=("parity",))
+def health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 `check`: end-to-end probe — session alive, catalog reachable,
+    one-row scan of each table succeeds; reports engine vitals the way the
+    reference's check subcommand reports rtt/ip/max-payload
+    (borealis-indexer/src/main.rs:1054-1071)."""
+    from ..sources.batch import TABLES
+
+    rows = []
+    for t in TABLES:
+        n_cols = len(lt(spark, sf_dir, t).columns)
+        rows.append((t, n_cols, True))
+    return spark.createDataFrame(
+        rows, "table_name string, n_columns int, readable boolean"
+    ).orderBy("table_name")

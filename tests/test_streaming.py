@@ -1,0 +1,105 @@
+"""Streaming-semantics tests (SURVEY.md §5.4): checkpoint resume (T3),
+replay-all (T4), dedup window (T2), per-batch ordering (T1), offset
+selection (S2) — on file-based streaming sources, as the driver harness
+cannot exercise multi-run streaming state through `queries()`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from australis_indexer_spark.fixtures import blocks_df
+from australis_indexer_spark.streaming.pipeline import (
+    run_pipeline,
+    write_stream_source,
+)
+
+START = 63_596  # fixture start height
+
+
+@pytest.fixture()
+def dirs():
+    base = tempfile.mkdtemp(prefix="aispark_t_stream_")
+    yield {d: os.path.join(base, d) for d in ("src", "sink", "ckpt")}
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_checkpoint_resume_no_reprocess(spark, dirs):
+    """T3 FromInterruption: feed half the files, run; add the rest, resume
+    with the SAME checkpoint — every height lands exactly once."""
+    a = blocks_df(spark, 24)
+    b = blocks_df(spark, 48).filter(F.col("block.header.height") >= START + 24)
+    a.coalesce(2).write.mode("overwrite").json(dirs["src"])
+    run_pipeline(spark, dirs["src"], dirs["sink"], dirs["ckpt"])
+    n_first = spark.read.parquet(dirs["sink"]).count()
+    assert n_first == 24
+
+    b.coalesce(2).write.mode("append").json(dirs["src"])
+    run_pipeline(spark, dirs["src"], dirs["sink"], dirs["ckpt"])
+    out = spark.read.parquet(dirs["sink"])
+    assert out.count() == 48  # resumed, not reprocessed
+    per_height = out.groupBy("sequence_id").count().filter("count > 1").count()
+    assert per_height == 0
+
+
+def test_scan_from_offset_height(spark, dirs):
+    """S2 sync-mode BlockHeight: replay starts at an explicit height."""
+    write_stream_source(spark, dirs["src"])
+    run_pipeline(
+        spark, dirs["src"], dirs["sink"], dirs["ckpt"], from_height=START + 10
+    )
+    out = spark.read.parquet(dirs["sink"])
+    assert out.agg(F.min("sequence_id")).first()[0] == START + 10
+    assert out.count() == 38
+
+
+def test_dedup_window_suppresses_duplicates(spark, dirs):
+    """T2: duplicate deliveries of the same height are dropped."""
+    df = blocks_df(spark, 16)
+    df.unionAll(df).coalesce(3).write.mode("overwrite").json(dirs["src"])
+    run_pipeline(spark, dirs["src"], dirs["sink"], dirs["ckpt"], dedup=True)
+    out = spark.read.parquet(dirs["sink"])
+    assert out.count() == 16
+    assert out.select("sequence_id").distinct().count() == 16
+
+
+def test_sink_is_height_bucketed_and_ordered(spark, dirs):
+    """T1/K2: sink partitions carry height buckets (partition-pruned replay)
+    and heights are contiguous/complete."""
+    write_stream_source(spark, dirs["src"])
+    run_pipeline(spark, dirs["src"], dirs["sink"], dirs["ckpt"])
+    out = spark.read.parquet(dirs["sink"])
+    heights = sorted(r[0] for r in out.select("sequence_id").collect())
+    assert heights == list(range(START, START + 48))
+    assert "height_bucket" in out.columns
+    # replay of one bucket prunes the file listing to that bucket only
+    pruned = out.filter(F.col("height_bucket") == heights[0] // 100_000)
+    assert pruned.count() == 48  # all fixture heights share one bucket
+
+
+def test_streaming_complete_mode_equals_batch(spark, ops):
+    """The oracle property used by window_time_stream_complete: streaming
+    complete-mode aggregation == batch aggregation on the same data."""
+    sf = "/root/testdata/sf0.001"
+    stream_rows = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in ops["window_time_stream_complete"].fn(spark, sf).collect()
+    }
+    from australis_indexer_spark.sources.batch import load_table
+
+    batch_rows = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in load_table(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert stream_rows == batch_rows

@@ -235,6 +235,20 @@ def gen_blocks(
     return blocks
 
 
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
 def blocks_df(spark: SparkSession, n_blocks: int = 32, **kw: Any) -> DataFrame:
-    """The fixture as a DataFrame with the exact ``STREAMER_SCHEMA``."""
-    return spark.createDataFrame(gen_blocks(n_blocks, **kw), schema=STREAMER_SCHEMA)
+    """The fixture as a DataFrame with the exact ``STREAMER_SCHEMA``.
+
+    Cached (and Spark-`.cache()`d) per (session, args): the generator is
+    driver-side Python, so repeated fixture-backed ops would otherwise pay
+    the createDataFrame serialization on every call."""
+    key = (id(spark), n_blocks, tuple(sorted(kw.items())))
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.createDataFrame(
+            gen_blocks(n_blocks, **kw), schema=STREAMER_SCHEMA
+        ).cache()
+        _DF_CACHE[key] = df
+    return df

@@ -67,10 +67,18 @@ def _enc(obj: Any, out: bytearray) -> None:
     elif obj is False:
         out.append(0xF4)
     elif isinstance(obj, int):
-        if obj >= 0:
+        if 0 <= obj < 1 << 64:
             out += _enc_head(0, obj)
-        else:
+        elif -(1 << 64) <= obj < 0:
             out += _enc_head(1, -1 - obj)
+        else:
+            # RFC 8949 §3.4.3 bignum (tags 2/3): u128 yoctoNEAR balances
+            # (34-digit total_supply, main.rs:152) exceed the u64 head range
+            n = obj if obj >= 0 else -1 - obj
+            out += _enc_head(6, 2 if obj >= 0 else 3)
+            b = n.to_bytes((n.bit_length() + 7) // 8 or 1, "big")
+            out += _enc_head(2, len(b))
+            out += b
     elif isinstance(obj, float):
         out += struct.pack(">Bd", 0xFB, obj)
     elif isinstance(obj, (bytes, bytearray)):
@@ -146,6 +154,13 @@ def _dec(buf: memoryview, off: int) -> tuple[Any, int]:
             v, off = _dec(buf, off)
             d[k] = v
         return d, off
+    if major == 6:
+        tag, off = _dec_arg(buf, off, info)
+        if tag in (2, 3):  # bignum
+            raw, off = _dec(buf, off)
+            n = int.from_bytes(raw, "big")
+            return (n if tag == 2 else -1 - n), off
+        raise ValueError(f"cbor: unsupported tag {tag}")
     if major == 7:
         if info == 20:
             return False, off

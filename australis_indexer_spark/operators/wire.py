@@ -1,0 +1,384 @@
+"""Inventory-completion ops: sources, sinks, codecs, ordering (SURVEY.md §2).
+
+Each op here carries the exact engine-op name from the SURVEY §2 tables so
+the coverage checklist maps one-to-one:
+
+- §2.1  `scan_batch`, `init_config`, `scan_subscribe`, `scan_backfill_mode`
+  (plus `scan_stream`/`scan_durable`/`scan_from_offset` in streaming.pipeline
+  and relational.py)
+- §2.2  `project_unwrap`, `project_reencode`
+- §2.3  `cbor_encode`, `cbor_decode`, `json_encode`, `json_decode`,
+  `compress_roundtrip` (C6/C7 — LZ4F/Zstd wheels are import-gated; zlib is
+  the always-available codec, parquet-zstd covers at-rest compression)
+- §2.4  `sink_publish`, `sink_durable`, `sink_console`
+- §2.5  `order_by_height`, `replay_all`
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, BooleanType
+
+from ..fixtures import blocks_df
+from ..functions import codecs
+from ..registry import op
+from ..sources.batch import TABLES, load_table as lt, register_views
+from .envelope import unwrap_envelope, wrap_envelope
+
+# ---------------------------------------------------------------------------
+# §2.1 sources
+
+
+@op(
+    "scan_batch",
+    tags=("parity", "source"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+""",
+)
+def scan_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 bulk snapshot scan (reference: 256-worker s5cmd S3 copy,
+    .dl/mainnet/s5cmd.sh:12-15): native parallel parquet scan with the
+    filter pushed into the reader and only 5 of 16 columns read. At 100 TB
+    this plans one task per ~128 MB split — scan parallelism is free."""
+    li = lt(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@op(
+    "init_config",
+    tags=("parity", "source"),
+    oracle="SELECT 'documents' AS table_name, COUNT(*) AS n_rows FROM documents\n"
+    + "".join(
+        f"UNION ALL SELECT '{t}', COUNT(*) FROM {t}\n"
+        for t in TABLES
+        if t not in ("documents", "events")
+    ),
+)
+def init_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 `init`: bootstrap the catalog — register every table as a view and
+    prove each is queryable (the Spark analog of indexer_init_configs writing
+    config/genesis/keys, borealis-indexer/src/main.rs:1252-1256)."""
+    register_views(spark, sf_dir)
+    out = None
+    for t in TABLES:
+        if t == "events":  # nanos-ts table counted via the loader elsewhere
+            continue
+        one = spark.sql(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+@op("scan_subscribe", tags=("parity", "source", "streaming"))
+def scan_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 core-NATS-style subscription: streaming scan paced one file per
+    trigger (the 10 s poll loop, borealis-consumer/src/main.rs:618-632);
+    every message is delivered exactly once to the foreachBatch 'callback'."""
+    from ..streaming.pipeline import run_pipeline, write_stream_source
+
+    base = tempfile.mkdtemp(prefix="aispark_sub_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    write_stream_source(spark, src)
+    run_pipeline(spark, src, sink_d, ckpt, dedup=False)
+    out = spark.read.parquet(sink_d)
+    return out.groupBy("sequence_id").agg(F.count("*").alias("n_delivered"))
+
+
+@op("scan_backfill_mode", tags=("parity", "source", "streaming"))
+def scan_backfill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 await-synced gating: Trigger.AvailableNow drains the whole backlog
+    then stops (WaitForFullSync, configs.rs:163-180) — verified by the sink
+    holding every height after one bounded run."""
+    from ..streaming.pipeline import run_pipeline, write_stream_source
+
+    base = tempfile.mkdtemp(prefix="aispark_backfill_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    write_stream_source(spark, src)
+    run_pipeline(spark, src, sink_d, ckpt, available_now=True)
+    out = spark.read.parquet(sink_d)
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.min("sequence_id").alias("min_height"),
+        F.max("sequence_id").alias("max_height"),
+        (F.max("sequence_id") - F.min("sequence_id") + 1 == F.count("*")).alias(
+            "backlog_fully_drained"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections
+
+
+@op("project_unwrap", tags=("parity", "envelope"))
+def project_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: envelope → typed StreamerMessage via from_json against the
+    explicit schema (borealis-consumer/src/main.rs:260-286); emits the
+    recovered keys (consumer's project-keys output, main.rs:291-296)."""
+    blocks = blocks_df(spark, 48)
+    return unwrap_envelope(wrap_envelope(blocks)).select(
+        "sequence_id",
+        F.col("block.header.hash").alias("block_hash"),
+        F.col("block.author").alias("author"),
+        F.size("shards").alias("n_shards"),
+    )
+
+
+@op("project_reencode", tags=("parity", "envelope", "codec"))
+def project_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: dual re-encode of each sub-entity — JSON value AND CBOR bytes
+    (the serde_json::to_value + cbor::to_vec pairs, borealis-indexer/src/
+    main.rs:477-493). JSON stays JVM-side; CBOR is the Arrow-batched UDF."""
+    blocks = blocks_df(spark, 48)
+    header_json = F.to_json(F.col("block.header"))
+    return blocks.select(
+        F.col("block.header.height").alias("sequence_id"),
+        F.length(header_json).alias("header_json_chars"),
+        F.length(codecs.udf_json_to_cbor(header_json)).alias("header_cbor_bytes"),
+        F.length(F.to_json(F.col("block.chunks"))).alias("chunks_json_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 codec scalar functions over driver data (documents)
+
+
+def _doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = lt(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("j"),
+    )
+
+
+@op(
+    "json_encode",
+    tags=("parity", "codec"),
+    oracle="""
+SELECT doc_id,
+       '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' || n_chars || '}'
+         AS j
+FROM documents
+""",
+)
+def json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: struct → JSON text, JVM-side `to_json` (reference to_json_bytes,
+    main.rs:424). Oracle rebuilds the exact byte string — field order and
+    separators are part of the contract."""
+    return _doc_json(spark, sf_dir)
+
+
+@op(
+    "json_decode",
+    tags=("parity", "codec"),
+    oracle="""
+SELECT doc_id, lang AS lang_rt, n_chars AS n_chars_rt
+FROM documents
+""",
+)
+def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: JSON text → typed values with an explicit schema (from_json;
+    reference from_json_bytes, consumer main.rs:265-266). Encode-then-decode
+    must return the source values exactly — the oracle IS the source."""
+    parsed = F.from_json("j", "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    return _doc_json(spark, sf_dir).select(
+        "doc_id",
+        parsed.getField("lang").alias("lang_rt"),
+        parsed.getField("n_chars").alias("n_chars_rt"),
+    )
+
+
+@op("cbor_encode", tags=("parity", "codec"))
+def cbor_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: JSON value → CBOR bytes (RFC 8949 subset, Arrow-batched UDF —
+    the engine's designated Python slow path). Emits deterministic byte
+    lengths per doc; exactness is proven by cbor_decode's round-trip."""
+    return _doc_json(spark, sf_dir).select(
+        "doc_id", F.length(codecs.udf_json_to_cbor("j")).alias("cbor_bytes")
+    )
+
+
+@op(
+    "cbor_decode",
+    tags=("parity", "codec"),
+    oracle="SELECT doc_id, true AS roundtrip_ok FROM documents",
+)
+def cbor_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: CBOR bytes → canonical JSON → compare against a canonical
+    re-encode of the source (sorted keys both sides — CBOR map order is not
+    canonical, SURVEY.md §7). Every row must round-trip exactly."""
+    docs = _doc_json(spark, sf_dir)
+    rt = codecs.udf_cbor_to_json(codecs.udf_json_to_cbor("j"))
+    canon = F.to_json(
+        F.from_json("j", "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    )
+
+    @F.pandas_udf(BooleanType())
+    def same_json(a: pd.Series, b: pd.Series) -> pd.Series:
+        import json
+
+        return pd.Series(
+            [json.loads(x) == json.loads(y) for x, y in zip(a, b)]
+        )
+
+    return docs.select(
+        "doc_id", same_json(rt, canon).alias("roundtrip_ok")
+    )
+
+
+@op("compress_roundtrip", tags=("parity", "codec"))
+def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C7 compress/decompress over every available codec. LZ4F and Zstd
+    wheels are import-gated (reference wire formats via `lzzzz`/`zstd`
+    crates, main.rs:369-370); zlib is the always-available stand-in and
+    parquet-zstd covers compression at rest. One row per (doc, codec) with
+    sizes + an exact round-trip flag."""
+    docs = lt(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("raw")
+    )
+    out = None
+    for codec in sorted(codecs.CODECS):
+        comp = codecs.make_compress_udf(codec)(F.col("raw"))
+        part = docs.select(
+            "doc_id",
+            F.lit(codec).alias("codec"),
+            F.length("raw").alias("raw_bytes"),
+            F.length(comp).alias("compressed_bytes"),
+            (
+                codecs.make_decompress_udf(codec)(
+                    codecs.make_compress_udf(codec)(F.col("raw"))
+                )
+                == F.col("raw")
+            ).alias("roundtrip_ok"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.4 sinks
+
+
+@op("sink_publish", tags=("parity", "sink", "streaming"))
+def sink_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 at-least-once publish: foreachBatch appends each micro-batch to a
+    subject-keyed topic dir (the engine's bus abstraction); Spark task retry
+    + idempotent replace of the batch replaces the reference's infinite
+    500 ms retry loop (main.rs:388-401). Emits per-subject publish counts."""
+    from ..streaming.pipeline import read_block_stream, write_stream_source
+
+    base = tempfile.mkdtemp(prefix="aispark_pub_")
+    src, topic, ckpt = (os.path.join(base, d) for d in ("src", "topic", "ckpt"))
+    write_stream_source(spark, src)
+    env = wrap_envelope(read_block_stream(spark, src), compression=None)
+
+    def publish(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").partitionBy("subject").parquet(topic)
+
+    q = (
+        env.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(topic)
+        .groupBy("subject")
+        .agg(
+            F.count("*").alias("n_published"),
+            F.countDistinct("sequence_id").alias("n_unique"),
+        )
+    )
+
+
+@op("sink_durable", tags=("parity", "sink", "streaming"))
+def sink_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 JetStream-style durable log: file-backed, deduplicated, replayable
+    sink — height-bucketed parquet written through the checkpointed pipeline;
+    re-reading it is the replay path. Emits per-bucket retention stats."""
+    from ..streaming.pipeline import run_pipeline, write_stream_source
+
+    base = tempfile.mkdtemp(prefix="aispark_durable_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    write_stream_source(spark, src)
+    run_pipeline(spark, src, sink_d, ckpt, dedup=True)
+    return (
+        spark.read.parquet(sink_d)
+        .groupBy("height_bucket")
+        .agg(
+            F.count("*").alias("n_messages"),
+            F.min("sequence_id").alias("first_height"),
+            F.max("sequence_id").alias("last_height"),
+        )
+    )
+
+
+@op("sink_console", tags=("parity", "sink"))
+def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 console/log sink: the key/metadata projection the reference logs
+    per message (main.rs:456-461) — returned as the loggable frame (the
+    driver prints it; in streaming mode this is writeStream.format('console'))."""
+    blocks = blocks_df(spark, 48)
+    return blocks.select(
+        F.col("block.header.height").alias("block_height"),
+        F.col("block.header.hash").alias("block_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 ordering / replay
+
+
+@op("order_by_height", tags=("parity", "streaming"))
+def order_by_height(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 strict height order: per-batch sort + monotonicity proof — each
+    row carries the delta to its predecessor; all deltas must be +1 (the
+    guarantee the reference gets from its single-threaded channel,
+    main.rs:365)."""
+    env = wrap_envelope(blocks_df(spark, 48), compression=None)
+    w = W.orderBy("sequence_id")
+    return (
+        env.select("sequence_id")
+        .withColumn("prev", F.lag("sequence_id").over(w))
+        .select(
+            "sequence_id",
+            F.coalesce(F.col("sequence_id") - F.col("prev"), F.lit(1)).alias(
+                "delta"
+            ),
+        )
+    )
+
+
+@op("replay_all", tags=("parity", "streaming"))
+def replay_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 DeliverPolicy::All instant replay: materialize the durable log
+    once, then re-read it in full and from an arbitrary height (the
+    BlockHeight sync mode, e.g. Aurora genesis 34834053) — partition pruning
+    on height_bucket makes ranged replay a metadata operation at 100 TB."""
+    from ..streaming.pipeline import run_pipeline, write_stream_source
+
+    base = tempfile.mkdtemp(prefix="aispark_replayall_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    write_stream_source(spark, src)
+    run_pipeline(spark, src, sink_d, ckpt)
+    log = spark.read.parquet(sink_d)
+    full = log.agg(F.count("*").alias("n")).first()["n"]
+    mid = log.agg(F.min("sequence_id")).first()[0] + 24
+    ranged = log.filter(F.col("sequence_id") >= mid)
+    return ranged.agg(
+        F.lit(full).alias("n_full_replay"),
+        F.count("*").alias("n_ranged_replay"),
+        F.min("sequence_id").alias("ranged_start"),
+    )

@@ -99,6 +99,7 @@ def load_all() -> dict[str, OpSpec]:
         relational,
         similarity,
         text_analysis,
+        wire,
     )
     from .streaming import pipeline  # noqa: F401
 

@@ -16,7 +16,7 @@ from australis_indexer_spark.functions import codecs
 _scalars = st.one_of(
     st.none(),
     st.booleans(),
-    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.integers(),  # unbounded: >u64 goes through RFC 8949 bignum tags
     st.floats(allow_nan=False, allow_infinity=False),
     st.text(max_size=40),
     st.binary(max_size=40),
@@ -76,7 +76,12 @@ def test_compression_roundtrip_property(data):
 
 
 def test_large_int_survives():
-    """u128 yoctoNEAR amounts (34-digit total_supply, main.rs:152) ride in
-    CBOR as strings — ints above 2^64 are out of RFC 8949 integer range."""
+    """u128 yoctoNEAR amounts (34-digit total_supply, main.rs:152) survive
+    both as strings and as RFC 8949 bignum-tagged integers."""
     v = {"total_supply": "2050206401403887985811862247311434"}
     assert codecs.cbor_loads(codecs.cbor_dumps(v)) == v
+    n = 2050206401403887985811862247311434
+    assert codecs.cbor_loads(codecs.cbor_dumps({"n": n, "neg": -n})) == {
+        "n": n,
+        "neg": -n,
+    }

@@ -107,18 +107,39 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MD5 = 4
+SLICES_PER_MD5 = N_HASH // N_MD5  # 4 slices × 8 hex chars = one 128-bit md5
+
+
 def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """16 portable min-hashes per doc: h_i = MIN(md5(i || ':' || shingle))."""
+    """16 portable min-hashes per doc at the cost of FOUR md5 calls per
+    shingle: each 128-bit md5(i || ':' || shingle) is sliced into four
+    independent 32-bit (8-hex-char) hashes, h_{4i+k} = MIN(slice_k). Fixed-
+    width lowercase hex makes lexicographic MIN == numeric MIN, and the
+    min-agg shuffles 8-char strings instead of 32 — 4× less hash CPU and
+    ~4× smaller partial-agg state than one-md5-per-hash."""
+    md5s = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"m{i}")
+            for i in range(N_MD5)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(N_HASH)
+        F.min(F.substring(F.col(f"m{i}"), 1 + 8 * k, 8)).alias(
+            f"h{i * SLICES_PER_MD5 + k}"
+        )
+        for i in range(N_MD5)
+        for k in range(SLICES_PER_MD5)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return md5s.groupBy("doc_id").agg(*aggs)
 
 
 def _sql_minhash_sig() -> str:
     cols = ",\n         ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASH)
+        f"MIN(substr(md5('{i}:' || shingle), {1 + 8 * k}, 8)) AS h{i * SLICES_PER_MD5 + k}"
+        for i in range(N_MD5)
+        for k in range(SLICES_PER_MD5)
     )
     return f"sig AS (\n  SELECT doc_id, {cols}\n  FROM shingles GROUP BY doc_id\n)"
 
@@ -165,14 +186,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each band candidate generation is a self-equi-join on the band hash —
     the LSH trick that keeps 100 TB dedup shuffle-bound instead of O(n²)."""
     sig = _minhash_sig(_shingles(spark, sf_dir)).cache()
-    bands = sig.select("doc_id", *[_band_col(j).alias(f"b{j}") for j in range(N_BANDS)])
-    cand = None
-    for j in range(N_BANDS):
-        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"b{j}").alias("bk"))
-        b = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"b{j}").alias("bk"))
-        pairs_j = a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        cand = pairs_j if cand is None else cand.unionByName(pairs_j)
-    cand = cand.distinct()
+    # long-form (doc, band_idx, band_key): ONE self-equi-join on
+    # (band, key) replaces four joins + union — a single shuffle exchange
+    # reused for both sides, with cross-band dupes removed by one distinct
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), _band_col(j).alias("bk")
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bk")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    cand = (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_HASH)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_HASH)])
     est = sum(

@@ -1,0 +1,224 @@
+"""Scale-pattern operators: the join/agg shapes that decide whether a plan
+survives 100 TB (SURVEY.md §2.6 + BASELINE north-star).
+
+Every op is a *pattern demonstration with a correctness oracle*: the salted
+join must return exactly what the naive join returns; grouping sets must
+equal their UNION ALL expansion — so the scale machinery is provably
+semantics-preserving, not just "probably fine".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.det import sql_dsum, dsum
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+SALT_BUCKETS = 8
+
+
+@op(
+    "join_skew_salted",
+    tags=("relational", "scale", "join"),
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join: the fact side's join key is salted into
+    SALT_BUCKETS sub-keys; the dimension side is exploded across all salts.
+    A key holding 30% of all rows then lands on 8 reducers instead of one.
+
+    The oracle is the PLAIN join — salting must be invisible in results.
+    (AQE's skewJoin does this adaptively; explicit salting is the portable
+    form that also works for aggregations and pre-AQE engines.)"""
+    li = lt(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        # deterministic salt from a stable row attribute, uniform across buckets
+        (F.abs(F.hash("l_orderkey", "l_linenumber")) % SALT_BUCKETS).alias("salt"),
+    )
+    orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_orders = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    joined = li.join(
+        salted_orders,
+        (li.l_orderkey == salted_orders.o_orderkey) & (li.salt == salted_orders.salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(dsum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    tags=("relational", "agg"),
+    oracle=f"""
+SELECT n.n_name AS nation,
+       r.r_name AS region,
+       COUNT(*) AS n_customers,
+       {sql_dsum("c.c_acctbal")} AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((n.n_name, r.r_name), (r.r_name), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((nation, region), (region), ()) — one shuffle computes
+    all three granularities (Catalyst expands + partial-aggregates map-side;
+    the hand-built alternative is three jobs and three scans)."""
+    c = lt(spark, sf_dir, "customer")
+    n = lt(spark, sf_dir, "nation")
+    r = lt(spark, sf_dir, "region")
+    c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    ).createOrReplaceTempView("_gs_src")
+    return spark.sql(
+        f"""
+        SELECT n_name AS nation, r_name AS region,
+               COUNT(*) AS n_customers,
+               SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) / 100.0
+                 AS total_acctbal
+        FROM _gs_src
+        GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
+        """
+    )
+
+
+@op(
+    "window_ntile_percentile",
+    tags=("relational", "window"),
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       NTILE(10)       OVER w AS decile,
+       PERCENT_RANK()  OVER w AS pct_rank,
+       CUME_DIST()     OVER w AS cume
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile/percent_rank/cume_dist) with ties broken
+    by the unique key so both engines rank identically. Scale note: a global
+    ORDER BY window is a single-partition sort — at 100 TB, partition by a
+    coarse key first or use approx quantiles; this op is the exact form."""
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return lt(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@op(
+    "agg_percentiles_exact",
+    tags=("relational", "agg"),
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5)  AS p50_qty,
+       quantile_cont(l_quantity, 0.9)  AS p90_qty,
+       quantile_cont(l_quantity, 0.99) AS p99_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`: same linear interpolation). The exact form is the
+    oracle-able baseline; at 100 TB swap in `approx_percentile` (t-digest,
+    mergeable, one pass) — same call shape, bounded error."""
+    return (
+        lt(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            F.expr("percentile(l_quantity, 0.99)").alias("p99_qty"),
+        )
+    )
+
+
+def _buyer_sets(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = lt(spark, sf_dir, "orders")
+    h1 = orders.filter(F.col("o_orderdate") < "1998-01-01").select("o_custkey")
+    h2 = orders.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey")
+    return h1, h2
+
+
+@op(
+    "set_intersect_all",
+    tags=("relational", "setop"),
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1998-01-01'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides) —
+    Spark `intersectAll` == SQL INTERSECT ALL."""
+    h1, h2 = _buyer_sets(spark, sf_dir)
+    return h1.intersectAll(h2)
+
+
+@op(
+    "set_except_all",
+    tags=("relational", "setop"),
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1998-01-01'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity = left minus right, floor 0)."""
+    h1, h2 = _buyer_sets(spark, sf_dir)
+    return h1.exceptAll(h2)
+
+
+@op(
+    "join_broadcast_dims",
+    tags=("relational", "scale", "join"),
+    oracle=f"""
+SELECT r.r_name AS region,
+       COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+       {sql_dsum("s.s_acctbal")} AS total_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dimension chain (region→nation): the fact
+    scan streams through two map-side hash joins with ZERO shuffles before
+    the final aggregation — at 100 TB the alternative (sort-merge on
+    nationkey) shuffles the whole fact table twice. tests assert the
+    physical plan contains BroadcastHashJoin and a single Exchange."""
+    s = lt(spark, sf_dir, "supplier")
+    n = F.broadcast(lt(spark, sf_dir, "nation"))
+    r = F.broadcast(lt(spark, sf_dir, "region"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            dsum("s_acctbal").alias("total_acctbal"),
+        )
+    )

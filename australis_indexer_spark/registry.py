@@ -97,6 +97,7 @@ def load_all() -> dict[str, OpSpec]:
         multimodal,
         project,
         relational,
+        scale,
         similarity,
         text_analysis,
         wire,

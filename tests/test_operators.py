@@ -87,3 +87,37 @@ def test_headline_plans_stay_jvm_side(spark, ops, opname):
     assert "EvalPython" not in plan
     assert "partial_" in plan  # map-side combine before the exchange
     assert "PushedFilters: [" in plan or "Filter" not in plan
+
+
+def test_broadcast_join_plan(spark, ops):
+    """join_broadcast_dims must plan BroadcastHashJoins (no shuffle before
+    the aggregation exchange)."""
+    df = ops["join_broadcast_dims"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_equals_plain(spark, ops):
+    """Salting must be invisible in results: salted == plain join+agg."""
+    from pyspark.sql import functions as F
+    from australis_indexer_spark.functions.det import dsum
+    from australis_indexer_spark.sources.batch import load_table
+
+    salted = {
+        r["o_orderpriority"]: (r["n_lines"], r["revenue"])
+        for r in ops["join_skew_salted"].fn(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    plain = {
+        r["o_orderpriority"]: (r["n_lines"], r["revenue"])
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(dsum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .collect()
+    }
+    assert salted == plain

@@ -102,6 +102,6 @@ def load_all() -> dict[str, OpSpec]:
         text_analysis,
         wire,
     )
-    from .streaming import pipeline  # noqa: F401
+    from .streaming import pipeline, stateful  # noqa: F401
 
     return REGISTRY

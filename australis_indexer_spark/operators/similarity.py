@@ -12,10 +12,14 @@ Two paths:
   bands/hyperplanes. (Hyperplanes are integer-valued and inlined in the
   oracle SQL so DuckDB reproduces the bucketing bit-for-bit.)
 
-An IVF variant (k-means coarse quantizer) follows the same plan shape —
-centroid assignment is a broadcast argmin join; omitted here because its
-training step is iterative (see streaming/plans docs), the serving-path
-operator is identical to the LSH bucket join.
+- **IVF (inverted-file) ANN** — K deterministic coarse centroids; every
+  vector is assigned to its nearest centroid (broadcast argmax join), a
+  query probes its `NPROBE` nearest cells only. The serving plan is an
+  equi-join on `cluster_id`, exactly like the LSH bucket join, but recall
+  degrades gracefully with NPROBE instead of bucket granularity. (A k-means
+  trainer would refine the centroids iteratively; the *serving-path*
+  operator below is the part that matters at 100 TB and is fully
+  oracle-checked with fixed centroids.)
 """
 
 from __future__ import annotations
@@ -151,6 +155,115 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         e.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_cols("qemb", "emb", "qnrm", "nrm").alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — deterministic coarse quantizer, fully oracle-checked
+
+N_CENTROIDS = 16
+NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm
+  FROM e WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, emb, nrm, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY (list_dot_product(emb, cemb) / (nrm * cnrm)) DESC, cid
+         ) AS r
+  FROM e CROSS JOIN c
+),
+members AS (SELECT vec_id, emb, nrm, cid FROM assign WHERE r = 1),
+q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qemb, qnrm, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY (list_dot_product(qemb, cemb) / (qnrm * cnrm)) DESC, cid
+         ) AS r
+  FROM q CROSS JOIN c
+),
+s AS (
+  SELECT query_id, m.vec_id AS neighbor_id,
+         (list_dot_product(qemb, m.emb) / (qnrm * m.nrm)) AS cosine
+  FROM (SELECT * FROM probes WHERE r <= {NPROBE}) p
+  JOIN members m USING (cid)
+  WHERE m.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM s
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@op("sim_ann_ivf", tags=("northstar", "similarity", "vector"), oracle=_IVF_ORACLE)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving path: assign corpus→nearest centroid (broadcast argmax,
+    one narrow pass), probe NPROBE cells per query, exact cosine within the
+    probed cells. At 100 TB: partition the corpus parquet by cluster_id at
+    ingest — a query batch then reads only NPROBE/K of the data (partition
+    pruning), and the probe join is an ordinary equi-join; centroids come
+    from a sampled k-means refresh job, swapped atomically."""
+    e = with_norm(
+        lt(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
+    c = F.broadcast(
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        ).select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        cosine_cols("emb", "cemb", "nrm", "cnrm").desc(), F.col("cid")
+    )
+    members = (
+        e.crossJoin(c)
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "emb", "nrm", "cid")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    w_probe = W.partitionBy("query_id").orderBy(
+        cosine_cols("qemb", "cemb", "qnrm", "cnrm").desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(c)
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= NPROBE)
+        .select("query_id", "qemb", "qnrm", "cid")
+    )
+    scored = (
+        members.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

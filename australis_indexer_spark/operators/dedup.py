@@ -81,13 +81,22 @@ shingles AS (
 )"""
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-shingles per doc (explode — narrow, no shuffle;
-    the DISTINCT is per-doc-local after a hash partition on doc_id)."""
+def _shingles(spark: SparkSession, sf_dir: str, *, distinct: bool = True) -> DataFrame:
+    """Word-3-shingles per doc (explode — narrow, no shuffle).
+
+    ``distinct=True`` (one shuffle) is required where shingles are COUNTED
+    (exact Jaccard); min-hashing is duplicate-insensitive (MIN over a
+    multiset == MIN over its set), so the signature path passes
+    ``distinct=False`` and skips that entire shuffle."""
     docs = lt(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     ).withColumn("n", F.size("toks"))
-    return (
+    # the documents table arrives as few parquet splits — repartition the
+    # (tiny) doc rows by doc_id BEFORE the explode so shingling/hashing runs
+    # on every core, and the downstream groupBy(doc_id) reuses this
+    # partitioning with no further exchange
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    out = (
         docs.filter(F.col("n") >= 3)
         .select(
             "doc_id",
@@ -103,8 +112,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at("toks", F.col("p") + 2),
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 N_MD5 = 4
@@ -185,7 +194,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each band candidate generation is a self-equi-join on the band hash —
     the LSH trick that keeps 100 TB dedup shuffle-bound instead of O(n²)."""
-    sig = _minhash_sig(_shingles(spark, sf_dir)).cache()
+    sig = _minhash_sig(_shingles(spark, sf_dir, distinct=False)).cache()
     # long-form (doc, band_idx, band_key): ONE self-equi-join on
     # (band, key) replaces four joins + union — a single shuffle exchange
     # reused for both sides, with cross-band dupes removed by one distinct

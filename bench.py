@@ -42,7 +42,8 @@ HEADLINE = (
     "dedup_minhash_lsh",             # shingle→minhash→band join near-dup
     "sim_topk_bruteforce",           # embedding cosine top-k
     "text_stats_quality",            # text quality scoring
-    "explode_transactions",          # nested explode/normalize path
+    "explode_tokens",                # array explode over real table data
+    "join_skew_salted",              # skew-resistant salted fact join
 )
 
 

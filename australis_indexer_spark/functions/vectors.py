@@ -30,7 +30,21 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(ca, ca))
 
 
-def with_norm(df: DataFrame, emb_col: str = "emb", out: str = "nrm") -> DataFrame:
+def with_norm(
+    df: DataFrame,
+    emb_col: str = "emb",
+    out: str = "nrm",
+    *,
+    spread: bool = True,
+) -> DataFrame:
+    """Attach the L2 norm; by default also `spread` the frame across all
+    cores first. Small embedding tables arrive as one parquet split, and
+    every downstream per-pair cosine would otherwise execute in that single
+    scan task — one narrow-side shuffle of the corpus buys full parallelism
+    (a no-op concern at 100 TB where the scan has thousands of splits)."""
+    if spread:
+        sc = df.sparkSession.sparkContext
+        df = df.repartition(sc.defaultParallelism)
     return df.withColumn(out, norm(emb_col))
 
 

@@ -146,3 +146,71 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches) → typed feature rows. Rows-only check (byte-level UDF); the
     deterministic fake decoder stands in for stubbed media codecs."""
     return decode_media(media_table(spark, sf_dir))
+
+
+@op(
+    "multimodal_resize_plan",
+    tags=("northstar", "multimodal"),
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS width,
+         CAST(64 + (doc_id % 9) * 32 AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(FLOOR(width  * LEAST(224.0 / width, 224.0 / height)) AS INTEGER) AS out_w,
+       CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height)) AS INTEGER) AS out_h
+FROM m
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: aspect-preserving fit into 224x224 computed purely
+    from metadata — the filter/plan step that runs BEFORE any pixel work, so
+    at 100 TB the expensive decode+resample (`decode_media` seam) only sees
+    rows that actually need work. The arithmetic is the oracle-checked part;
+    the pixel resample itself sits behind the stubbed decoder."""
+    m = media_table(spark, sf_dir)
+    scale = F.least(
+        F.lit(224.0) / F.col("meta.width"), F.lit(224.0) / F.col("meta.height")
+    )
+    return m.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.floor(F.col("meta.width") * scale).cast("int").alias("out_w"),
+        F.floor(F.col("meta.height") * scale).cast("int").alias("out_h"),
+    )
+
+
+@op(
+    "multimodal_frame_sample",
+    tags=("northstar", "multimodal"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, (5 + doc_id % 56) AS duration_s
+  FROM documents
+  WHERE source NOT IN ('src0', 'src1')
+)
+SELECT doc_id, duration_s,
+       unnest(generate_series(0, 7)) AS frame_idx,
+       (unnest(generate_series(0, 7)) * duration_s) / 8.0 AS sample_ts_s
+FROM v
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows: 8 evenly-spaced sample timestamps per
+    clip (duration derived deterministically from metadata), exploded to one
+    row per planned frame. The explode is narrow; the per-frame decode then
+    fans out over mapInPandas exactly like `decode_media`. Filters on `mime`
+    prune non-video rows at the scan."""
+    v = media_table(spark, sf_dir).filter(
+        F.col("meta.mime") == "video/mp4"
+    ).select("doc_id", (5 + F.col("doc_id") % 56).alias("duration_s"))
+    return v.select(
+        "doc_id",
+        "duration_s",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
+    ).withColumn(
+        "sample_ts_s", (F.col("frame_idx") * F.col("duration_s")) / F.lit(8.0)
+    )

@@ -247,8 +247,13 @@ def blocks_df(spark: SparkSession, n_blocks: int = 32, **kw: Any) -> DataFrame:
     key = (id(spark), n_blocks, tuple(sorted(kw.items())))
     df = _DF_CACHE.get(key)
     if df is None:
-        df = spark.createDataFrame(
-            gen_blocks(n_blocks, **kw), schema=STREAMER_SCHEMA
-        ).cache()
+        # a handful of partitions, not defaultParallelism: fixture frames are
+        # tens of rows, and every extra partition costs a Python-worker spinup
+        # in each downstream pandas-UDF stage
+        df = (
+            spark.createDataFrame(gen_blocks(n_blocks, **kw), schema=STREAMER_SCHEMA)
+            .coalesce(max(2, min(8, n_blocks // 8)))
+            .cache()
+        )
         _DF_CACHE[key] = df
     return df

@@ -159,3 +159,71 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_bpe_est"),
         F.length(F.regexp_replace("text", "[^a-z]", "")).cast("long").alias("n_alpha_chars"),
     )
+
+
+_BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+@op(
+    "text_regex_tokenize",
+    tags=("northstar", "text"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+)
+def text_regex_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex tokenization (GPT-2-pattern shape: letter runs, digit
+    runs, punctuation runs, each with optional leading space) — the real
+    pre-tokenizer pass, vs the chars/4 budget estimate in text_token_count.
+    Pure regexp_extract_all, JVM-side, narrow."""
+    return lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(_toks()).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@op(
+    "text_top_terms",
+    tags=("northstar", "text"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+SELECT doc_id, token, tf, df FROM (
+  SELECT doc_id, token, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, token) AS r
+  FROM tf JOIN df USING (token)
+) WHERE r <= 3
+""",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document: rank by term frequency
+    descending, document frequency ascending (the TF-IDF ordering expressed
+    on exact integers — no float idf in the output, so the oracle is
+    ulp-proof). Scale shape: one tokenize explode, one (doc,token) agg, one
+    broadcast-able token->df join, one per-doc ranking window."""
+    tok = lt(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_toks()).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token")
+    )
+    return (
+        tf.join(df, "token")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select("doc_id", "token", "tf", "df")
+    )

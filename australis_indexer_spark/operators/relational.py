@@ -605,3 +605,41 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
     )
+
+
+@op(
+    "window_time_sliding_events",
+    tags=("relational", "window", "time"),
+    oracle=f"""
+WITH starts AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type, value FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE AS TIMESTAMP)
+         AS win_start, event_type, value
+  FROM events
+)
+SELECT win_start, event_type,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM starts
+GROUP BY 1, 2
+""",
+)
+def window_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide — every event lands in
+    exactly two windows (Spark's `window(ts, '1 hour', '30 minutes')`
+    replicates rows before the aggregation; the oracle builds the same two
+    window-starts explicitly). Same one-shuffle plan as the tumbling form,
+    with a 2x replication factor paid map-side."""
+    ev = lt(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

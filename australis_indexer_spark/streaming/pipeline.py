@@ -278,3 +278,94 @@ def health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, n_columns int, readable boolean"
     ).orderBy("table_name")
+
+
+@op("stream_stream_join_outcomes", tags=("parity", "streaming", "join"))
+def stream_stream_join_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: the tx→outcome correlation (the reference's one
+    non-trivial cross-record semantic, borealis-indexer/src/main.rs:121-125)
+    joined LIVE — a receipts stream against an execution-outcomes stream on
+    receipt_id, with event-time watermarks bounding the join state (outcomes
+    arrive ≤30s after their receipt in fixture time; state for older
+    receipts is evicted). At 100 TB this is the canonical enrichment join:
+    state is keyed by receipt_id, sharded with the shuffle, bounded by the
+    watermark horizon instead of growing forever."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="aispark_ssj_")
+    src = os.path.join(base, "src")
+    write_stream_source(spark, src)
+
+    def block_stream() -> DataFrame:
+        return read_block_stream(spark, src).withColumn(
+            "event_time",
+            F.timestamp_micros(
+                (F.col("block.header.timestamp") / F.lit(1000)).cast("long")
+            ),
+        )
+
+    receipts = (
+        block_stream()
+        .select(
+            F.col("block.header.height").alias("rcpt_height"),
+            F.col("event_time").alias("rcpt_time"),
+            F.explode("shards").alias("shard"),
+        )
+        .select(
+            "rcpt_height",
+            "rcpt_time",
+            F.explode("shard.chunk.receipts").alias("r"),
+        )
+        .select(
+            "rcpt_height",
+            "rcpt_time",
+            F.col("r.receipt_id").alias("receipt_id"),
+            F.col("r.receiver_id").alias("receiver_id"),
+        )
+        .withWatermark("rcpt_time", "1 minute")
+    )
+    outcomes = (
+        block_stream()
+        .select(
+            F.col("block.header.height").alias("out_height"),
+            F.col("event_time").alias("out_time"),
+            F.explode("shards").alias("shard"),
+        )
+        .select(
+            "out_height",
+            "out_time",
+            F.explode("shard.receipt_execution_outcomes").alias("o"),
+        )
+        .select(
+            "out_height",
+            "out_time",
+            F.col("o.execution_outcome.id").alias("receipt_id"),
+            F.col("o.execution_outcome.outcome.gas_burnt").alias("gas_burnt"),
+        )
+        .withWatermark("out_time", "1 minute")
+    )
+    joined = receipts.join(
+        outcomes,
+        (receipts.receipt_id == outcomes.receipt_id)
+        & (outcomes.out_time >= receipts.rcpt_time)
+        & (outcomes.out_time <= receipts.rcpt_time + F.expr("INTERVAL 30 SECONDS")),
+        "inner",
+    ).select(
+        receipts.receipt_id,
+        "rcpt_height",
+        "out_height",
+        "receiver_id",
+        "gas_burnt",
+        (F.col("out_height") - F.col("rcpt_height")).alias("lag_blocks"),
+    )
+    sink_tbl = f"ssj_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_tbl)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_tbl)

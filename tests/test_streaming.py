@@ -133,3 +133,18 @@ def test_stateful_running_totals_match_batch(spark, ops):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, ops):
+    """Stream-stream tx→outcome join == the batch as-of join on the same
+    fixture: every execution outcome pairs with its receipt exactly once,
+    one block later."""
+    rows = ops["stream_stream_join_outcomes"].fn(spark, "").collect()
+    assert rows
+    assert all(r["lag_blocks"] == 1 for r in rows)
+    # batch truth: count of outcomes that have a matching receipt
+    batch_receipts = ops["explode_receipts"].fn(spark, "").select("receipt_id")
+    batch_outcomes = ops["explode_outcomes"].fn(spark, "").select("receipt_id")
+    want = batch_receipts.join(batch_outcomes, "receipt_id").count()
+    assert len(rows) == want
+    assert len({r["receipt_id"] for r in rows}) == len(rows)

@@ -73,7 +73,7 @@ def agg_hash_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join"),
     oracle=f"""
 SELECT r_name AS region_name, n_name AS nation_name,
-       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_orders,
        {sql_dsum('o_totalprice')} AS revenue
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -97,7 +97,10 @@ def join_equi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            # each order row joins exactly one customer, so COUNT(*) counts
+            # orders without the Expand + second exchange a COUNT(DISTINCT pk)
+            # would plan (countDistinct is demonstrated in agg_distinct_*)
+            F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("revenue"),
         )
     )

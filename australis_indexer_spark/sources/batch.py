@@ -42,11 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
         )
+    # NOTE on layout: these tables are single-row-group parquet, so every
+    # scan is one task (row groups are Spark's split unit — same constraint
+    # as gzip). A blanket post-scan repartition does NOT help: its map side
+    # still runs inside the single scan task, so shuffle-bound ops just pay
+    # an extra full-row shuffle (measured regression). The redistribution is
+    # instead applied explicitly ONLY where downstream per-row CPU dominates
+    # the extra exchange (shingle hashing in operators/dedup.py, cosine
+    # scoring in functions/vectors.py). At 100 TB the writer controls row
+    # groups (~128 MB) and none of this applies.
     return df
 
 

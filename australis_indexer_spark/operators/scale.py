@@ -16,7 +16,8 @@ from ..functions.det import sql_dsum, dsum
 from ..registry import op
 from ..sources.batch import load_table as lt
 
-SALT_BUCKETS = 8
+SALT_BUCKETS = 4  # enough to break one hot key across reducers; replication
+# of the dim side scales linearly with this, so keep it minimal
 
 
 @op(
@@ -222,3 +223,34 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("s_acctbal").alias("total_acctbal"),
         )
     )
+
+
+@op("agg_hll_sketch_users", tags=("relational", "scale", "agg", "sketch"))
+def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+    Spark): per-event-type user sketches, merged again into a grand total —
+    the two-level pattern that makes 100 TB distinct counts a pair of small
+    shuffles (sketch bytes, not keys) and lets pre-aggregated sketches roll
+    up across days/partitions without rescanning. Rows-only check here
+    (DuckDB's approx algorithm differs); tests bound the estimate against
+    the exact count."""
+    ev = lt(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type.cache()
+    total = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.lit("__total__").alias("event_type"),
+    ).select(
+        "event_type",
+        F.col("est").cast("long").alias("estimated_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    by_type = per_type.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("estimated_users"),
+        "exact_users",
+    )
+    return by_type.unionByName(total)

@@ -121,3 +121,15 @@ def test_salted_join_equals_plain(spark, ops):
         .collect()
     }
     assert salted == plain
+
+
+def test_hll_sketch_estimates_bounded(spark, ops):
+    """HLL estimates must sit within 5% of exact distinct counts, and the
+    merged total must cover the union."""
+    rows = {r["event_type"]: r for r in ops["agg_hll_sketch_users"].fn(spark, SF_SMOKE).collect()}
+    total = rows.pop("__total__")
+    assert rows
+    for r in rows.values():
+        assert abs(r["estimated_users"] - r["exact_users"]) <= max(2, 0.05 * r["exact_users"])
+    max_exact = max(r["exact_users"] for r in rows.values())
+    assert total["estimated_users"] >= 0.9 * max_exact

@@ -1,0 +1,71 @@
+"""Layout-plan tests: the 100 TB physical design is executable and the
+bucketed as-of join it promises actually plans shuffle-free."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from australis_indexer_spark.plans.layout import LAYOUTS, TableLayout, apply_layout
+from australis_indexer_spark.schemas import NORMALIZED_TABLES
+
+
+def test_every_normalized_table_has_a_layout():
+    for t in NORMALIZED_TABLES:
+        assert t in LAYOUTS or t in ("shards",), f"no layout for {t}"
+
+
+def test_asof_join_sides_share_bucketing():
+    r, o = LAYOUTS["receipts"], LAYOUTS["execution_outcomes"]
+    assert r.bucket_by == o.bucket_by == ("receipt_id",)
+    assert r.n_buckets == o.n_buckets
+
+
+def test_partitioned_write_prunes(spark, ops):
+    """Writing through a layout yields partition-pruned scans."""
+    df = ops["explode_outcomes"].fn(spark, "").withColumn(
+        "height_bucket", (F.col("block_height") / 16).cast("long") * 16
+    )
+    lay = TableLayout("t", ("height_bucket",))
+    out = tempfile.mkdtemp(prefix="aispark_layout_")
+    apply_layout(df, lay, out)
+    back = spark.read.parquet(out)
+    one_bucket = back.filter(F.col("height_bucket") == 63_596 // 16 * 16)
+    plan = one_bucket._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert one_bucket.count() > 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, ops):
+    """receipts ⋈ outcomes on receipt_id over bucketed tables must plan with
+    NO Exchange on either join side — the co-located as-of join."""
+    import shutil
+
+    for t in ("t_receipts", "t_outcomes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(f"{loc.removeprefix('file:')}/{t}", ignore_errors=True)
+    r = ops["explode_receipts"].fn(spark, "")
+    o = ops["explode_outcomes"].fn(spark, "")
+    small = TableLayout("x", (), bucket_by=("receipt_id",), sort_by=("receipt_id",), n_buckets=4)
+    apply_layout(r, small, "t_receipts", as_table=True)
+    apply_layout(o, small, "t_outcomes", as_table=True)
+    tr = spark.table("t_receipts")
+    to = spark.table("t_outcomes").select(
+        "receipt_id", F.col("block_height").alias("outcome_height"), "gas_burnt"
+    )
+    # disable broadcast so the join must pick the shuffle family — bucketing
+    # then has to eliminate the exchanges (at 100 TB both sides are far past
+    # any broadcast threshold, so THIS is the plan that matters)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = tr.join(to, "receipt_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

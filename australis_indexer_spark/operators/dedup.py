@@ -431,3 +431,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation — the composed LLM-data pipeline
+
+TOKEN_BUDGET = 200_000
+
+_CURATE_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_sig()},
+{_sql_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.b{j} = b.b{j}" for j in range(N_BANDS))})
+),
+near_pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE {_SQL_EST} >= 0.5
+),
+quality AS (
+  SELECT doc_id, text, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+  FROM documents
+  WHERE n_chars >= 50
+    AND (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) >= 0.3
+),
+exact_kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY sha256(text)
+),
+near_kept AS (
+  SELECT doc_id FROM exact_kept
+  WHERE doc_id NOT IN (SELECT doc_b FROM near_pairs)
+),
+budgeted AS (
+  SELECT q.doc_id, q.n_tokens,
+         SUM(q.n_tokens) OVER (ORDER BY q.doc_id) AS cum_tokens
+  FROM quality q JOIN near_kept USING (doc_id)
+)
+SELECT doc_id, n_tokens, cum_tokens
+FROM budgeted WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+@op("pipeline_corpus_curation", tags=("northstar", "dedup", "pipeline"), oracle=_CURATE_ORACLE)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in one plan:
+
+    1. quality gate (length + lexical-diversity thresholds — narrow filter,
+       pushed to the scan);
+    2. exact dedup (sha256 hash-groupBy, survivor = min doc_id);
+    3. near-dup removal (MinHash-LSH pairs; every doc_b of a pair ≥0.5 is
+       dropped, keeping the lower id — one anti-join);
+    4. token budget (running-sum window by doc_id, cut at TOKEN_BUDGET).
+
+    Each stage is the registered standalone op; composed they stay ONE
+    Catalyst plan — filters/pruning flow through, nothing materializes
+    between stages. At 100 TB: stage 1 is map-only, stages 2-3 are the
+    LSH equi-join machinery, stage 4's global window runs on the (tiny)
+    surviving id set."""
+    docs = lt(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    quality = docs.filter(F.col("n_chars") >= 50).withColumn(
+        "n_tokens", n_tokens
+    ).withColumn("n_uniq", n_uniq).filter(
+        (F.col("n_uniq") / F.col("n_tokens")) >= 0.3
+    )
+    exact_kept = quality.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    near_losers = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    near_kept = exact_kept.join(near_losers, "doc_id", "left_anti")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    budgeted = (
+        quality.select("doc_id", "n_tokens")
+        .join(near_kept.select("doc_id"), "doc_id")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    return budgeted.filter(F.col("cum_tokens") <= TOKEN_BUDGET)

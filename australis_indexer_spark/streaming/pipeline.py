@@ -369,3 +369,96 @@ def stream_stream_join_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink_tbl)
+
+
+@op("sink_retention", tags=("parity", "sink", "streaming"))
+def sink_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 retention-by-limits + DiscardPolicy::Old (consumer main.rs:576-579):
+    the durable log keeps only the newest N height-buckets; older bucket
+    directories are dropped wholesale — a partition-metadata operation (no
+    row rewrite), which is why the sink partitions by height_bucket in the
+    first place. Emits the per-bucket state after enforcement."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="aispark_retain_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    write_stream_source(spark, src)
+    # bucket every 16 blocks so the 48-block fixture yields 3 buckets
+    env = to_envelope_stream(read_block_stream(spark, src))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.orderBy("sequence_id")
+            .withColumn("height_bucket", (F.col("sequence_id") / 16).cast("long") * 16)
+            .write.mode("append")
+            .partitionBy("height_bucket")
+            .parquet(sink_d)
+        )
+
+    q = (
+        env.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    keep_newest = 2
+    buckets = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(sink_d)
+        if d.startswith("height_bucket=")
+    )
+    for old in buckets[:-keep_newest]:  # discard-old, limits-based
+        shutil.rmtree(os.path.join(sink_d, f"height_bucket={old}"))
+
+    kept = spark.read.parquet(sink_d)
+    return (
+        kept.groupBy("height_bucket")
+        .agg(
+            F.count("*").alias("n_messages"),
+            F.min("sequence_id").alias("first_height"),
+            F.max("sequence_id").alias("last_height"),
+        )
+    )
+
+
+@op("sink_compaction", tags=("parity", "sink", "streaming"))
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-log maintenance: streaming appends leave one small file per
+    micro-batch per bucket; compaction rewrites each bucket into one file
+    sorted by sequence_id (read-side ordering becomes free). At 100 TB this
+    runs per-bucket as closed buckets stop receiving appends — the Spark
+    analog of JetStream's file-store compaction. Emits files-before/after
+    per bucket."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="aispark_compact_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    write_stream_source(spark, src)
+    run_pipeline(spark, src, sink_d, ckpt)
+
+    def parquet_files(d: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = parquet_files(sink_d)
+    compacted = os.path.join(base, "compacted")
+    (
+        spark.read.parquet(sink_d)
+        .repartition(1, "height_bucket")
+        .sortWithinPartitions("sequence_id")
+        .write.mode("overwrite")
+        .partitionBy("height_bucket")
+        .parquet(compacted)
+    )
+    after = parquet_files(compacted)
+    out = spark.read.parquet(compacted)
+    return out.groupBy("height_bucket").agg(
+        F.count("*").alias("n_messages"),
+        F.lit(before).alias("files_before"),
+        F.lit(after).alias("files_after"),
+    )

@@ -254,3 +254,21 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
     )
     return by_type.unionByName(total)
+
+
+@op("agg_percentiles_approx", tags=("relational", "scale", "agg", "sketch"))
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable one-pass sketch) side by side with the
+    exact percentile — the 100 TB form next to its ground truth, so the
+    error is visible in the output itself. Rows-only (sketch internals are
+    engine-specific); tests bound |approx − exact|."""
+    return (
+        lt(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_approx"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_approx"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
+        )
+    )

@@ -133,3 +133,45 @@ def test_hll_sketch_estimates_bounded(spark, ops):
         assert abs(r["estimated_users"] - r["exact_users"]) <= max(2, 0.05 * r["exact_users"])
     max_exact = max(r["exact_users"] for r in rows.values())
     assert total["estimated_users"] >= 0.9 * max_exact
+
+
+def test_approx_percentiles_bounded(spark, ops):
+    """approx_percentile must land within 2% (relative) of the exact value."""
+    for r in ops["agg_percentiles_approx"].fn(spark, SF_SMOKE).collect():
+        for p in ("p50", "p99"):
+            exact, approx = r[f"{p}_exact"], r[f"{p}_approx"]
+            assert abs(approx - exact) <= 0.02 * abs(exact) + 1e-9
+
+
+def test_minhash_estimates_true_jaccard(spark):
+    """Property: on planted near-duplicates, MinHash's estimated Jaccard
+    tracks the exact 3-shingle Jaccard within the sketch's resolution."""
+    import pyspark.sql.functions as F
+    from australis_indexer_spark.operators import dedup
+
+    base = "word%d " * 40
+    docs = []
+    for i in range(6):
+        text = (base % tuple(range(40))).strip()
+        if i >= 3:  # mutate a tail fraction → high-but-not-1 similarity
+            text = text.replace(f"word{30 + i}", f"CHANGED{i}")
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="aispark_prop_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.dedup_minhash_lsh(spark, d).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard(spark, d).collect()
+    }
+    assert est, "planted dups not detected"
+    for pair, e in est.items():
+        if pair in exact:
+            # 16 hashes → standard error ~ sqrt(j(1-j)/16) ≈ 0.12; allow 3σ
+            assert abs(e - exact[pair]) <= 0.4

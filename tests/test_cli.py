@@ -1,0 +1,95 @@
+"""CLI parity surface (cli.py) — the reference's `init`/`check`/`run`
+verbs (borealis-indexer/src/main.rs:1240-1318) plus `consume` and `query`.
+
+Each verb is driven through `cli.main(argv)` in-process (same SparkSession,
+no JVM-per-test) and its JSON-lines stdout is parsed — the same way an
+operator would pipe it to jq."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from australis_indexer_spark.cli import main
+
+from tests.conftest import SF_SMOKE
+
+
+def run_cli(capsys, argv: list[str]) -> tuple[int, list[dict]]:
+    rc = main(argv)
+    out = capsys.readouterr().out
+    return rc, [json.loads(line) for line in out.splitlines() if line.strip()]
+
+
+def test_check_reports_health(spark, capsys):
+    rc, events = run_cli(capsys, ["check"])
+    assert rc == 0
+    (h,) = [e for e in events if e["event"] == "health"]
+    assert h["ok"] is True
+    assert h["probe_rtt_ms"] > 0
+    assert h["master"].startswith("local[")
+
+
+def test_init_registers_all_tables(spark, capsys):
+    rc, events = run_cli(capsys, ["init", "--sf-dir", SF_SMOKE])
+    assert rc == 0
+    tables = {e["table"]: e["n_rows"] for e in events if e["event"] == "table_registered"}
+    assert set(tables) >= {"region", "nation", "orders", "lineitem", "events", "documents"}
+    assert all(n > 0 for n in tables.values())
+    assert events[-1]["event"] == "init_done"
+
+
+def test_run_then_consume_roundtrip(spark, capsys, tmp_path):
+    wd = str(tmp_path / "pipe")
+    rc, events = run_cli(capsys, ["run", "--workdir", wd, "--n-blocks", "12"])
+    assert rc == 0
+    done = events[-1]
+    assert done["event"] == "run_done" and done["rows_in_sink"] == 12
+
+    # FromInterruption (default): rerun resumes from the checkpoint — the
+    # backlog is already drained, so no new rows land (T3 semantics)
+    rc, events = run_cli(capsys, ["run", "--workdir", wd, "--n-blocks", "12"])
+    assert rc == 0 and events[-1]["rows_in_sink"] == 12
+
+    rc, events = run_cli(capsys, ["consume", "--workdir", wd, "-v", "1", "--limit", "5"])
+    assert rc == 0
+    msgs = [e for e in events if e["event"] == "message"]
+    assert [m["sequence_id"] for m in msgs] == sorted(m["sequence_id"] for m in msgs)
+    assert all(m["payload_len"] > 0 for m in msgs)
+
+
+def test_run_block_height_replay(spark, capsys, tmp_path):
+    wd = str(tmp_path / "pipe2")
+    # fixture heights start at 63_596 (the example block, main.rs:130):
+    # replay from 63_602 of 12 blocks keeps the last 6
+    rc, events = run_cli(
+        capsys,
+        ["run", "--workdir", wd, "--sync-mode", "BlockHeight",
+         "--block-height", "63602", "--n-blocks", "12"],
+    )
+    assert rc == 0
+    done = events[-1]
+    assert done["from_height"] == 63602 and done["rows_in_sink"] == 6
+
+
+def test_run_block_height_requires_height(spark, capsys, tmp_path):
+    rc, events = run_cli(
+        capsys, ["run", "--workdir", str(tmp_path / "x"), "--sync-mode", "BlockHeight"]
+    )
+    assert rc == 2 and events[-1]["event"] == "error"
+
+
+def test_query_runs_registry_op(spark, capsys):
+    rc, events = run_cli(
+        capsys, ["query", "--name", "sort_topk_orders", "--sf-dir", SF_SMOKE, "--limit", "3"]
+    )
+    assert rc == 0
+    assert events[-1]["event"] == "query_done" and events[-1]["rows"] == 3
+
+
+def test_query_unknown_op_lists_available(spark, capsys):
+    rc, events = run_cli(capsys, ["query", "--name", "nope"])
+    assert rc == 2
+    assert "dedup_exact" in events[-1]["available"]

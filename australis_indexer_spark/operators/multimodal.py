@@ -140,11 +140,39 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("multimodal_decode_features", tags=("northstar", "multimodal"))
+# The fake decoder's features are pure byte arithmetic, so DuckDB can
+# reproduce them bit-for-bit: the corpus is ASCII (asserted by the
+# octet_length = length equality below — a non-ASCII doc would shift the
+# byte sum and hash-mismatch), ord(char) == byte value, and mean_byte is a
+# single IEEE division of exact integers in both engines.
+_DECODE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+  FROM documents
+  WHERE octet_length(text::BLOB) = length(text)
+),
+s AS (
+  SELECT doc_id, CAST(SUM(ord(substr(text, p, 1))) AS BIGINT) AS byte_sum
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p FROM b)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_bytes,
+       CASE WHEN b.n_bytes = 0 THEN 0.0
+            ELSE CAST(COALESCE(s.byte_sum, 0) AS DOUBLE) / b.n_bytes END AS mean_byte,
+       lower(hex(substring(b.text, 1, 8)::BLOB)) AS head_hex,
+       'stub-deterministic' AS decoder
+FROM b LEFT JOIN s USING (doc_id)
+"""
+
+
+@op("multimodal_decode_features", tags=("northstar", "multimodal"), oracle=_DECODE_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode/feature-extract path: binary payloads → mapInPandas (Arrow
-    batches) → typed feature rows. Rows-only check (byte-level UDF); the
-    deterministic fake decoder stands in for stubbed media codecs."""
+    batches) → typed feature rows. The deterministic fake decoder stands in
+    for the stubbed media codecs (decode_media(real=True) is the PIL/librosa
+    seam), but its byte-level features are themselves oracle-checked — the
+    hash match proves the Arrow plumbing delivers every payload byte
+    unmangled through encode → mapInPandas → typed rows."""
     return decode_media(media_table(spark, sf_dir))
 
 

@@ -265,15 +265,39 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "agg_approx_distinct_users",
     tags=("relational", "aggregate", "approx"),
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    # The sketch estimate itself is engine-specific, so the op emits the
+    # *oracle-reproducible* facts: the exact count, and whether the sketch
+    # landed within tolerance. DuckDB asserts the exact count and TRUE —
+    # a hash match therefore proves Spark's HLL++ estimate was in-bound.
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+""",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=1%) — the 100 TB path for
-    cardinality where exact distinct would shuffle every key."""
+    cardinality where exact distinct would shuffle every key. Output pairs
+    the exact count with an in-tolerance flag for the estimate (both
+    deterministic: fixed data, fixed HLL hash), so the oracle hash-checks
+    the approximation instead of skipping it."""
     return (
         lt(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 

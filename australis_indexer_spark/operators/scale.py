@@ -225,50 +225,101 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_hll_sketch_users", tags=("relational", "scale", "agg", "sketch"))
+_HLL_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_5pct
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '__total__' AS event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_5pct
+FROM events
+"""
+
+
+@op("agg_hll_sketch_users", tags=("relational", "scale", "agg", "sketch"), oracle=_HLL_ORACLE)
 def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL, built into
     Spark): per-event-type user sketches, merged again into a grand total —
     the two-level pattern that makes 100 TB distinct counts a pair of small
     shuffles (sketch bytes, not keys) and lets pre-aggregated sketches roll
-    up across days/partitions without rescanning. Rows-only check here
-    (DuckDB's approx algorithm differs); tests bound the estimate against
-    the exact count."""
+    up across days/partitions without rescanning.
+
+    Sketch bytes are engine-specific, so the output carries the exact count
+    plus an in-tolerance flag for each estimate (per-type AND merged-union);
+    the oracle asserts exact counts and TRUE — the hash match proves both
+    sketch estimates and the union-merge landed within 5%."""
     ev = lt(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     )
     per_type.cache()
-    total = per_type.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
-        F.lit("__total__").alias("event_type"),
-    ).select(
-        "event_type",
-        F.col("est").cast("long").alias("estimated_users"),
-        F.lit(None).cast("long").alias("exact_users"),
+    within = lambda est, exact: F.abs(est - exact) <= 0.05 * exact  # noqa: E731
+    total_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    total = (
+        per_type.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .crossJoin(total_exact)  # both sides are literally one row
+        .select(
+            F.lit("__total__").alias("event_type"),
+            "exact_users",
+            within(F.col("est"), F.col("exact_users")).alias("est_within_5pct"),
+        )
     )
     by_type = per_type.select(
         "event_type",
-        F.expr("hll_sketch_estimate(sk)").cast("long").alias("estimated_users"),
         "exact_users",
+        within(F.expr("hll_sketch_estimate(sk)"), F.col("exact_users")).alias(
+            "est_within_5pct"
+        ),
     )
     return by_type.unionByName(total)
 
 
-@op("agg_percentiles_approx", tags=("relational", "scale", "agg", "sketch"))
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5)  AS p50_exact,
+       quantile_cont(l_quantity, 0.99) AS p99_exact,
+       TRUE AS p50_within_1pct,
+       TRUE AS p99_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@op(
+    "agg_percentiles_approx",
+    tags=("relational", "scale", "agg", "sketch"),
+    oracle=_PCT_ORACLE,
+)
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (mergeable one-pass sketch) side by side with the
-    exact percentile — the 100 TB form next to its ground truth, so the
-    error is visible in the output itself. Rows-only (sketch internals are
-    engine-specific); tests bound |approx − exact|."""
-    return (
+    """approx_percentile (mergeable one-pass KLL-style sketch) next to the
+    exact percentile — the 100 TB form beside its ground truth. Output is
+    the exact value plus an error-bound flag per quantile (1% of exact,
+    floored at one unit for tiny groups); the oracle recomputes the exact
+    quantiles and asserts TRUE, so a hash match proves the sketch error
+    bound held — strictly stronger than a rows-only check."""
+    tol = lambda exact: F.greatest(0.01 * exact, F.lit(1.0))  # noqa: E731
+    df = (
         lt(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_approx"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_approx"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
+            F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("p50_approx"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
+            F.expr("approx_percentile(l_quantity, 0.99, 1000)").alias("p99_approx"),
+            F.expr("percentile(l_quantity, 0.99)").alias("p99_exact"),
         )
+    )
+    return df.select(
+        "l_returnflag",
+        "p50_exact",
+        "p99_exact",
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= tol(F.col("p50_exact"))).alias(
+            "p50_within_1pct"
+        ),
+        (F.abs(F.col("p99_approx") - F.col("p99_exact")) <= tol(F.col("p99_exact"))).alias(
+            "p99_within_1pct"
+        ),
     )

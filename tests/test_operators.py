@@ -124,23 +124,25 @@ def test_salted_join_equals_plain(spark, ops):
 
 
 def test_hll_sketch_estimates_bounded(spark, ops):
-    """HLL estimates must sit within 5% of exact distinct counts, and the
-    merged total must cover the union."""
+    """Every HLL estimate (per-type and merged total) must sit within 5% of
+    its exact distinct count — the op emits that as est_within_5pct, and the
+    oracle hash-checks it; here we assert it directly."""
     rows = {r["event_type"]: r for r in ops["agg_hll_sketch_users"].fn(spark, SF_SMOKE).collect()}
     total = rows.pop("__total__")
     assert rows
-    for r in rows.values():
-        assert abs(r["estimated_users"] - r["exact_users"]) <= max(2, 0.05 * r["exact_users"])
-    max_exact = max(r["exact_users"] for r in rows.values())
-    assert total["estimated_users"] >= 0.9 * max_exact
+    assert all(r["est_within_5pct"] for r in rows.values())
+    assert total["est_within_5pct"]
+    assert total["exact_users"] >= max(r["exact_users"] for r in rows.values())
 
 
 def test_approx_percentiles_bounded(spark, ops):
-    """approx_percentile must land within 2% (relative) of the exact value."""
-    for r in ops["agg_percentiles_approx"].fn(spark, SF_SMOKE).collect():
-        for p in ("p50", "p99"):
-            exact, approx = r[f"{p}_exact"], r[f"{p}_approx"]
-            assert abs(approx - exact) <= 0.02 * abs(exact) + 1e-9
+    """approx_percentile must land within 1% of the exact value (the flag
+    the op emits and the oracle hash-checks)."""
+    rows = ops["agg_percentiles_approx"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_within_1pct"] and r["p99_within_1pct"]
+        assert r["p50_exact"] <= r["p99_exact"]
 
 
 def test_minhash_estimates_true_jaccard(spark):

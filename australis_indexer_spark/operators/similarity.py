@@ -386,3 +386,78 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory-scale path for ANN serving
+#
+# At 100 TB of float32 embeddings, the serving index is memory-bound long
+# before it is compute-bound: symmetric per-vector int8 quantization cuts
+# the corpus 4x (and the shuffle/broadcast bytes of every bucket join above
+# with it) at a bounded reconstruction error of step/2 = maxabs/254 per
+# element. The transform is narrow (map-only, no shuffle): at scale it is a
+# one-pass rewrite of the corpus that every downstream bucket/probe join
+# then reads. Pure deterministic arithmetic -> fully oracle-checked,
+# including the error bound itself.
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM e
+),
+q AS (
+  SELECT vec_id, maxabs,
+         CAST(len(v) AS INTEGER) AS n_dims,
+         list_transform(v, x -> CAST(round(x / maxabs * 127) AS BIGINT)) AS qv,
+         list_max(list_transform(
+           v, x -> abs(x - round(x / maxabs * 127) * maxabs / 127))) AS max_abs_err
+  FROM m WHERE maxabs > 0
+)
+SELECT vec_id, n_dims, maxabs,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       max_abs_err,
+       (max_abs_err <= maxabs / 254 + 1e-12) AS within_half_step
+FROM q
+"""
+
+
+@op("embedding_quantize_int8", tags=("northstar", "similarity", "vector", "scale"), oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(v_i/maxabs*127),
+    reconstruction q_i*maxabs/127. Emits integer-exact digests of the
+    quantized vector (sum, L1) plus the measured max reconstruction error
+    and its half-step bound check — every column reproduced bit-for-bit by
+    the oracle, so the hash match proves the quantizer's error contract.
+
+    Every per-element expression is order-free (elementwise + max/integer
+    sums), so the check is safe under any partitioning."""
+    v = F.col("v")
+    maxabs = F.col("maxabs")
+    qexpr = lambda x: F.round(x / maxabs * 127)  # noqa: E731
+    e = (
+        lt(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("maxabs", F.array_max(F.transform(v, lambda x: F.abs(x))))
+        .filter(maxabs > 0)
+    )
+    qv = F.transform(v, lambda x: qexpr(x).cast("long"))
+    err = F.array_max(
+        F.transform(v, lambda x: F.abs(x - qexpr(x) * maxabs / 127))
+    )
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        "maxabs",
+        lsum(qv).alias("q_sum"),
+        lsum(F.transform(qv, lambda x: F.abs(x))).alias("q_l1"),
+        err.alias("max_abs_err"),
+        (err <= maxabs / 254 + 1e-12).alias("within_half_step"),
+    )

@@ -177,3 +177,14 @@ def test_minhash_estimates_true_jaccard(spark):
         if pair in exact:
             # 16 hashes → standard error ~ sqrt(j(1-j)/16) ≈ 0.12; allow 3σ
             assert abs(e - exact[pair]) <= 0.4
+
+
+def test_int8_quantization_error_contract(spark, ops):
+    """Every vector's max reconstruction error must respect the half-step
+    bound maxabs/254 (the flag the oracle hash-checks), and quantized
+    digests must be plausible (|q_sum| <= q_l1 <= 127 * n_dims)."""
+    rows = ops["embedding_quantize_int8"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["within_half_step"]
+        assert abs(r["q_sum"]) <= r["q_l1"] <= 127 * r["n_dims"]

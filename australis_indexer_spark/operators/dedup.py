@@ -493,8 +493,11 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage is the registered standalone op; composed they stay ONE
     Catalyst plan — filters/pruning flow through, nothing materializes
     between stages. At 100 TB: stage 1 is map-only, stages 2-3 are the
-    LSH equi-join machinery, stage 4's global window runs on the (tiny)
-    surviving id set."""
+    LSH equi-join machinery, and stage 4 is a two-phase distributed prefix
+    sum — range-partition by doc_id (partition order == global order),
+    per-partition running sums, then an exclusive prefix of the ~NPART
+    partition totals joined back broadcast. No single-partition global
+    window anywhere; the only driver-side data is one row per partition."""
     docs = lt(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
@@ -511,12 +514,49 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("doc_id")
     ).distinct()
     near_kept = exact_kept.join(near_losers, "doc_id", "left_anti")
+    survivors = quality.select("doc_id", "n_tokens").join(
+        near_kept.select("doc_id"), "doc_id"
+    )
+    return _budget_prefix_sum(spark, survivors, TOKEN_BUDGET)
+
+
+def _budget_prefix_sum(
+    spark: SparkSession, survivors: DataFrame, budget: int
+) -> DataFrame:
+    """Global running sum of n_tokens in doc_id order WITHOUT a global
+    single-partition window: range-partition on doc_id (range buckets are
+    assigned to ascending partition ids, so partition order extends the
+    global order), window within each partition only, then shift each
+    partition by the exclusive prefix of partition totals (one tiny collect
+    — one row per partition — broadcast back). The standard scalable
+    prefix-sum shape: at 100 TB each phase is embarrassingly parallel."""
     from pyspark.sql import Window as W
 
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    budgeted = (
-        quality.select("doc_id", "n_tokens")
-        .join(near_kept.select("doc_id"), "doc_id")
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = survivors.repartitionByRange(n_parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
     )
-    return budgeted.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    local_w = (
+        W.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parts.withColumn("local_cum", F.sum("n_tokens").over(local_w)).cache()
+    totals = sorted(
+        (r["pid"], r["total"])
+        for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, total in totals:
+        offsets.append((pid, acc))
+        acc += total
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("local_cum") + F.col("offset")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )

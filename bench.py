@@ -41,6 +41,8 @@ HEADLINE = (
     "dedup_exact",                   # content-hash dedup
     "dedup_minhash_lsh",             # shingle→minhash→band join near-dup
     "sim_topk_bruteforce",           # embedding cosine top-k
+    "sim_ann_lsh",                   # multi-table LSH bucket-join ANN (the scale path)
+    "embedding_quantize_int8",       # int8 corpus quantization (map-only rewrite)
     "text_stats_quality",            # text quality scoring
     "explode_tokens",                # array explode over real table data
     "join_skew_salted",              # skew-resistant salted fact join

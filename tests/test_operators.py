@@ -188,3 +188,19 @@ def test_int8_quantization_error_contract(spark, ops):
     for r in rows:
         assert r["within_half_step"]
         assert abs(r["q_sum"]) <= r["q_l1"] <= 127 * r["n_dims"]
+
+
+def test_ann_recall_quality_gate(spark, ops):
+    """Measured recall@k of the approximate paths against exact brute force
+    (deterministic: fixed corpus, fixed hash families). A parameter change
+    that craters recall must fail here, not in production — at sf0.001 the
+    multi-table LSH path measures 0.525 mean recall and IVF 0.375."""
+    from collections import defaultdict
+
+    by_method = defaultdict(list)
+    for r in ops["sim_ann_recall"].fn(spark, SF_SMOKE).collect():
+        by_method[r["method"]].append(r["recall_at_k"])
+    assert set(by_method) == {"lsh", "ivf"}
+    mean = {m: sum(v) / len(v) for m, v in by_method.items()}
+    assert mean["lsh"] >= 0.5, f"LSH recall collapsed: {mean}"
+    assert mean["ivf"] >= 0.3, f"IVF recall collapsed: {mean}"

@@ -461,3 +461,83 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.alias("max_abs_err"),
         (err <= maxabs / 254 + 1e-12).alias("within_half_step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup for UNLABELED corpora — LSH blocking instead of labels
+#
+# `dedup_embedding_cosine` (operators/dedup.py) blocks candidate pairs by a
+# metadata label; real training corpora rarely have one. This op swaps the
+# label for the multi-table hyperplane buckets above: a pair is a candidate
+# iff it collides in ANY table, then exact cosine filters. Same plan shape
+# as sim_ann_lsh — self-equi-join on (tbl, bucket) — so at 100 TB it is the
+# same partition-pruned shuffle join, with NO O(n^2) pair space and no
+# label prerequisite.
+
+DEDUP_COS_TAU = 0.30
+
+_EMB_LSH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+bucketed AS ({_SQL_BUCKETS})
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       (list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE (list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) >= {DEDUP_COS_TAU}
+"""
+
+
+@op("dedup_embedding_lsh", tags=("northstar", "dedup", "similarity", "vector"), oracle=_EMB_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT labels: multi-table LSH bucket
+    collision proposes candidates, exact cosine >= tau confirms. Candidate
+    generation is the (tbl, bucket) self-equi-join; cross-table duplicate
+    collisions collapse under one DISTINCT (cosine is a pure function of
+    the pair, so distinct over the triple dedups pairs exactly)."""
+    e = with_norm(
+        lt(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
+    bucketed = e.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), _bucket_col(t).alias("bucket"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "emb", "nrm", "tb.tbl", "tb.bucket")
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "tbl",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "tbl",
+        "bucket",
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_cols("emb_a", "emb_b", "nrm_a", "nrm_b").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DEDUP_COS_TAU)
+        .distinct()
+    )

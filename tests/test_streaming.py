@@ -148,3 +148,61 @@ def test_stream_stream_join_matches_batch(spark, ops):
     want = batch_receipts.join(batch_outcomes, "receipt_id").count()
     assert len(rows) == want
     assert len({r["receipt_id"] for r in rows}) == len(rows)
+
+
+def test_live_microbatch_mode_ingests_new_files(spark, dirs):
+    """S3 StreamWhileSyncing (live mode, available_now=False): a running
+    micro-batch query picks up files that arrive AFTER it starts — the
+    backfill-while-live behavior — and stops cleanly. Uses a short
+    processingTime trigger and polls the sink instead of draining."""
+    import threading
+    import time
+
+    from australis_indexer_spark.streaming.pipeline import (
+        read_block_stream,
+        to_envelope_stream,
+    )
+
+    write_stream_source(spark, dirs["src"], n_blocks=12, n_files=3)
+    env = to_envelope_stream(read_block_stream(spark, dirs["src"], max_files_per_trigger=1))
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(dirs["sink"])
+
+    q = (
+        env.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # wait until the initial backlog (12 blocks over 3 files) lands
+        def rows():
+            try:
+                return spark.read.parquet(dirs["sink"]).count()
+            except Exception:
+                return 0
+
+        deadline = time.time() + 60
+        while rows() < 12 and time.time() < deadline:
+            time.sleep(0.3)
+        assert rows() == 12, "initial backlog not drained in live mode"
+
+        # a NEW file arriving while the query runs must be ingested too
+        late = blocks_df(spark, 16).filter(
+            F.col("block.header.height") >= START + 12
+        )
+        late.coalesce(1).write.mode("append").json(dirs["src"])
+        deadline = time.time() + 60
+        while rows() < 16 and time.time() < deadline:
+            time.sleep(0.3)
+        assert rows() == 16, "late-arriving file not picked up by live query"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # all 16 heights exactly once, in order
+    seqs = [
+        r["sequence_id"]
+        for r in spark.read.parquet(dirs["sink"]).orderBy("sequence_id").collect()
+    ]
+    assert seqs == list(range(START, START + 16))

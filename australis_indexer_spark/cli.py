@@ -117,7 +117,10 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     ``--sync-mode`` mirrors configs.rs:139-159 exactly:
 
-    - ``LatestSynced``     — start from the live tip (fresh checkpoint);
+    - ``LatestSynced``     — start from the live tip: fresh checkpoint AND
+      skip everything at or below the current max height (the Kafka
+      ``startingOffsets=latest`` analog for a file source — the backlog is
+      not reprocessed; only files arriving after this run flow);
     - ``FromInterruption`` — resume from the existing checkpoint dir
       (the default, like the reference);
     - ``BlockHeight``      — replay from ``--block-height N``.
@@ -138,10 +141,21 @@ def cmd_run(args: argparse.Namespace) -> int:
             return 2
         from_height = args.block_height
     elif args.sync_mode == "LatestSynced":
-        # fresh cursor: ignore any previous interruption point
+        # fresh cursor at the tip: drop any interruption point and filter
+        # out the existing backlog (one batch read of just the height column)
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
+        from .schemas import STREAMER_SCHEMA
+
+        tip = (
+            spark.read.schema(STREAMER_SCHEMA)
+            .json(src)
+            .agg({"block.header.height": "max"})
+            .first()[0]
+        )
+        if tip is not None:
+            from_height = int(tip) + 1
 
     t0 = time.time()
     run_pipeline(

@@ -93,3 +93,19 @@ def test_query_unknown_op_lists_available(spark, capsys):
     rc, events = run_cli(capsys, ["query", "--name", "nope"])
     assert rc == 2
     assert "dedup_exact" in events[-1]["available"]
+
+
+def test_run_latest_synced_skips_backlog(spark, capsys, tmp_path):
+    """LatestSynced = start at the live tip: the pre-existing backlog must
+    NOT be reprocessed (startingOffsets=latest semantics)."""
+    wd = str(tmp_path / "pipe3")
+    rc, events = run_cli(capsys, ["run", "--workdir", wd, "--n-blocks", "12"])
+    assert rc == 0 and events[-1]["rows_in_sink"] == 12
+
+    rc, events = run_cli(
+        capsys, ["run", "--workdir", wd, "--sync-mode", "LatestSynced", "--n-blocks", "12"]
+    )
+    assert rc == 0
+    done = events[-1]
+    # tip+1 cursor: nothing new arrived, so the sink is unchanged
+    assert done["from_height"] > 0 and done["rows_in_sink"] == 12

@@ -194,7 +194,7 @@ def test_ann_recall_quality_gate(spark, ops):
     """Measured recall@k of the approximate paths against exact brute force
     (deterministic: fixed corpus, fixed hash families). A parameter change
     that craters recall must fail here, not in production — at sf0.001 the
-    multi-table LSH path measures 0.525 mean recall and IVF 0.375."""
+    multi-table LSH path measures 0.525 mean recall and IVF 0.575."""
     from collections import defaultdict
 
     by_method = defaultdict(list)
@@ -203,4 +203,4 @@ def test_ann_recall_quality_gate(spark, ops):
     assert set(by_method) == {"lsh", "ivf"}
     mean = {m: sum(v) / len(v) for m, v in by_method.items()}
     assert mean["lsh"] >= 0.5, f"LSH recall collapsed: {mean}"
-    assert mean["ivf"] >= 0.3, f"IVF recall collapsed: {mean}"
+    assert mean["ivf"] >= 0.5, f"IVF recall collapsed: {mean}"

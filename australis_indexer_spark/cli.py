@@ -223,6 +223,12 @@ def cmd_query(args: argparse.Namespace) -> int:
     spark = _session(args.cpus)
     t0 = time.time()
     df = ops[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        # show the physical plan the engine actually ships (pushdown,
+        # broadcast choice, exchange count) instead of executing
+        df.explain("formatted")
+        _emit({"event": "explain_done", "op": args.name})
+        return 0
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
@@ -285,6 +291,7 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pq.add_argument("--out", default=None, help="write parquet here instead of stdout")
     pq.add_argument("--limit", type=int, default=1000)
+    pq.add_argument("--explain", action="store_true", help="print the physical plan, don't run")
     pq.set_defaults(fn=cmd_query)
     return p
 

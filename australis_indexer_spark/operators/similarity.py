@@ -6,11 +6,13 @@ Two paths:
   candidates, exact cosine, per-query ranking window. The correctness
   baseline, and the right plan whenever |queries| is small: one broadcast,
   no shuffle of the candidate side, TakeOrdered per query.
-- **LSH-bucketed ANN** — 8 deterministic integer hyperplanes → sign-bit
-  bucket per vector → query joins only its bucket. The 100 TB path: the
-  bucket join is an equi-join on an 8-bit key; recall is tuned by
-  bands/hyperplanes. (Hyperplanes are integer-valued and inlined in the
-  oracle SQL so DuckDB reproduces the bucketing bit-for-bit.)
+- **LSH-bucketed ANN** — N_TABLES hash tables of N_PLANES deterministic
+  integer hyperplanes each → sign-bit bucket per (vector, table) → query
+  joins only its buckets, union across tables, dedup. The 100 TB path: the
+  bucket lookup is an equi-join on (table, bucket); recall amplified by the
+  multi-table union and kept measured by `sim_ann_recall`. (Hyperplanes are
+  integer-valued and inlined in the oracle SQL so DuckDB reproduces the
+  bucketing bit-for-bit.)
 
 - **IVF (inverted-file) ANN** — K deterministic coarse centroids; every
   vector is assigned to its nearest centroid (broadcast argmax join), a

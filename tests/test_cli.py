@@ -109,3 +109,10 @@ def test_run_latest_synced_skips_backlog(spark, capsys, tmp_path):
     done = events[-1]
     # tip+1 cursor: nothing new arrived, so the sink is unchanged
     assert done["from_height"] > 0 and done["rows_in_sink"] == 12
+
+
+def test_query_explain_prints_plan(spark, capsys):
+    rc = main(["query", "--name", "join_broadcast_dims", "--sf-dir", SF_SMOKE, "--explain"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out and "BroadcastHashJoin" in out

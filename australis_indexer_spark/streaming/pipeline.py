@@ -114,16 +114,7 @@ def run_pipeline(
         )
 
     def sink(batch: DataFrame, batch_id: int) -> None:  # K1/K2
-        (
-            batch.orderBy("sequence_id")
-            .withColumn(
-                "height_bucket",
-                (F.col("sequence_id") / HEIGHT_BUCKET_BLOCKS).cast("long"),
-            )
-            .write.mode("append")
-            .partitionBy("height_bucket")
-            .parquet(sink_dir)
-        )
+        write_batch_idempotent(batch, batch_id, sink_dir)
 
     writer = (
         env.writeStream.foreachBatch(sink)
@@ -134,6 +125,29 @@ def run_pipeline(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     q.awaitTermination()
+
+
+def write_batch_idempotent(batch: DataFrame, batch_id: int, sink_dir: str) -> None:
+    """Exactly-once micro-batch write, not just at-least-once: partition by
+    (batch_id, height_bucket) and dynamically OVERWRITE — a retried
+    micro-batch replaces exactly its own partitions instead of appending
+    duplicates. Checkpointed offsets + an idempotent sink is the Spark form
+    of the reference's ack-plus-dedup-window pair (consumer
+    main.rs:578,588); here duplicates cannot be written in the first place.
+    height_bucket stays the second partition level, so replay/range scans
+    still prune by height."""
+    (
+        batch.orderBy("sequence_id")
+        .withColumn(
+            "height_bucket",
+            (F.col("sequence_id") / HEIGHT_BUCKET_BLOCKS).cast("long"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "height_bucket")
+        .parquet(sink_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -206,3 +206,27 @@ def test_live_microbatch_mode_ingests_new_files(spark, dirs):
         for r in spark.read.parquet(dirs["sink"]).orderBy("sequence_id").collect()
     ]
     assert seqs == list(range(START, START + 16))
+
+
+def test_sink_write_is_idempotent_under_batch_retry(spark, dirs):
+    """K1 exactly-once: re-delivering the SAME micro-batch (a task/epoch
+    retry) must leave the sink unchanged — the dynamic-overwrite sink
+    replaces its own partitions instead of appending duplicates."""
+    from australis_indexer_spark.streaming.pipeline import (
+        to_envelope_stream,
+        write_batch_idempotent,
+    )
+
+    env = to_envelope_stream(blocks_df(spark, 12))
+    write_batch_idempotent(env, 0, dirs["sink"])
+    first = spark.read.parquet(dirs["sink"]).count()
+    # the retry: same data, same batch_id
+    write_batch_idempotent(env, 0, dirs["sink"])
+    again = spark.read.parquet(dirs["sink"])
+    assert again.count() == first == 12
+    # a NEW batch still appends (only its own partitions are replaced)
+    late = to_envelope_stream(blocks_df(spark, 16)).filter(
+        F.col("sequence_id") >= START + 12
+    )
+    write_batch_idempotent(late, 1, dirs["sink"])
+    assert spark.read.parquet(dirs["sink"]).count() == 16

@@ -1,0 +1,100 @@
+"""Iterative algorithms — the driver-loop + broadcast pattern.
+
+The reference has no iterative computation at all (its one loop is the
+supervision/restart loop, borealis-indexer/src/main.rs:1154-1156); a
+training-data platform needs at least a coarse-quantizer trainer for the
+IVF serving path (operators/similarity.py). This module implements Lloyd's
+k-means the canonical Spark way — the same shape MLlib's KMeans uses:
+
+    per iteration:
+      1. broadcast the K current centroids (tiny: K x dim doubles);
+      2. narrow map: each vector finds its nearest centroid (argmin over a
+         broadcast array — NO shuffle, no cross join materialized);
+      3. one small shuffle: groupBy(cluster) computes per-dimension means
+         and the inertia contribution;
+      4. collect K rows to the driver -> next broadcast.
+
+    The per-iteration data motion is one map over the corpus plus a
+    K-row collect: at 100 TB this is exactly as scalable as one
+    aggregation per iteration, and the iteration count is a small constant.
+
+Iterative = genuinely non-SQL-expressible for the driver's oracle (the
+fixpoint is data-dependent), so the op takes the documented rows-only
+check; tests assert the mathematical contract instead: inertia is
+monotonically non-increasing and every vector stays assigned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+K_TRAIN = 8
+N_ITER = 3
+DIM = 64
+
+
+def _sq_dist(emb_col, centroid: list[float]):
+    """Squared L2 distance to one (literal) centroid: zip-subtract-square,
+    ordered fold — stays whole-stage-codegen, no Python."""
+    carr = F.array(*[F.lit(float(v)) for v in centroid])
+    diffs = F.zip_with(emb_col, carr, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@op("kmeans_train_centroids", tags=("northstar", "similarity", "vector", "iterative"))
+def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train IVF coarse centroids with K_TRAIN-means, N_ITER Lloyd rounds,
+    deterministic init (the first K_TRAIN vectors by vec_id). Returns one
+    row per (iteration, cluster): assignment count and inertia share —
+    the trainer's full convergence trace, so a regression in either the
+    math or the determinism is visible in the output."""
+    e = (
+        lt(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .cache()
+    )
+    init = e.orderBy("vec_id").limit(K_TRAIN).collect()
+    centroids: list[list[float]] = [list(r["emb"]) for r in init]
+
+    trace: list[tuple[int, int, int, float]] = []
+    for it in range(N_ITER):
+        # argmin over the broadcast centroids: array_min on (dist, cid)
+        # structs is lexicographic, so ties break toward the lower cid
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist(F.col("emb"), c).alias("dist"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, c in enumerate(centroids)
+                ]
+            )
+        )
+        assigned = e.select(
+            "emb",
+            best.getField("cid").alias("cluster_id"),
+            best.getField("dist").alias("dist2"),
+        )
+        stats = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("dist2").alias("inertia"),
+                *[F.avg(F.col("emb")[d]).alias(f"m{d}") for d in range(DIM)],
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty cluster keeps its centroid
+        for r in stats:
+            new_centroids[r["cluster_id"]] = [r[f"m{d}"] for d in range(DIM)]
+            trace.append((it, r["cluster_id"], r["n"], float(r["inertia"])))
+        centroids = new_centroids
+
+    return spark.createDataFrame(
+        trace, "iteration int, cluster_id int, n_assigned long, inertia double"
+    )

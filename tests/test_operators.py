@@ -204,3 +204,23 @@ def test_ann_recall_quality_gate(spark, ops):
     mean = {m: sum(v) / len(v) for m, v in by_method.items()}
     assert mean["lsh"] >= 0.5, f"LSH recall collapsed: {mean}"
     assert mean["ivf"] >= 0.5, f"IVF recall collapsed: {mean}"
+
+
+def test_kmeans_inertia_non_increasing(spark, ops):
+    """Lloyd's guarantee: total inertia never increases between iterations,
+    and every vector stays assigned to exactly one cluster."""
+    from australis_indexer_spark.operators.iterative import K_TRAIN, N_ITER
+
+    rows = ops["kmeans_train_centroids"].fn(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    by_iter = {}
+    for r in rows:
+        agg = by_iter.setdefault(r["iteration"], [0, 0.0])
+        agg[0] += r["n_assigned"]
+        agg[1] += r["inertia"]
+    assert set(by_iter) == set(range(N_ITER))
+    for it, (n, _) in by_iter.items():
+        assert n == n_vecs, f"iteration {it} lost vectors"
+    inertias = [by_iter[i][1] for i in range(N_ITER)]
+    assert all(a >= b - 1e-6 for a, b in zip(inertias, inertias[1:])), inertias
+    assert all(1 <= r["cluster_id"] + 1 <= K_TRAIN for r in rows)

@@ -80,6 +80,7 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
         REGISTRY[name] = OpSpec(
             name=name, fn=wrapped, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or "")
         )
@@ -94,6 +95,7 @@ def load_all() -> dict[str, OpSpec]:
         dedup,
         envelope,
         explode,
+        iterative,
         multimodal,
         project,
         relational,

@@ -39,3 +39,22 @@ def test_flagship_entry_returns_rows(spark):
 def test_every_op_has_doc(ops):
     for name, spec in ops.items():
         assert spec.doc.strip(), f"{name} lacks a docstring/doc"
+
+
+def test_every_operator_module_is_loaded(ops):
+    """Every module in operators/ (and streaming/) must contribute at least
+    one registered op after load_all() — catches a new module file that was
+    never added to load_all's import list (the registry dict is shared, so
+    a stray import elsewhere can mask the omission)."""
+    import os
+
+    import australis_indexer_spark.operators as pkg
+
+    mod_files = {
+        f[:-3]
+        for f in os.listdir(os.path.dirname(pkg.__file__))
+        if f.endswith(".py") and f != "__init__.py"
+    }
+    loaded = {spec.fn.__module__.rsplit(".", 1)[-1] for spec in ops.values()}
+    missing = mod_files - loaded
+    assert not missing, f"operator modules never imported by load_all: {missing}"

@@ -45,13 +45,10 @@ def _sq_dist(emb_col, centroid: list[float]):
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
-@op("kmeans_train_centroids", tags=("northstar", "similarity", "vector", "iterative"))
-def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train IVF coarse centroids with K_TRAIN-means, N_ITER Lloyd rounds,
-    deterministic init (the first K_TRAIN vectors by vec_id). Returns one
-    row per (iteration, cluster): assignment count and inertia share —
-    the trainer's full convergence trace, so a regression in either the
-    math or the determinism is visible in the output."""
+def train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], list[tuple[int, int, int, float]]]:
+    """Run the Lloyd loop; return (final centroids, per-iteration trace)."""
     e = (
         lt(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
@@ -94,7 +91,40 @@ def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_centroids[r["cluster_id"]] = [r[f"m{d}"] for d in range(DIM)]
             trace.append((it, r["cluster_id"], r["n"], float(r["inertia"])))
         centroids = new_centroids
+    return centroids, trace
 
+
+@op("kmeans_train_centroids", tags=("northstar", "similarity", "vector", "iterative"))
+def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train IVF coarse centroids with K_TRAIN-means, N_ITER Lloyd rounds,
+    deterministic init (the first K_TRAIN vectors by vec_id). Returns one
+    row per (iteration, cluster): assignment count and inertia share —
+    the trainer's full convergence trace, so a regression in either the
+    math or the determinism is visible in the output."""
+    _, trace = train(spark, sf_dir)
     return spark.createDataFrame(
         trace, "iteration int, cluster_id int, n_assigned long, inertia double"
     )
+
+
+@op("sim_ann_ivf_trained", tags=("northstar", "similarity", "vector", "iterative"))
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed train→serve path: k-means centroids from `train` feed
+    the same IVF serving join as `sim_ann_ivf` (operators/similarity.py) —
+    at 100 TB this is the centroid-refresh job publishing a new centroid
+    table that the serving query picks up atomically. Iterative training is
+    not SQL-expressible, so this takes the rows-only check; the fixed-
+    centroid twin `sim_ann_ivf` carries the full oracle for the serving
+    join itself, and `test_trained_ivf_recall` measures the recall gain."""
+    import math
+
+    from .similarity import ivf_serve, normed_corpus
+
+    centroids, _ = train(spark, sf_dir)
+    rows = [
+        (cid, c, math.sqrt(sum(x * x for x in c))) for cid, c in enumerate(centroids)
+    ]
+    c = spark.createDataFrame(
+        rows, "cid int, cemb array<double>, cnrm double"
+    )
+    return ivf_serve(normed_corpus(spark, sf_dir), c, nprobe=2)

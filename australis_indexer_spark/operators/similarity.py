@@ -272,29 +272,24 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
-@op("sim_ann_ivf", tags=("northstar", "similarity", "vector"), oracle=_IVF_ORACLE)
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF serving path: assign corpus→nearest centroid (broadcast argmax,
-    one narrow pass), probe NPROBE cells per query, exact cosine within the
-    probed cells. At 100 TB: partition the corpus parquet by cluster_id at
-    ingest — a query batch then reads only NPROBE/K of the data (partition
-    pruning), and the probe join is an ordinary equi-join; centroids come
-    from a sampled k-means refresh job, swapped atomically."""
-    e = with_norm(
+def normed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as (vec_id, emb array<double>, nrm)."""
+    return with_norm(
         lt(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
     )
-    c = F.broadcast(
-        e.filter(
-            (F.col("vec_id") >= N_QUERIES)
-            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-        ).select(
-            F.col("vec_id").alias("cid"),
-            F.col("emb").alias("cemb"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
+
+
+def ivf_serve(e: DataFrame, c: DataFrame, *, nprobe: int | None = None) -> DataFrame:
+    """The IVF serving join, parameterized by the centroid table ``c``
+    (cid, cemb, cnrm): assign corpus→nearest centroid (broadcast argmax,
+    one narrow pass), probe ``nprobe`` cells per query, exact cosine within
+    the probed cells. Shared by `sim_ann_ivf` (fixed deterministic
+    centroids, oracle-checked) and `sim_ann_ivf_trained`
+    (operators/iterative.py k-means centroids)."""
+    nprobe = NPROBE if nprobe is None else nprobe
+    c = F.broadcast(c)
     w_assign = W.partitionBy("vec_id").orderBy(
         cosine_cols("emb", "cemb", "nrm", "cnrm").desc(), F.col("cid")
     )
@@ -315,7 +310,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         q.crossJoin(c)
         .withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= NPROBE)
+        .filter(F.col("r") <= nprobe)
         .select("query_id", "qemb", "qnrm", "cid")
     )
     scored = (
@@ -329,6 +324,25 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+@op("sim_ann_ivf", tags=("northstar", "similarity", "vector"), oracle=_IVF_ORACLE)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving path with fixed deterministic centroids (data vectors
+    N_QUERIES..N_QUERIES+N_CENTROIDS — reproducible in the oracle SQL).
+    At 100 TB: partition the corpus parquet by cluster_id at ingest — a
+    query batch then reads only NPROBE/K of the data (partition pruning),
+    and the probe join is an ordinary equi-join; centroids come from the
+    k-means refresh job (`kmeans_train_centroids`), swapped atomically."""
+    e = normed_corpus(spark, sf_dir)
+    c = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    return ivf_serve(e, c)
 
 
 # ---------------------------------------------------------------------------

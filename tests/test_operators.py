@@ -224,3 +224,19 @@ def test_kmeans_inertia_non_increasing(spark, ops):
     inertias = [by_iter[i][1] for i in range(N_ITER)]
     assert all(a >= b - 1e-6 for a, b in zip(inertias, inertias[1:])), inertias
     assert all(1 <= r["cluster_id"] + 1 <= K_TRAIN for r in rows)
+
+
+def test_trained_ivf_recall_beats_fixed(spark, ops):
+    """The train→serve composition must materially beat the fixed-centroid
+    serving path: measured recall@5 is 0.95 (trained, nprobe 2/8 = 25%
+    scan) vs 0.575 (fixed) at sf0.001. Gate well below the measured value
+    so only a real regression trips it."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ops["sim_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
+    }
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ops["sim_ann_ivf_trained"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(trained & brute) / len(brute) >= 0.8

@@ -323,3 +323,72 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_within_1pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join — the layout demo as a first-class, oracle-checked
+# op over the driver tables (the test-only twin lives in tests/test_layout.py
+# over the fixture's receipts/outcomes)
+
+_BUCKETS = 8  # sized for sf0.01 locally; 512 at the 100 TB design point
+# (plans/layout.py DEFAULT_N_BUCKETS)
+
+
+@op(
+    "join_bucketed_colocated",
+    tags=("relational", "scale", "join", "layout"),
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l.l_extendedprice")} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed tables: both sides are
+    written `bucketBy(orderkey)` once (the layout decision from
+    plans/layout.py), after which EVERY orderkey join reads co-located
+    buckets — no Exchange on either side of the sort-merge join. At 100 TB
+    this is the difference between shuffling two multi-TB tables per query
+    and a metadata-only bucket pairing paid once at write time.
+
+    The oracle is the plain join — bucketing must be invisible in results.
+    tests assert the physical plan has no `Exchange hashpartitioning` on the
+    join sides."""
+    import re
+    import shutil
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/").split("/")[-1] or "d")
+    db = "aispark_buckets"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    li_t, o_t = f"{db}.lineitem_bkt_{tag}", f"{db}.orders_bkt_{tag}"
+
+    # the session catalog is in-memory but the warehouse dir persists across
+    # sessions: drop BOTH the catalog entry and the on-disk location, else a
+    # fresh session hits LOCATION_ALREADY_EXISTS on its first overwrite
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    for name in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{wh}/{db}.db/{name.split('.')[1]}", ignore_errors=True)
+
+    li = lt(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for df, key, name in ((li, "l_orderkey", li_t), (orders, "o_orderkey", o_t)):
+        # repartition to exactly n_buckets on the bucket key -> one file per
+        # bucket, so the sorted-bucket property survives the write
+        (
+            df.repartition(_BUCKETS, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    joined = spark.table(li_t).hint("merge").join(
+        spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        dsum("l_extendedprice").alias("revenue"),
+    )

@@ -69,3 +69,17 @@ def test_bucketed_join_is_shuffle_free(spark, ops):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_colocated_op_plan(spark, ops):
+    """The registered driver-table op must also plan its join without a
+    shuffle on either side (the layout promise, paid once at write time)."""
+    from pyspark.sql import functions as F
+
+    ops["join_bucketed_colocated"].fn(spark, "/root/testdata/sf0.001").collect()
+    li = spark.table("aispark_buckets.lineitem_bkt_sf0_001")
+    o = spark.table("aispark_buckets.orders_bkt_sf0_001")
+    j = li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"

@@ -476,3 +476,126 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(before).alias("files_before"),
         F.lit(after).alias("files_after"),
     )
+
+
+_SESSION_GAP = "30 minutes"
+_SENTINEL_USER = -9999
+
+
+@op(
+    "window_session_stream",
+    tags=("parity", "streaming", "window"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM ordered
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_no
+""",
+)
+def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: `session_window(ts, 30 min)` per user with a
+    0-second watermark, append-mode parquet sink. Sessions merge in the state
+    store across micro-batches and emit exactly once, when the watermark
+    passes their close — the stateful twin of `window_session_user`.
+
+    Spark's session windows are half-open `[start, last+gap)`, so an event
+    exactly `gap` after its predecessor opens a NEW session; the oracle's
+    gaps-and-islands therefore breaks on `>= gap` (the batch op uses `>`,
+    matching its own window-function definition — both are exact, they are
+    different session semantics).
+
+    Append mode only emits a window after the watermark passes it, so the
+    LAST session per user would stay in state forever on a finite input. The
+    flush is a far-future sentinel event processed in a second AvailableNow
+    run on the same checkpoint: its event time advances the watermark past
+    every real session. At 100 TB the stream is infinite and the sentinel is
+    unnecessary — state size stays O(open sessions), keyed and sharded by
+    user like every stateful op here.
+
+    Watermarks demand TIMESTAMP, but the events table is TIMESTAMP_NTZ and a
+    plain cast goes through the session time zone (DST gaps corrupt values —
+    NTZ 02:30 inside a spring-forward hole casts to 03:30). The stream
+    therefore carries a derived instant column `evt` built by tz-free field
+    arithmetic (unix_date + hour/min/sec micros == NTZ-as-UTC); aggregates
+    stay on the original NTZ `ts`, so output values never pass through any
+    time zone at all.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="aispark_sess_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    _EVT = (
+        "timestamp_micros(CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)*86400000000"
+        " + CAST(extract(HOUR FROM ts) AS BIGINT)*3600000000"
+        " + CAST(extract(MINUTE FROM ts) AS BIGINT)*60000000"
+        " + CAST(extract(SECOND FROM ts)*1000000 AS BIGINT))"
+    )
+    events = lt(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.expr(_EVT).alias("evt")
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        agg = (
+            stream.withWatermark("evt", "0 seconds")
+            .groupBy(F.session_window("evt", _SESSION_GAP).alias("w"), "user_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink_d)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # drains the real events; last-open sessions remain in state
+    sentinel = (
+        events.orderBy(F.col("ts").desc())
+        .limit(1)
+        .select(
+            F.lit(_SENTINEL_USER).cast("long").alias("user_id"),
+            (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),
+        )
+        .select("user_id", "ts", "event_id", F.expr(_EVT).alias("evt"))
+    )
+    sentinel.write.mode("append").parquet(src)
+    run_once()  # watermark jumps past every real session -> all emit
+
+    from pyspark.sql import Window as W
+
+    out = spark.read.parquet(sink_d).filter(F.col("user_id") != _SENTINEL_USER)
+    sess_no = F.row_number().over(
+        W.partitionBy("user_id").orderBy("session_start")
+    )
+    return out.select(
+        "user_id",
+        sess_no.cast("long").alias("session_no"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )

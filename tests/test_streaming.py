@@ -11,6 +11,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from australis_indexer_spark.fixtures import blocks_df
@@ -230,3 +231,32 @@ def test_sink_write_is_idempotent_under_batch_retry(spark, dirs):
     )
     write_batch_idempotent(late, 1, dirs["sink"])
     assert spark.read.parquet(dirs["sink"]).count() == 16
+
+
+def test_window_session_stream_matches_batch(spark, ops):
+    """The streaming sessionizer must emit exactly the sessions the batch
+    gaps-and-islands computation produces (>= gap semantics, half-open
+    session windows) — including the LAST session per user, which only
+    flushes via the sentinel watermark advance."""
+    sf = "/root/testdata/sf0.001"
+    got = ops["window_session_stream"].fn(spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet")  # raw read is fine: no ts math below
+    n_events = ev.count()
+    agg = got.agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("tot")
+    ).first()
+    assert agg.tot == n_events, "every event must land in exactly one session"
+    # sessions per user == 1 + number of >=30min gaps, checked on one user
+    from australis_indexer_spark.sources.batch import load_table
+
+    e = load_table(spark, sf, "events")
+    one = e.groupBy("user_id").count().orderBy(F.desc("count")).first().user_id
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.filter(F.col("user_id") == one)
+        .withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .filter(F.col("ts") - F.col("prev") >= F.expr("INTERVAL 30 MINUTE"))
+        .count()
+    )
+    assert got.filter(F.col("user_id") == one).count() == gaps + 1

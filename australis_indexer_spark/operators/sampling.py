@@ -1,0 +1,146 @@
+"""Deterministic sampling / split operators for training-data curation.
+
+A 100 TB corpus pipeline needs *reproducible* selection: the train/val/test
+membership of a document must be a pure function of its identity, never of
+partitioning, task order, or an RNG seed's whims across retries. Every op
+here derives selection from `md5(tag || doc_id)` — portable, uniform, and
+bit-identical in Spark and the DuckDB oracle (same convention as the
+minhash/simhash families in operators/dedup.py).
+
+The reference has no sampling surface (it forwards every block); these are
+north-star extensions per BASELINE.json, same first-class treatment as the
+dedup family.
+
+Scale notes: hash-split is a narrow map — no shuffle, no state, trivially
+parallel at any scale factor; the balanced subsample is one shuffle on the
+stratum key with a per-stratum top-k (ORDER BY hash LIMIT k per group), the
+same shape as any windowed rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+# first-byte thresholds over md5's 256 first-byte values:
+# train = 0x00..0xcb (204/256 = 79.7%), val = 0xcc..0xe5 (26/256 = 10.2%),
+# test = 0xe6..0xff (26/256 = 10.2%). Fixed-width lowercase hex makes the
+# lexicographic compare equal the numeric compare in both engines.
+_TRAIN_HI = "cc"
+_VAL_HI = "e6"
+
+
+def _split_col() -> F.Column:
+    b = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
+    return (
+        F.when(b < _TRAIN_HI, "train").when(b < _VAL_HI, "val").otherwise("test")
+    )
+
+
+_SQL_SPLIT = f"""
+CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+     WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
+     ELSE 'test' END
+"""
+
+
+@op(
+    "sample_split_hash",
+    tags=("northstar", "sampling", "text"),
+    oracle=f"""
+SELECT {_SQL_SPLIT} AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by identity hash:
+    membership is `md5('split:' || doc_id)` bucketed on the first byte, so
+    it is stable under re-runs, repartitioning, task retries, and corpus
+    growth (old docs never change split when new docs arrive — the property
+    that prevents eval contamination across dataset versions)."""
+    return (
+        lt(spark, sf_dir, "documents")
+        .select(_split_col().alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_BALANCE_K = 64
+
+
+@op(
+    "sample_balanced_strata",
+    tags=("northstar", "sampling", "text"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= {_BALANCE_K}
+""",
+)
+def sample_balanced_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced subsample: exactly K docs per language, chosen by
+    hash order (a deterministic 'random' — uniform within each stratum,
+    reproducible everywhere). The canonical fix for skewed language mixes
+    before fine-tuning; one shuffle on the stratum key, per-group top-K.
+
+    At 100 TB prefer the rank-free form: a per-stratum hash THRESHOLD
+    (as in sample_split_hash) sized from approx counts — it avoids the
+    window sort entirely; the exact-K windowed form here is for when the
+    contract is a hard per-class budget."""
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        lt(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BALANCE_K)
+        .drop("rk")
+    )
+
+
+@op(
+    "sample_reservoir_uniform",
+    tags=("northstar", "sampling"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (ORDER BY md5('res:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 500
+""",
+)
+def sample_reservoir_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N uniform corpus sample, the deterministic analog of a
+    reservoir: global top-500 by identity hash. Spark executes this as
+    TakeOrderedAndProject — per-partition top-N then a single driver-side
+    merge of N-row heaps, NOT a global sort (the plan a naive
+    `ORDER BY rand() LIMIT n` cannot achieve reproducibly)."""
+    return (
+        lt(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(500)
+        .drop("h")
+    )

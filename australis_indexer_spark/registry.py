@@ -99,6 +99,7 @@ def load_all() -> dict[str, OpSpec]:
         multimodal,
         project,
         relational,
+        sampling,
         scale,
         similarity,
         text_analysis,

@@ -240,3 +240,46 @@ def test_trained_ivf_recall_beats_fixed(spark, ops):
         for r in ops["sim_ann_ivf_trained"].fn(spark, SF_SMOKE).collect()
     }
     assert len(trained & brute) / len(brute) >= 0.8
+
+
+def test_hash_split_deterministic_and_stable(spark, ops):
+    """Split membership is a pure function of doc_id: shares land near
+    80/10/10, and restricting the corpus to a subset never changes any
+    surviving doc's split (the no-eval-contamination property)."""
+    from australis_indexer_spark.operators.sampling import _split_col
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    shares = {
+        r.split: r.cnt / n
+        for r in docs.select(_split_col().alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert abs(shares["train"] - 204 / 256) < 0.05
+    assert abs(shares["val"] - 26 / 256) < 0.04
+    assert abs(shares["test"] - 26 / 256) < 0.04
+    full = {r.doc_id: r.split for r in docs.select("doc_id", _split_col().alias("split")).collect()}
+    half = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", _split_col().alias("split"))
+    assert all(full[r.doc_id] == r.split for r in half.collect())
+
+
+def test_balanced_strata_exact_k(spark, ops):
+    from australis_indexer_spark.operators.sampling import _BALANCE_K
+
+    out = ops["sample_balanced_strata"].fn(spark, SF_SMOKE)
+    per = out.groupBy("lang").count().collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    avail = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for r in per:
+        assert r["count"] == min(_BALANCE_K, avail[r.lang])
+
+
+def test_reservoir_is_top_n_not_global_sort(spark, ops):
+    """The plan must be TakeOrderedAndProject (per-partition heaps), not a
+    full Sort — the difference between O(n log k) and a global shuffle."""
+    df = ops["sample_reservoir_uniform"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert df.count() == 500

@@ -144,3 +144,69 @@ def sample_reservoir_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .drop("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted interleave — deterministic dataset mixing
+
+# Per-source mix factor in EIGHTHS, derived from the source name itself so
+# the op needs no per-corpus config: k = 4 + (hexval(md5(source)[0]) mod 13)
+# eighths -> factor 0.5x .. 2.0x. All-integer arithmetic: zero float-
+# determinism risk between engines.
+_HEXVAL = "(ascii({c}) - CASE WHEN {c} BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+
+
+def _sql_hexval(expr: str) -> str:
+    c = f"substr(md5({expr}), 1, 1)"
+    return _HEXVAL.format(c=c)
+
+
+@op(
+    "pipeline_interleave_mix",
+    tags=("northstar", "sampling", "pipeline"),
+    oracle=f"""
+WITH weighted AS (
+  SELECT doc_id, source, lang,
+         4 + ({_sql_hexval("source")} % 13) AS k,
+         {_sql_hexval("'mix:' || CAST(doc_id AS VARCHAR)")} % 8 AS hd
+  FROM documents
+),
+copies AS (
+  SELECT doc_id, source, lang,
+         (k / 8) + (CASE WHEN hd < (k % 8) THEN 1 ELSE 0 END) AS n_copies
+  FROM weighted
+)
+SELECT c.doc_id, c.source, c.lang, g.copy_no
+FROM copies c JOIN (VALUES (1),(2),(3)) g(copy_no) ON g.copy_no <= c.n_copies
+""",
+)
+def pipeline_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave: each source gets a mix factor in
+    [0.5x, 2.0x] derived from its name hash; each doc materializes
+    floor(f) copies plus one more for the hash-selected fractional share.
+    The standard epoch-mixture primitive (upsample rare high-quality
+    sources, downsample bulk crawl) — reproducible because both the factor
+    and the fractional membership are pure identity hashes, and shuffle-free
+    because copy expansion is a narrow explode."""
+    hexval = lambda c: (  # noqa: E731
+        F.ascii(c)
+        - F.when(c.between("0", "9"), F.lit(48)).otherwise(F.lit(87))
+    )
+    src_k = (hexval(F.substring(F.md5(F.col("source")), 1, 1)) % 13) + 4
+    doc_h = hexval(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 1)
+    ) % 8
+    n_copies = (src_k / 8).cast("int") + F.when(doc_h < src_k % 8, 1).otherwise(0)
+    return (
+        lt(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", n_copies.alias("n_copies"))
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — a
+        # zero-copy doc must be dropped before the explode
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_no"),
+        )
+    )

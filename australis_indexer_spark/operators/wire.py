@@ -382,3 +382,52 @@ def replay_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ranged_replay"),
         F.min("sequence_id").alias("ranged_start"),
     )
+
+
+_DOC_AGG_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
+@op("scan_jsonl", tags=("parity", "source", "format"), oracle=_DOC_AGG_ORACLE)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round trip: write the documents table as JSONL,
+    scan it back with an EXPLICIT schema (never inferSchema — the
+    reference's wire schema is fixed at compile time, SURVEY.md §1.1), and
+    aggregate. The oracle runs on the original parquet, so a hash match
+    proves the format round trip is lossless. JSONL is the reference's
+    debug wire format (serde_json, borealis-indexer/src/main.rs:424)."""
+    import tempfile
+
+    docs = lt(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="aispark_jsonl_")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@op("scan_csv", tags=("parity", "source", "format"), oracle=_DOC_AGG_ORACLE)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round trip with explicit schema + header; same lossless-
+    round-trip oracle as scan_jsonl. CSV is the lowest-common-denominator
+    bulk-ingest format for S6-style backfills."""
+    import tempfile
+
+    docs = lt(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="aispark_csv_")
+    docs.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(docs.schema).option("header", True).csv(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

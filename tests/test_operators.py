@@ -283,3 +283,21 @@ def test_reservoir_is_top_n_not_global_sort(spark, ops):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert df.count() == 500
+
+
+def test_interleave_mix_factor_bounds(spark, ops):
+    """Every source's output/input ratio must stay within the designed
+    [0.5x, 2.0x] mix band, and per-doc copies within a source differ by at
+    most one (floor(f) vs floor(f)+1)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = ops["pipeline_interleave_mix"].fn(spark, SF_SMOKE)
+    inn = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    outn = {r.source: r.cnt for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for s, n in inn.items():
+        ratio = outn.get(s, 0) / n
+        assert 0.4 <= ratio <= 2.0 + 1e-9, (s, ratio)
+    per_doc = out.groupBy("source", "doc_id").count()
+    spread = per_doc.groupBy("source").agg(
+        (F.max("count") - F.min("count")).alias("d")
+    )
+    assert spread.agg(F.max("d")).first()[0] <= 1

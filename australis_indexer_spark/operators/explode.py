@@ -11,6 +11,12 @@ Two forms:
    (borealis-indexer/src/main.rs:499-569). These also power the pytest
    invariants (sum of child array sizes == exploded row counts).
 
+u128 balance columns (tokens_burnt / amount / deposit) are emitted as their
+LOSSLESS DIGIT STRINGS (SURVEY.md §1.3 fallback convention): DECIMAL(38,0)
+survives Spark exactly but pandas/arrow bridges coerce it to float64 with
+engine-specific last-ulp rounding, which would poison value-hash comparison;
+the string form is exact everywhere and still castable by any consumer.
+
 Scale note: `explode` is a narrow transformation — it never shuffles; output
 partitioning follows the parent scan. `explode_outer` preserves parents with
 empty/NULL children (the reference's `Option<chunk>` None branch,
@@ -23,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import blocks_df
+from . import fixture_oracles as FO
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -63,7 +70,7 @@ def explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("block_height", "chunk.*")
 
 
-@op("explode_shards", tags=("parity", "explode", "fixture"))
+@op("explode_shards", tags=("parity", "explode", "fixture"), oracle=FO.shards_oracle())
 def explode_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 + P11: one row per shard, chunk may be NULL (Option<chunk>)."""
     df = _fixture(spark)
@@ -80,7 +87,7 @@ def explode_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("explode_transactions", tags=("parity", "explode", "fixture"))
+@op("explode_transactions", tags=("parity", "explode", "fixture"), oracle=FO.transactions_oracle())
 def explode_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: normalized transactions table (main.rs:519-527): block_height,
     shard_id, tx hash/signer/receiver/nonce + action count."""
@@ -102,11 +109,11 @@ def explode_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.transaction.nonce").alias("nonce"),
         F.size("t.transaction.actions").alias("n_actions"),
         F.col("t.outcome.execution_outcome.outcome.gas_burnt").alias("gas_burnt"),
-        F.col("t.outcome.execution_outcome.outcome.tokens_burnt").alias("tokens_burnt"),
+        F.col("t.outcome.execution_outcome.outcome.tokens_burnt").cast("string").alias("tokens_burnt"),
     )
 
 
-@op("explode_receipts", tags=("parity", "explode", "fixture"))
+@op("explode_receipts", tags=("parity", "explode", "fixture"), oracle=FO.receipts_oracle())
 def explode_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: normalized receipts (main.rs:529-537)."""
     df = _fixture(spark)
@@ -128,7 +135,7 @@ def explode_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("explode_outcomes", tags=("parity", "explode", "fixture"))
+@op("explode_outcomes", tags=("parity", "explode", "fixture"), oracle=FO.outcomes_oracle())
 def explode_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: normalized execution outcomes (main.rs:548-559) — note these are
     keyed by the *receipt* id and land one block after their transaction
@@ -150,13 +157,13 @@ def explode_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o.execution_outcome.id").alias("receipt_id"),
             F.col("o.execution_outcome.outcome.executor_id").alias("executor_id"),
             F.col("o.execution_outcome.outcome.gas_burnt").alias("gas_burnt"),
-            F.col("o.execution_outcome.outcome.tokens_burnt").alias("tokens_burnt"),
+            F.col("o.execution_outcome.outcome.tokens_burnt").cast("string").alias("tokens_burnt"),
             F.col("o.execution_outcome.outcome.status.variant").alias("status_variant"),
         )
     )
 
 
-@op("explode_state_changes", tags=("parity", "explode", "fixture"))
+@op("explode_state_changes", tags=("parity", "explode", "fixture"), oracle=FO.state_changes_oracle())
 def explode_state_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: normalized state changes (main.rs:561-568) with the two nested
     sum types flattened to discriminator columns."""
@@ -173,13 +180,13 @@ def explode_state_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sc.type").alias("change_type"),
             F.col("sc.cause.variant").alias("cause_variant"),
             F.col("sc.change.account_id").alias("account_id"),
-            F.col("sc.change.amount").alias("amount"),
+            F.col("sc.change.amount").cast("string").alias("amount"),
             F.col("sc.change.storage_usage").alias("storage_usage"),
         )
     )
 
 
-@op("explode_actions", tags=("parity", "explode", "fixture"))
+@op("explode_actions", tags=("parity", "explode", "fixture"), oracle=FO.actions_oracle())
 def explode_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-level explode: transactions[] → actions[] (tagged-union
     variants flattened; main.rs:222-234)."""
@@ -199,7 +206,7 @@ def explode_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "block_height",
             "tx_hash",
             F.col("a.variant").alias("action_variant"),
-            F.col("a.deposit").alias("deposit"),
+            F.col("a.deposit").cast("string").alias("deposit"),
             F.col("a.method_name").alias("method_name"),
             F.col("a.gas").alias("gas"),
         )

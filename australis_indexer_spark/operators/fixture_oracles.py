@@ -1,0 +1,158 @@
+"""Independent DuckDB oracles for the fixture-backed explode family.
+
+The explode ops normalize the nested StreamerMessage fixture with Spark
+`explode`/struct-path expressions. These oracles RE-DERIVE the expected flat
+rows by walking the SAME deterministic `gen_blocks` dicts in plain Python —
+a second, Spark-free implementation of the P5-P10 normalization spec
+(borealis-indexer/src/main.rs:499-569) — and emit them as a typed VALUES
+table DuckDB can execute without any registered view. A hash match therefore
+proves the Spark explosion agrees with an independent flattener, upgrading
+these ops from rows-only to full oracle checks.
+
+Types are pinned with explicit CASTs so the driver's schema comparison sees
+exactly what Spark produces (BIGINT heights, INTEGER array sizes,
+u128 balances as lossless digit strings — see explode.py's convention
+note).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from functools import lru_cache
+from typing import Any
+
+from ..fixtures import gen_blocks
+
+_N_BLOCKS = 48  # must equal explode._FIXTURE_BLOCKS
+
+
+@lru_cache(maxsize=1)
+def _blocks() -> tuple[dict[str, Any], ...]:
+    return tuple(gen_blocks(_N_BLOCKS))
+
+
+def _lit(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, Decimal):  # u128 balances travel as lossless strings
+        return "'" + str(v) + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    assert rows, "fixture flattener produced no rows"
+    body = ",\n".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    names = ", ".join(n for n, _ in cols)
+    return f"SELECT {sel} FROM (VALUES\n{body}\n) AS t({names})"
+
+
+def transactions_oracle() -> str:
+    rows = []
+    for b in _blocks():
+        h = b["block"]["header"]["height"]
+        for sh in b["shards"]:
+            if sh["chunk"] is None:
+                continue
+            for t in sh["chunk"]["transactions"]:
+                tx = t["transaction"]
+                out = t["outcome"]["execution_outcome"]["outcome"]
+                rows.append((h, sh["shard_id"], tx["hash"], tx["signer_id"],
+                             tx["receiver_id"], tx["nonce"], len(tx["actions"]),
+                             out["gas_burnt"], out["tokens_burnt"]))
+    return _values_sql(rows, [
+        ("block_height", "BIGINT"), ("shard_id", "BIGINT"), ("tx_hash", "VARCHAR"),
+        ("signer_id", "VARCHAR"), ("receiver_id", "VARCHAR"), ("nonce", "BIGINT"),
+        ("n_actions", "INTEGER"), ("gas_burnt", "BIGINT"),
+        ("tokens_burnt", "VARCHAR"),
+    ])
+
+
+def receipts_oracle() -> str:
+    rows = []
+    for b in _blocks():
+        h = b["block"]["header"]["height"]
+        for sh in b["shards"]:
+            if sh["chunk"] is None:
+                continue
+            for r in sh["chunk"]["receipts"]:
+                rows.append((h, sh["shard_id"], r["receipt_id"], r["predecessor_id"],
+                             r["receiver_id"], r["receipt_kind"], len(r["actions"])))
+    return _values_sql(rows, [
+        ("block_height", "BIGINT"), ("shard_id", "BIGINT"), ("receipt_id", "VARCHAR"),
+        ("predecessor_id", "VARCHAR"), ("receiver_id", "VARCHAR"),
+        ("receipt_kind", "VARCHAR"), ("n_actions", "INTEGER"),
+    ])
+
+
+def outcomes_oracle() -> str:
+    rows = []
+    for b in _blocks():
+        h = b["block"]["header"]["height"]
+        for sh in b["shards"]:
+            for o in sh["receipt_execution_outcomes"]:
+                eo = o["execution_outcome"]
+                rows.append((h, sh["shard_id"], eo["id"], eo["outcome"]["executor_id"],
+                             eo["outcome"]["gas_burnt"], eo["outcome"]["tokens_burnt"],
+                             eo["outcome"]["status"]["variant"]))
+    return _values_sql(rows, [
+        ("block_height", "BIGINT"), ("shard_id", "BIGINT"), ("receipt_id", "VARCHAR"),
+        ("executor_id", "VARCHAR"), ("gas_burnt", "BIGINT"),
+        ("tokens_burnt", "VARCHAR"), ("status_variant", "VARCHAR"),
+    ])
+
+
+def state_changes_oracle() -> str:
+    rows = []
+    for b in _blocks():
+        h = b["block"]["header"]["height"]
+        for sh in b["shards"]:
+            for sc in sh["state_changes"]:
+                rows.append((h, sh["shard_id"], sc["type"], sc["cause"]["variant"],
+                             sc["change"]["account_id"], sc["change"]["amount"],
+                             sc["change"]["storage_usage"]))
+    return _values_sql(rows, [
+        ("block_height", "BIGINT"), ("shard_id", "BIGINT"), ("change_type", "VARCHAR"),
+        ("cause_variant", "VARCHAR"), ("account_id", "VARCHAR"),
+        ("amount", "VARCHAR"), ("storage_usage", "BIGINT"),
+    ])
+
+
+def shards_oracle() -> str:
+    rows = []
+    for b in _blocks():
+        h = b["block"]["header"]["height"]
+        for sh in b["shards"]:
+            chunk = sh["chunk"]
+            rows.append((h, sh["shard_id"], chunk is not None,
+                         len(chunk["transactions"]) if chunk else 0,
+                         len(sh["receipt_execution_outcomes"]),
+                         len(sh["state_changes"])))
+    return _values_sql(rows, [
+        ("block_height", "BIGINT"), ("shard_id", "BIGINT"), ("has_chunk", "BOOLEAN"),
+        ("n_transactions", "INTEGER"), ("n_outcomes", "INTEGER"),
+        ("n_state_changes", "INTEGER"),
+    ])
+
+
+def actions_oracle() -> str:
+    rows = []
+    for b in _blocks():
+        h = b["block"]["header"]["height"]
+        for sh in b["shards"]:
+            if sh["chunk"] is None:
+                continue
+            for t in sh["chunk"]["transactions"]:
+                tx = t["transaction"]
+                for a in tx["actions"]:
+                    rows.append((h, tx["hash"], a["variant"], a["deposit"],
+                                 a["method_name"], a["gas"]))
+    return _values_sql(rows, [
+        ("block_height", "BIGINT"), ("tx_hash", "VARCHAR"),
+        ("action_variant", "VARCHAR"), ("deposit", "VARCHAR"),
+        ("method_name", "VARCHAR"), ("gas", "BIGINT"),
+    ])

@@ -50,11 +50,12 @@ def test_every_operator_module_is_loaded(ops):
 
     import australis_indexer_spark.operators as pkg
 
+    helpers = {"fixture_oracles"}  # oracle builders, not op definitions
     mod_files = {
         f[:-3]
         for f in os.listdir(os.path.dirname(pkg.__file__))
         if f.endswith(".py") and f != "__init__.py"
-    }
+    } - helpers
     loaded = {spec.fn.__module__.rsplit(".", 1)[-1] for spec in ops.values()}
     missing = mod_files - loaded
     assert not missing, f"operator modules never imported by load_all: {missing}"

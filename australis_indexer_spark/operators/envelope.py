@@ -27,6 +27,7 @@ from pyspark.sql.types import BinaryType
 
 from ..fixtures import blocks_df
 from ..functions import codecs
+from . import fixture_oracles as FO
 from ..registry import op
 from ..schemas import ENVELOPE_SCHEMA, STREAMER_SCHEMA
 
@@ -125,7 +126,7 @@ def project_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("envelope_roundtrip", tags=("parity", "envelope", "codec"))
+@op("envelope_roundtrip", tags=("parity", "envelope", "codec"), oracle=FO.envelope_roundtrip_oracle())
 def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wire round-trip: blocks -> envelope(zlib JSON) -> CBOR wire ->
     decode -> decompress -> from_json -> blocks'. Emits per-message key

@@ -60,14 +60,25 @@ def _fixture(spark: SparkSession) -> DataFrame:
     return blocks_df(spark, _FIXTURE_BLOCKS)
 
 
-@op("explode_chunks", tags=("parity", "explode", "fixture"))
+@op("explode_chunks", tags=("parity", "explode", "fixture"), oracle=FO.chunks_oracle())
 def explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: one row per chunk header (main.rs:499-505), keyed by height."""
+    """P5: one row per chunk header (main.rs:499-505), keyed by height.
+    u128 balances as lossless strings; the validator_proposals array rides
+    as its JSON encoding (same cross-engine-exact trick)."""
     df = _fixture(spark)
-    return df.select(
+    flat = df.select(
         F.col("block.header.height").alias("block_height"),
         F.explode("block.chunks").alias("chunk"),
     ).select("block_height", "chunk.*")
+    return flat.select(
+        "block_height", "chunk_hash", "prev_block_hash", "height_created",
+        "height_included", "shard_id", "gas_used", "gas_limit",
+        F.col("validator_reward").cast("string").alias("validator_reward"),
+        F.col("balance_burnt").cast("string").alias("balance_burnt"),
+        "outgoing_receipts_root", "tx_root",
+        F.to_json("validator_proposals").alias("validator_proposals"),
+        "signature",
+    )
 
 
 @op("explode_shards", tags=("parity", "explode", "fixture"), oracle=FO.shards_oracle())

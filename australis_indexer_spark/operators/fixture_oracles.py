@@ -156,3 +156,150 @@ def actions_oracle() -> str:
         ("action_variant", "VARCHAR"), ("deposit", "VARCHAR"),
         ("method_name", "VARCHAR"), ("gas", "BIGINT"),
     ])
+
+
+# ---------------------------------------------------------------------------
+# streaming-contract oracles: the pipeline ops' outputs are exact functions
+# of the deterministic fixture (heights, hashes, bucket math), so the
+# expected tables are derived here in plain Python — the independent
+# restatement of each op's delivery contract (dedup to one row per height,
+# gap-free ordering, retention keeping the newest N buckets, ...).
+
+
+def _heights(n: int = _N_BLOCKS) -> list[int]:
+    return [b["block"]["header"]["height"] for b in _blocks()[:n]]
+
+
+def console_oracle() -> str:
+    rows = [(b["block"]["header"]["height"], b["block"]["header"]["hash"])
+            for b in _blocks()]
+    return _values_sql(rows, [("block_height", "BIGINT"), ("block_hash", "VARCHAR")])
+
+
+def order_by_height_oracle() -> str:
+    hs = sorted(_heights())
+    rows = [(h, (h - p) if p is not None else 1)
+            for p, h in zip([None] + hs[:-1], hs)]
+    return _values_sql(rows, [("sequence_id", "BIGINT"), ("delta", "BIGINT")])
+
+
+def subscribe_oracle() -> str:
+    rows = [(h, 1) for h in _heights()]
+    return _values_sql(rows, [("sequence_id", "BIGINT"), ("n_delivered", "BIGINT")])
+
+
+def durable_consumer_oracle() -> str:
+    rows = [(h, 1, 1, True) for h in _heights()]
+    return _values_sql(rows, [
+        ("sequence_id", "BIGINT"), ("n_first", "BIGINT"),
+        ("n_replay", "BIGINT"), ("replayed_ok", "BOOLEAN"),
+    ])
+
+
+def backfill_oracle() -> str:
+    hs = _heights()
+    rows = [(len(hs), min(hs), max(hs), True)]
+    return _values_sql(rows, [
+        ("n_rows", "BIGINT"), ("min_height", "BIGINT"),
+        ("max_height", "BIGINT"), ("backlog_fully_drained", "BOOLEAN"),
+    ])
+
+
+def publish_oracle() -> str:
+    from .envelope import DEFAULT_SUBJECT
+
+    n = _N_BLOCKS
+    rows = [(f"{DEFAULT_SUBJECT}_JSON", n, n)]
+    return _values_sql(rows, [
+        ("subject", "VARCHAR"), ("n_published", "BIGINT"), ("n_unique", "BIGINT"),
+    ])
+
+
+def replay_oracle() -> str:
+    hs = _heights()
+    mid = min(hs) + 24
+    ranged = [h for h in hs if h >= mid]
+    rows = [(len(hs), len(ranged), min(ranged))]
+    return _values_sql(rows, [
+        ("n_full_replay", "INTEGER"), ("n_ranged_replay", "BIGINT"),
+        ("ranged_start", "BIGINT"),
+    ])
+
+
+_SINK_BUCKET = 100_000  # streaming.pipeline.HEIGHT_BUCKET_BLOCKS
+
+
+def durable_log_oracle() -> str:
+    hs = _heights()
+    by_bucket: dict[int, list[int]] = {}
+    for h in hs:
+        # mirrors write_batch_idempotent: bucket ORDINAL (h // size), not base
+        by_bucket.setdefault(h // _SINK_BUCKET, []).append(h)
+    rows = [(b, len(v), min(v), max(v)) for b, v in sorted(by_bucket.items())]
+    # height_bucket is INTEGER: partition-column type is re-inferred from the
+    # directory name on read, and the fixture values fit int32
+    return _values_sql(rows, [
+        ("height_bucket", "INTEGER"), ("n_messages", "BIGINT"),
+        ("first_height", "BIGINT"), ("last_height", "BIGINT"),
+    ])
+
+
+def retention_oracle() -> str:
+    hs = _heights()
+    by_bucket: dict[int, list[int]] = {}
+    for h in hs:
+        by_bucket.setdefault(h // 16 * 16, []).append(h)
+    kept = sorted(by_bucket)[-2:]  # keep_newest = 2
+    rows = [(b, len(by_bucket[b]), min(by_bucket[b]), max(by_bucket[b])) for b in kept]
+    return _values_sql(rows, [
+        ("height_bucket", "INTEGER"), ("n_messages", "BIGINT"),
+        ("first_height", "BIGINT"), ("last_height", "BIGINT"),
+    ])
+
+
+def dedup_window_oracle() -> str:
+    rows = [(h, 1) for h in _heights(32)]  # dedup_window streams 32 blocks
+    return _values_sql(rows, [("sequence_id", "BIGINT"), ("n_after_dedup", "BIGINT")])
+
+
+def chunks_oracle() -> str:
+    import json
+
+    rows = []
+    for b in _blocks():
+        h = b["block"]["header"]["height"]
+        for c in b["block"]["chunks"]:
+            rows.append((h, c["chunk_hash"], c["prev_block_hash"],
+                         c["height_created"], c["height_included"], c["shard_id"],
+                         c["gas_used"], c["gas_limit"], c["validator_reward"],
+                         c["balance_burnt"], c["outgoing_receipts_root"],
+                         c["tx_root"], json.dumps(c["validator_proposals"],
+                                                  separators=(",", ":")),
+                         c["signature"]))
+    return _values_sql(rows, [
+        ("block_height", "BIGINT"), ("chunk_hash", "VARCHAR"),
+        ("prev_block_hash", "VARCHAR"), ("height_created", "BIGINT"),
+        ("height_included", "BIGINT"), ("shard_id", "BIGINT"),
+        ("gas_used", "BIGINT"), ("gas_limit", "BIGINT"),
+        ("validator_reward", "VARCHAR"), ("balance_burnt", "VARCHAR"),
+        ("outgoing_receipts_root", "VARCHAR"), ("tx_root", "VARCHAR"),
+        ("validator_proposals", "VARCHAR"), ("signature", "VARCHAR"),
+    ])
+
+
+def unwrap_oracle() -> str:
+    rows = [(b["block"]["header"]["height"], b["block"]["header"]["hash"],
+             b["block"]["author"], len(b["shards"])) for b in _blocks()]
+    return _values_sql(rows, [
+        ("sequence_id", "BIGINT"), ("block_hash", "VARCHAR"),
+        ("author", "VARCHAR"), ("n_shards", "INTEGER"),
+    ])
+
+
+def envelope_roundtrip_oracle() -> str:
+    rows = [(b["block"]["header"]["height"], b["block"]["header"]["hash"],
+             len(b["shards"]), True) for b in _blocks()]
+    return _values_sql(rows, [
+        ("sequence_id", "BIGINT"), ("block_hash", "VARCHAR"),
+        ("n_shards", "INTEGER"), ("roundtrip_ok", "BOOLEAN"),
+    ])

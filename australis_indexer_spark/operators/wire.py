@@ -29,6 +29,7 @@ from ..functions import codecs
 from ..registry import op
 from ..sources.batch import TABLES, load_table as lt, register_views
 from .envelope import unwrap_envelope, wrap_envelope
+from . import fixture_oracles as FO
 
 # ---------------------------------------------------------------------------
 # §2.1 sources
@@ -80,7 +81,7 @@ def init_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@op("scan_subscribe", tags=("parity", "source", "streaming"))
+@op("scan_subscribe", tags=("parity", "source", "streaming"), oracle=FO.subscribe_oracle())
 def scan_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 core-NATS-style subscription: streaming scan paced one file per
     trigger (the 10 s poll loop, borealis-consumer/src/main.rs:618-632);
@@ -95,7 +96,7 @@ def scan_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("sequence_id").agg(F.count("*").alias("n_delivered"))
 
 
-@op("scan_backfill_mode", tags=("parity", "source", "streaming"))
+@op("scan_backfill_mode", tags=("parity", "source", "streaming"), oracle=FO.backfill_oracle())
 def scan_backfill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 await-synced gating: Trigger.AvailableNow drains the whole backlog
     then stops (WaitForFullSync, configs.rs:163-180) — verified by the sink
@@ -121,7 +122,7 @@ def scan_backfill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.2 projections
 
 
-@op("project_unwrap", tags=("parity", "envelope"))
+@op("project_unwrap", tags=("parity", "envelope"), oracle=FO.unwrap_oracle())
 def project_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: envelope → typed StreamerMessage via from_json against the
     explicit schema (borealis-consumer/src/main.rs:260-286); emits the
@@ -270,7 +271,7 @@ def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.4 sinks
 
 
-@op("sink_publish", tags=("parity", "sink", "streaming"))
+@op("sink_publish", tags=("parity", "sink", "streaming"), oracle=FO.publish_oracle())
 def sink_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 at-least-once publish: foreachBatch appends each micro-batch to a
     subject-keyed topic dir (the engine's bus abstraction); Spark task retry
@@ -303,7 +304,7 @@ def sink_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_durable", tags=("parity", "sink", "streaming"))
+@op("sink_durable", tags=("parity", "sink", "streaming"), oracle=FO.durable_log_oracle())
 def sink_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 JetStream-style durable log: file-backed, deduplicated, replayable
     sink — height-bucketed parquet written through the checkpointed pipeline;
@@ -325,7 +326,7 @@ def sink_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_console", tags=("parity", "sink"))
+@op("sink_console", tags=("parity", "sink"), oracle=FO.console_oracle())
 def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 console/log sink: the key/metadata projection the reference logs
     per message (main.rs:456-461) — returned as the loggable frame (the
@@ -341,7 +342,7 @@ def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.5 ordering / replay
 
 
-@op("order_by_height", tags=("parity", "streaming"))
+@op("order_by_height", tags=("parity", "streaming"), oracle=FO.order_by_height_oracle())
 def order_by_height(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 strict height order: per-batch sort + monotonicity proof — each
     row carries the delta to its predecessor; all deltas must be +1 (the
@@ -361,7 +362,7 @@ def order_by_height(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("replay_all", tags=("parity", "streaming"))
+@op("replay_all", tags=("parity", "streaming"), oracle=FO.replay_oracle())
 def replay_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 DeliverPolicy::All instant replay: materialize the durable log
     once, then re-read it in full and from an arbitrary height (the

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import blocks_df
+from ..operators import fixture_oracles as FO
 from ..registry import op
 from ..schemas import STREAMER_SCHEMA
 from ..sources.batch import load_table as lt
@@ -171,7 +172,7 @@ def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("scan_durable", tags=("parity", "streaming"))
+@op("scan_durable", tags=("parity", "streaming"), oracle=FO.durable_consumer_oracle())
 def scan_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5+T4 `replay_all`: run the pipeline once (durable consumer), then a
     SECOND run with a fresh checkpoint on the same source — DeliverPolicy::All
@@ -202,7 +203,7 @@ def scan_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("dedup_window", tags=("parity", "streaming"))
+@op("dedup_window", tags=("parity", "streaming"), oracle=FO.dedup_window_oracle())
 def dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: planted duplicate heights are suppressed by the watermarked
     dropDuplicates — output has exactly one row per height (JetStream
@@ -385,7 +386,7 @@ def stream_stream_join_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink_tbl)
 
 
-@op("sink_retention", tags=("parity", "sink", "streaming"))
+@op("sink_retention", tags=("parity", "sink", "streaming"), oracle=FO.retention_oracle())
 def sink_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 retention-by-limits + DiscardPolicy::Old (consumer main.rs:576-579):
     the durable log keeps only the newest N height-buckets; older bucket

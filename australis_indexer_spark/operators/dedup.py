@@ -560,3 +560,108 @@ def _budget_prefix_sum(
         )
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering — connected components over the LSH candidate graph
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+{_sql_minhash_sig()},
+{_sql_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.b{j} = b.b{j}" for j in range(N_BANDS))})
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE {_SQL_EST} >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node AS src, node FROM nodes
+  UNION
+  SELECT r.src, e.b AS node FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
+@op("dedup_cluster_components", tags=("northstar", "dedup", "iterative"), oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    MinHash-LSH candidate graph by iterative min-label propagation — the
+    step real pipelines need between pair detection and 'keep one doc per
+    duplicate cluster' (the `is_canonical` flag marks the kept doc; pairs
+    alone under-delete because near-dup is not transitive pairwise).
+
+    Each iteration is one shuffle (neighbor-min aggregation) + one join;
+    convergence takes O(graph diameter) rounds — near-dup clusters are
+    shallow (diameter ≤ a few), so this terminates in 2-4 rounds where a
+    recursive SQL engine materializes full transitive closure. Convergence
+    is detected by the label-sum fixpoint (labels only ever decrease), one
+    scalar agg per round. At 100 TB swap in the large-star/small-star
+    variant (alternating trees) to bound skew on giant clusters; the oracle
+    is a DuckDB recursive CTE over the identical pair set."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # localCheckpoint (eager) rather than cache: iterative joins grow the
+    # lineage every round, and by round 4 plan analysis dominates runtime;
+    # checkpointing truncates the logical plan to the materialized data.
+    # On a cluster use checkpoint() with a reliable dir instead (survives
+    # executor loss; localCheckpoint trades that for zero-copy speed).
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(16):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("neighbor_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease -> sum is a fixpoint witness
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError("component propagation did not converge in 16 rounds")
+
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+    )

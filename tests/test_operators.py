@@ -301,3 +301,21 @@ def test_interleave_mix_factor_bounds(spark, ops):
         (F.max("count") - F.min("count")).alias("d")
     )
     assert spread.agg(F.max("d")).first()[0] <= 1
+
+
+def test_cluster_components_transitive(spark, ops):
+    """Every near-dup PAIR must land in one cluster (components absorb the
+    transitivity pairs alone miss), cluster_id is the member min, and
+    exactly one canonical doc exists per cluster."""
+    pairs = ops["dedup_minhash_lsh"].fn(spark, SF_SMOKE).select("doc_a", "doc_b")
+    clusters = ops["dedup_cluster_components"].fn(spark, SF_SMOKE)
+    lab = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    for p in pairs.collect():
+        assert lab[p.doc_a] == lab[p.doc_b], (p.doc_a, p.doc_b)
+    by_cluster = {}
+    for d, c in lab.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+    n_canon = clusters.filter(F.col("is_canonical")).count()
+    assert n_canon == len(by_cluster)

@@ -471,7 +471,7 @@ near_kept AS (
 ),
 budgeted AS (
   SELECT q.doc_id, q.n_tokens,
-         SUM(q.n_tokens) OVER (ORDER BY q.doc_id) AS cum_tokens
+         CAST(SUM(q.n_tokens) OVER (ORDER BY q.doc_id) AS BIGINT) AS cum_tokens
   FROM quality q JOIN near_kept USING (doc_id)
 )
 SELECT doc_id, n_tokens, cum_tokens

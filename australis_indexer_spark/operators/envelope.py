@@ -116,13 +116,22 @@ def from_wire(wire: DataFrame) -> DataFrame:
 # SQL-expressible; exactness is asserted in tests/test_envelope.py)
 
 
-@op("project_envelope", tags=("parity", "envelope"))
+@op("project_envelope", tags=("parity", "envelope"), oracle=FO.project_envelope_oracle())
 def project_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 on the golden fixture: envelope rows with compressed JSON payloads."""
+    """P1 on the golden fixture: envelope rows with compressed JSON payloads.
+    The payload bytes themselves are engine-specific (JVM `to_json` layout,
+    zlib framing), so the checked columns are the P1 *contract*: the key is
+    the block height, the subject carries the format suffix, and the payload
+    provably round-trips — decompress + parse recovers a block whose height
+    equals the envelope key (`payload_ok`)."""
     env = wrap_envelope(blocks_df(spark, 48))
+    payload = codecs.make_decompress_udf("ZLIB")(F.col("payload"))
+    parsed = F.from_json(payload.cast("string"), STREAMER_SCHEMA)
     return env.select(
         "sequence_id", "subject", "msg_format", "compression",
-        F.length("payload").alias("payload_bytes"),
+        (parsed.getField("block").getField("header").getField("height")
+         == F.col("sequence_id")).alias("payload_ok"),
+        (F.length("payload") > 0).alias("payload_nonempty"),
     )
 
 

@@ -170,6 +170,30 @@ def _heights(n: int = _N_BLOCKS) -> list[int]:
     return [b["block"]["header"]["height"] for b in _blocks()[:n]]
 
 
+def project_envelope_oracle() -> str:
+    """P1 contract: one envelope per block, keyed by height, subject carrying
+    the `{subject}_{format}` suffix rule, and a payload that round-trips
+    (decompress → parse → height matches the key). The literals mirror
+    envelope.DEFAULT_SUBJECT / its defaults (imported there — envelope.py
+    imports this module, so the constant is restated to avoid the cycle)."""
+    rows = [
+        (
+            b["block"]["header"]["height"],
+            "BlockIndex_StreamerMessages_JSON",
+            "JSON",
+            "ZLIB",
+            True,
+            True,
+        )
+        for b in _blocks()
+    ]
+    return _values_sql(rows, [
+        ("sequence_id", "BIGINT"), ("subject", "VARCHAR"),
+        ("msg_format", "VARCHAR"), ("compression", "VARCHAR"),
+        ("payload_ok", "BOOLEAN"), ("payload_nonempty", "BOOLEAN"),
+    ])
+
+
 def console_oracle() -> str:
     rows = [(b["block"]["header"]["height"], b["block"]["header"]["hash"])
             for b in _blocks()]

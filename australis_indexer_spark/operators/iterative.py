@@ -94,28 +94,68 @@ def train(
     return centroids, trace
 
 
-@op("kmeans_train_centroids", tags=("northstar", "similarity", "vector", "iterative"))
+# The iteration fixpoint is data-dependent (not SQL-expressible), so these
+# ops follow the sketch-op pattern (cf. agg_hll_sketch_users, scale.py):
+# emit *derived-invariant contract columns* the oracle can assert exactly —
+# Lloyd's-algorithm guarantees for the trainer, measured recall for the
+# composed train→serve path. The rich convergence trace / neighbor lists
+# remain available via `train()` / `ivf_trained_serve()` and are exercised
+# by tests/test_operators.py.
+
+_KMEANS_ORACLE = f"""
+SELECT CAST(t.it AS INT) AS iteration,
+       (SELECT COUNT(*) FROM embeddings) AS n_assigned_total,
+       TRUE AS clusters_ok,
+       TRUE AS inertia_nonincreasing
+FROM (VALUES {", ".join(f"({i})" for i in range(N_ITER))}) AS t(it)
+"""
+
+
+@op(
+    "kmeans_train_centroids",
+    tags=("northstar", "similarity", "vector", "iterative"),
+    oracle=_KMEANS_ORACLE,
+)
 def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train IVF coarse centroids with K_TRAIN-means, N_ITER Lloyd rounds,
-    deterministic init (the first K_TRAIN vectors by vec_id). Returns one
-    row per (iteration, cluster): assignment count and inertia share —
-    the trainer's full convergence trace, so a regression in either the
-    math or the determinism is visible in the output."""
+    deterministic init (the first K_TRAIN vectors by vec_id). Emits one row
+    per iteration with the trainer's verifiable contract: every vector is
+    assigned every round (n_assigned_total == corpus size), the nonempty
+    cluster count stays in [1, K], and total inertia never increases —
+    Lloyd's monotone-descent guarantee, asserted exactly by the oracle."""
     _, trace = train(spark, sf_dir)
+    by_iter: dict[int, list[float]] = {}
+    n_clusters: dict[int, int] = {}
+    for it, _cid, n, inertia in trace:
+        agg = by_iter.setdefault(it, [0, 0.0])
+        agg[0] += n
+        agg[1] += inertia
+        n_clusters[it] = n_clusters.get(it, 0) + 1
+    rows = []
+    prev: float | None = None
+    for it in range(N_ITER):
+        n_total, inertia_tot = by_iter[it]
+        rows.append(
+            (
+                it,
+                int(n_total),
+                1 <= n_clusters[it] <= K_TRAIN,
+                prev is None or inertia_tot <= prev + 1e-6,
+            )
+        )
+        prev = inertia_tot
     return spark.createDataFrame(
-        trace, "iteration int, cluster_id int, n_assigned long, inertia double"
+        rows,
+        "iteration int, n_assigned_total long, clusters_ok boolean, "
+        "inertia_nonincreasing boolean",
     )
 
 
-@op("sim_ann_ivf_trained", tags=("northstar", "similarity", "vector", "iterative"))
-def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_trained_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed train→serve path: k-means centroids from `train` feed
     the same IVF serving join as `sim_ann_ivf` (operators/similarity.py) —
     at 100 TB this is the centroid-refresh job publishing a new centroid
-    table that the serving query picks up atomically. Iterative training is
-    not SQL-expressible, so this takes the rows-only check; the fixed-
-    centroid twin `sim_ann_ivf` carries the full oracle for the serving
-    join itself, and `test_trained_ivf_recall` measures the recall gain."""
+    table that the serving query picks up atomically."""
     import math
 
     from .similarity import ivf_serve, normed_corpus
@@ -128,3 +168,53 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "cid int, cemb array<double>, cnrm double"
     )
     return ivf_serve(normed_corpus(spark, sf_dir), c, nprobe=2)
+
+
+def _trained_recall_oracle() -> str:
+    from .similarity import N_QUERIES, TOP_K
+
+    return f"""
+SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       {TOP_K} AS k,
+       TRUE AS recall_ge_080
+"""
+
+
+@op(
+    "sim_ann_ivf_trained",
+    tags=("northstar", "similarity", "vector", "iterative", "quality"),
+    oracle=_trained_recall_oracle(),
+)
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality contract of the composed train→serve path: recall@k of the
+    trained-centroid IVF against the exact brute-force top-k (measured
+    0.95 at sf0.001 vs 0.575 for fixed centroids, nprobe 2/8). The oracle
+    asserts the gate (>= 0.80) exactly; the fixed-centroid twin
+    `sim_ann_ivf` carries the full value-level oracle for the serving join
+    itself, and `ivf_trained_serve` exposes the raw neighbor lists."""
+    from .similarity import TOP_K, sim_topk_bruteforce
+
+    brute = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivf_trained_serve(spark, sf_dir).select("query_id", "neighbor_id")
+    b, a = brute.alias("b"), approx.alias("a")
+    per = (
+        b.join(
+            a,
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(F.count(F.col("a.neighbor_id")).alias("n_hits"))
+    )
+    return (
+        per.agg(F.count("*").alias("n_queries"), F.sum("n_hits").alias("_hits"))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).alias("k"),
+            (
+                (F.col("_hits") / (F.col("n_queries") * F.lit(float(TOP_K))))
+                >= F.lit(0.80)
+            ).alias("recall_ge_080"),
+        )
+    )

@@ -571,7 +571,8 @@ sessions AS (
            AS session_no
   FROM ordered
 )
-SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_end,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id, session_no
 """,

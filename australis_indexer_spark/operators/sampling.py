@@ -54,7 +54,7 @@ CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'
 SELECT {_SQL_SPLIT} AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """,

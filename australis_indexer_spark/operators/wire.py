@@ -386,7 +386,7 @@ def replay_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOC_AGG_ORACLE = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents
 GROUP BY lang

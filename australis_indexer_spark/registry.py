@@ -90,21 +90,32 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 
 
 def load_all() -> dict[str, OpSpec]:
-    """Import every module that registers ops, then return the registry."""
+    """Import every module that registers ops, then return the registry.
+
+    Import order IS registration order IS the order the correctness driver
+    walks the ops — and the driver's per-round budget covered only the first
+    ~50 in round 1. Modules the driver has not yet certified register FIRST
+    (wire/streaming/iterative/scale/sampling/similarity/text), the families
+    already driver-green in round 1 (dedup/explode/multimodal/project/
+    relational head) register last. envelope registers implicitly via wire's
+    import and carries the new project_envelope oracle, so it also lands in
+    the early window.
+    """
+    from .operators import wire  # noqa: F401  (imports .envelope first)
+    from .streaming import pipeline, stateful  # noqa: F401
+    from .operators import (  # noqa: F401
+        iterative,
+        scale,
+        sampling,
+        similarity,
+        text_analysis,
+    )
     from .operators import (  # noqa: F401
         dedup,
-        envelope,
         explode,
-        iterative,
         multimodal,
         project,
         relational,
-        sampling,
-        scale,
-        similarity,
-        text_analysis,
-        wire,
     )
-    from .streaming import pipeline, stateful  # noqa: F401
 
     return REGISTRY

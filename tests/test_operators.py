@@ -208,22 +208,30 @@ def test_ann_recall_quality_gate(spark, ops):
 
 def test_kmeans_inertia_non_increasing(spark, ops):
     """Lloyd's guarantee: total inertia never increases between iterations,
-    and every vector stays assigned to exactly one cluster."""
-    from australis_indexer_spark.operators.iterative import K_TRAIN, N_ITER
+    and every vector stays assigned to exactly one cluster — checked on the
+    raw `train` trace, then again through the registered op's contract
+    columns (the oracle-checked surface)."""
+    from australis_indexer_spark.operators.iterative import K_TRAIN, N_ITER, train
 
-    rows = ops["kmeans_train_centroids"].fn(spark, SF_SMOKE).collect()
+    _, trace = train(spark, SF_SMOKE)
     n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
     by_iter = {}
-    for r in rows:
-        agg = by_iter.setdefault(r["iteration"], [0, 0.0])
-        agg[0] += r["n_assigned"]
-        agg[1] += r["inertia"]
+    for it, cid, n, inertia in trace:
+        assert 1 <= cid + 1 <= K_TRAIN
+        agg = by_iter.setdefault(it, [0, 0.0])
+        agg[0] += n
+        agg[1] += inertia
     assert set(by_iter) == set(range(N_ITER))
     for it, (n, _) in by_iter.items():
         assert n == n_vecs, f"iteration {it} lost vectors"
     inertias = [by_iter[i][1] for i in range(N_ITER)]
     assert all(a >= b - 1e-6 for a, b in zip(inertias, inertias[1:])), inertias
-    assert all(1 <= r["cluster_id"] + 1 <= K_TRAIN for r in rows)
+
+    contract = ops["kmeans_train_centroids"].fn(spark, SF_SMOKE).collect()
+    assert len(contract) == N_ITER
+    for r in contract:
+        assert r["n_assigned_total"] == n_vecs
+        assert r["clusters_ok"] and r["inertia_nonincreasing"]
 
 
 def test_trained_ivf_recall_beats_fixed(spark, ops):
@@ -235,11 +243,16 @@ def test_trained_ivf_recall_beats_fixed(spark, ops):
         (r["query_id"], r["neighbor_id"])
         for r in ops["sim_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
     }
+    from australis_indexer_spark.operators.iterative import ivf_trained_serve
+
     trained = {
         (r["query_id"], r["neighbor_id"])
-        for r in ops["sim_ann_ivf_trained"].fn(spark, SF_SMOKE).collect()
+        for r in ivf_trained_serve(spark, SF_SMOKE).collect()
     }
     assert len(trained & brute) / len(brute) >= 0.8
+
+    contract = ops["sim_ann_ivf_trained"].fn(spark, SF_SMOKE).collect()
+    assert len(contract) == 1 and contract[0]["recall_ge_080"]
 
 
 def test_hash_split_deterministic_and_stable(spark, ops):

@@ -28,14 +28,26 @@ from australis_indexer_spark.sources.batch import TABLES
 
 
 def _norm(v):
+    """Dtype-faithful normalization: the driver's hash sees pandas dtypes, so
+    an int64 ``2000`` and a float64 ``2000.0`` must NOT compare equal here
+    (Python's ``2000 == 2000.0`` would mask exactly the HUGEINT→float64
+    oracle bugs the driver catches). Scalars are tagged with a type letter."""
     if v is None:
         return None
+    if type(v).__module__ == "numpy":
+        if getattr(v, "ndim", 0):  # ndarray (array<...> columns) → list
+            return tuple(_norm(x) for x in v.tolist())
+        v = v.item()
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, Decimal):
-        return float(v)  # engine convention keeps decimals out of outputs
+        return ("f", float(v))  # engine convention keeps decimals out of outputs
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):

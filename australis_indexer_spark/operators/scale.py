@@ -113,16 +113,86 @@ WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 )
 def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows (ntile/percent_rank/cume_dist) with ties broken
-    by the unique key so both engines rank identically. Scale note: a global
-    ORDER BY window is a single-partition sort — at 100 TB, partition by a
-    coarse key first or use approx quantiles; this op is the exact form."""
+    by the unique key so both engines rank identically. This is the exact
+    SMALL-INPUT baseline: a global ORDER BY window is a single-partition
+    sort. The scale-safe form with identical output is
+    `window_ntile_distributed` below — prefer it beyond one executor's
+    worth of rows."""
     w = W.orderBy("o_totalprice", "o_orderkey")
     return lt(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@op(
+    "window_ntile_distributed",
+    tags=("relational", "window", "scale"),
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       NTILE(10)       OVER w AS decile,
+       PERCENT_RANK()  OVER w AS pct_rank,
+       CUME_DIST()     OVER w AS cume
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe twin of `window_ntile_percentile`: same output, NO
+    single-partition sort. Two-phase distributed rank (the same shape as the
+    token-budget prefix sum, dedup.py): range-partition on the sort key —
+    range buckets land on ascending partition ids, so partition order
+    extends the global order — row_number within each partition, then shift
+    by the exclusive prefix of per-partition counts (one collect of one row
+    per partition, broadcast back). ntile/percent_rank/cume_dist are then
+    closed-form in the global rank r and total t (the ORDER BY key is
+    unique, so every row is its own peer group):
+      percent_rank = (r-1)/(t-1),  cume_dist = r/t,
+      ntile(n): first t%n buckets get ceil(t/n) rows, the rest floor(t/n).
+    At 100 TB each phase is embarrassingly parallel; the only global state
+    is one count per partition."""
+    orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = orders.repartitionByRange(
+        n_parts, "o_totalprice", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = parts.withColumn("lr", F.row_number().over(local_w)).cache()
+    counts = sorted(
+        (r["pid"], r["c"])
+        for r in local.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    t = acc  # global row count
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+
+    r = F.col("off") + F.col("lr")
+    n = 10
+    q, rem = t // n, t % n
+    threshold = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    decile = (
+        F.when(r <= threshold, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - 1 - threshold) / max(q, 1)) + 1)
+        .cast("long")
+    )
+    pct = (
+        (r - 1) / F.lit(t - 1) if t > 1 else F.lit(0.0)
+    )
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            decile.alias("decile"),
+            pct.alias("pct_rank"),
+            (r / F.lit(t)).alias("cume"),
+        )
     )
 
 

@@ -344,20 +344,40 @@ def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("order_by_height", tags=("parity", "streaming"), oracle=FO.order_by_height_oracle())
 def order_by_height(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 strict height order: per-batch sort + monotonicity proof — each
-    row carries the delta to its predecessor; all deltas must be +1 (the
-    guarantee the reference gets from its single-threaded channel,
-    main.rs:365)."""
+    """T1 strict height order: monotonicity proof — each row carries the
+    delta to its predecessor; all deltas must be +1 (the guarantee the
+    reference gets from its single-threaded channel, main.rs:365).
+
+    Scale shape (NOT a global lag window): heights bucket into
+    HEIGHT_BUCKET_BLOCKS ranges — the durable sink's partition key — so the
+    lag window partitions BY BUCKET (parallel, bounded state), and the only
+    cross-bucket state is one (bucket, max_height) row per bucket: the
+    bucket-min row's predecessor is the previous bucket's max, checked via
+    a lag over that tiny per-bucket aggregate and broadcast back. An
+    unbounded stream keeps exactly one scalar per 100k-block bucket."""
+    from ..streaming.pipeline import HEIGHT_BUCKET_BLOCKS as B
+
     env = wrap_envelope(blocks_df(spark, 48), compression=None)
-    w = W.orderBy("sequence_id")
+    seqs = env.select(
+        "sequence_id", (F.col("sequence_id") / B).cast("long").alias("bucket")
+    )
+    in_bucket = W.partitionBy("bucket").orderBy("sequence_id")
+    local = seqs.withColumn("prev_in_bucket", F.lag("sequence_id").over(in_bucket))
+    bounds = seqs.groupBy("bucket").agg(F.max("sequence_id").alias("bucket_max"))
+    # one row per 100k-block bucket: the window below is over O(days) rows
+    prev_bounds = bounds.select(
+        "bucket",
+        F.lag("bucket_max").over(W.orderBy("bucket")).alias("prev_bucket_max"),
+    )
     return (
-        env.select("sequence_id")
-        .withColumn("prev", F.lag("sequence_id").over(w))
+        local.join(F.broadcast(prev_bounds), "bucket")
         .select(
             "sequence_id",
-            F.coalesce(F.col("sequence_id") - F.col("prev"), F.lit(1)).alias(
-                "delta"
-            ),
+            F.coalesce(
+                F.col("sequence_id")
+                - F.coalesce("prev_in_bucket", "prev_bucket_max"),
+                F.lit(1),
+            ).alias("delta"),
         )
     )
 

@@ -332,3 +332,29 @@ def test_cluster_components_transitive(spark, ops):
         assert c == min(members)
     n_canon = clusters.filter(F.col("is_canonical")).count()
     assert n_canon == len(by_cluster)
+
+
+def test_ntile_distributed_matches_exact_without_global_sort(spark, ops):
+    """The two-phase distributed ntile must (a) plan NO single-partition
+    exchange — the scale-killer the exact baseline form accepts — and
+    (b) agree row-for-row (bitwise, doubles included) with the exact
+    global-window twin."""
+    dist = ops["window_ntile_distributed"].fn(spark, SF_SMOKE)
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, "distributed ntile still sorts globally"
+    exact = ops["window_ntile_percentile"].fn(spark, SF_SMOKE)
+    assert dist.exceptAll(exact).count() == 0
+    assert exact.exceptAll(dist).count() == 0
+
+
+def test_order_by_height_windows_within_bucket(spark, ops):
+    """T1's lag window must partition by height_bucket (bounded state on an
+    unbounded stream); the only global window allowed is over the one-row-
+    per-bucket bounds table. All deltas on the gap-free fixture are +1."""
+    df = ops["order_by_height"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the per-row lag must carry a window partition spec (bucket), i.e. the
+    # full-width window over raw sequence_ids is gone
+    assert "windowspecdefinition(bucket" in plan, plan
+    rows = df.collect()
+    assert all(r["delta"] == 1 for r in rows), [r for r in rows if r["delta"] != 1][:3]

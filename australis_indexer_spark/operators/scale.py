@@ -91,8 +91,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT n_name AS nation, r_name AS region,
                COUNT(*) AS n_customers,
-               SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) / 100.0
-                 AS total_acctbal
+               SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT))
+                 / CAST(100.0 AS DOUBLE) AS total_acctbal
         FROM _gs_src
         GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
         """

@@ -89,17 +89,44 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
     return deco
 
 
-def load_all() -> dict[str, OpSpec]:
-    """Import every module that registers ops, then return the registry.
+# The correctness driver walks ops in registration order with a ~50-op
+# per-round budget. Rounds 1+2 certified 96/109; these are the ops that have
+# never been inside a driver window (sampling ×4, text ×6, three relational
+# tails), the two rounds' reds re-fixed (grouping sets r2, curation r1), and
+# the formerly rows-only ops that gained oracles in round 3 — they MUST land
+# in the first 50 slots so CORRECTNESS_r3 certifies them.
+_PRIORITY = (
+    "sample_split_hash",
+    "sample_balanced_strata",
+    "sample_reservoir_uniform",
+    "pipeline_interleave_mix",
+    "text_stats_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_count",
+    "text_regex_tokenize",
+    "text_top_terms",
+    "window_session_user",
+    "scalar_funcs_showcase",
+    "window_time_sliding_events",
+    "agg_grouping_sets",
+    "pipeline_corpus_curation",
+    "project_reencode",
+    "stream_stream_join_outcomes",
+    "stream_stateful_gap_tracker",
+    "sink_compaction",
+)
 
-    Import order IS registration order IS the order the correctness driver
-    walks the ops — and the driver's per-round budget covered only the first
-    ~50 in round 1. Modules the driver has not yet certified register FIRST
-    (wire/streaming/iterative/scale/sampling/similarity/text), the families
-    already driver-green in round 1 (dedup/explode/multimodal/project/
-    relational head) register last. envelope registers implicitly via wire's
-    import and carries the new project_envelope oracle, so it also lands in
-    the early window.
+
+def load_all() -> dict[str, OpSpec]:
+    """Import every module that registers ops, then return the registry
+    re-ordered so the driver's next 50-op correctness window covers exactly
+    the ops that most need (re-)certification.
+
+    Decorator execution fixes the raw registration order per module; the
+    explicit ``_PRIORITY`` list then front-loads the never-driver-certified
+    ops, the two fixed former reds, and the newly-oracled ops. Everything
+    else keeps its prior relative order (all already driver-green in r1/r2).
     """
     from .operators import wire  # noqa: F401  (imports .envelope first)
     from .streaming import pipeline, stateful  # noqa: F401
@@ -118,4 +145,11 @@ def load_all() -> dict[str, OpSpec]:
         relational,
     )
 
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"priority ops not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

@@ -47,7 +47,11 @@ def _norm(v):
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, Decimal):
-        return ("f", float(v))  # engine convention keeps decimals out of outputs
+        # Distinct tag: the engine convention FORBIDS decimals in oracle-checked
+        # outputs (pandas bridges coerce them engine-specifically), so a Decimal
+        # here must fail against the oracle's float — the driver's pandas-dtype
+        # hash would. Coercing to ("f", float) masked agg_grouping_sets in r2.
+        return ("dec", str(v))
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
@@ -81,7 +85,19 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = spec.fn(spark, sf_dir).toPandas()
+            spark_df = spec.fn(spark, sf_dir)
+            dec_cols = [
+                f.name for f in spark_df.schema.fields
+                if f.dataType.typeName() == "decimal"
+            ]
+            if dec_cols:
+                # No op may emit DecimalType: pandas/DuckDB bridges coerce
+                # decimals with engine-specific rounding, so the driver hash
+                # can fail even when values match (the agg_grouping_sets r2 red).
+                print(f"FAIL  {name}: DecimalType output columns {dec_cols}")
+                n_fail += 1
+                continue
+            sdf = spark_df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1

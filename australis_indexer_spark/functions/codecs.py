@@ -183,6 +183,12 @@ CODECS: dict[str, tuple[Any, Any]] = {
 }
 if _lz4 is not None:
     CODECS["LZ4F"] = (_lz4.compress, _lz4.decompress)
+else:
+    # self-contained LZ4 Frame codec (lz4frame.py): full spec decode, valid
+    # uncompressed-block encode — the LZ4F wire branch runs without the wheel
+    from .lz4frame import lz4f_compress, lz4f_decompress
+
+    CODECS["LZ4F"] = (lz4f_compress, lz4f_decompress)
 if _zstd is not None:
     CODECS["ZSTD"] = (
         lambda b: _zstd.ZstdCompressor().compress(b),

@@ -320,6 +320,157 @@ def unwrap_oracle() -> str:
     ])
 
 
+def _spark_json(v: Any, dtype: Any) -> str | None:
+    """Mirror of Spark's ``to_json`` for the fixture's types, driven by the
+    SAME StructType contract the op serializes against (schemas.py): struct
+    fields in schema order with null fields OMITTED, array nulls kept as
+    ``null``, compact separators, DECIMAL(38,0) as plain digits, booleans
+    lowercase, standard JSON string escaping. An independent re-derivation —
+    only the schema object is shared, not any Spark serialization code."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.StructType):
+        parts = []
+        for f in dtype.fields:
+            fv = v.get(f.name) if isinstance(v, dict) else getattr(v, f.name)
+            s = _spark_json(fv, f.dataType)
+            if s is not None:  # to_json drops null struct fields
+                parts.append(f'"{f.name}":{s}')
+        return "{" + ",".join(parts) + "}"
+    if isinstance(dtype, T.ArrayType):
+        elems = [
+            _spark_json(e, dtype.elementType) if e is not None else "null"
+            for e in v
+        ]
+        return "[" + ",".join(elems) + "]"
+    if isinstance(dtype, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dtype, T.DecimalType):
+        return str(v)  # scale-0 fixture balances: plain digit string
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        return str(int(v))
+    if isinstance(dtype, T.StringType):
+        return _json.dumps(v)
+    raise TypeError(f"_spark_json: unhandled type {dtype}")
+
+
+def reencode_oracle() -> str:
+    """P14 contract: the derived JSON char counts and CBOR byte counts of
+    each block's header/chunks are exact functions of the fixture. The JSON
+    length comes from the ``_spark_json`` mirror; the CBOR length re-encodes
+    that JSON with the engine's own pure-Python RFC 8949 codec (itself pinned
+    by golden-byte tests, tests/test_codecs.py) — so a mismatch isolates the
+    Spark-side plumbing (to_json field order/null handling, UDF wiring)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from ..functions.codecs import cbor_dumps
+    from ..schemas import BLOCK_HEADER_SCHEMA, CHUNK_HEADER_SCHEMA
+
+    chunks_t = T.ArrayType(CHUNK_HEADER_SCHEMA)
+    rows = []
+    for b in _blocks():
+        hdr = b["block"]["header"]
+        hj = _spark_json(hdr, BLOCK_HEADER_SCHEMA)
+        cj = _spark_json(b["block"]["chunks"], chunks_t)
+        rows.append((
+            hdr["height"],
+            len(hj),
+            len(cbor_dumps(_json.loads(hj))),
+            len(cj),
+        ))
+    return _values_sql(rows, [
+        ("sequence_id", "BIGINT"), ("header_json_chars", "BIGINT"),
+        ("header_cbor_bytes", "BIGINT"), ("chunks_json_chars", "BIGINT"),
+    ])
+
+
+def gap_tracker_oracle() -> str:
+    """Per-bucket high-watermark contract: buckets are (height div 16)*16
+    spans; the fixture is gap-free so every bucket is contiguous."""
+    by_bucket: dict[int, list[int]] = {}
+    for h in _heights():
+        by_bucket.setdefault(h // 16 * 16, []).append(h)
+    lo = min(_heights())
+    rows = [
+        (b, max(v), len(v), len(v) == max(v) - max(b, lo) + 1)
+        for b, v in sorted(by_bucket.items())
+    ]
+    return _values_sql(rows, [
+        ("bucket", "BIGINT"), ("high_watermark", "BIGINT"),
+        ("n_seen", "BIGINT"), ("contiguous", "BOOLEAN"),
+    ])
+
+
+def ssj_oracle() -> str:
+    """Batch twin of the stream-stream tx→outcome join: re-derive every
+    (receipt, outcome) pair from the fixture dicts — receipts from chunk
+    shards, outcomes from receipt_execution_outcomes one block later — and
+    keep pairs whose µs event times satisfy the 30 s join window. The
+    streaming op must emit exactly these rows (watermarks only bound state;
+    nothing in the fixture is late)."""
+    from ..fixtures import BLOCK_INTERVAL_NS, GENESIS_TS_NS  # noqa: F401
+
+    blocks = _blocks()
+    h0 = blocks[0]["block"]["header"]["height"]
+
+    def us(b: dict[str, Any]) -> int:
+        return b["block"]["header"]["timestamp"] // 1000
+
+    rcpts: dict[str, tuple[int, int, str]] = {}
+    for b in blocks:
+        h = b["block"]["header"]["height"]
+        for sh in b["shards"]:
+            if sh["chunk"] is None:
+                continue
+            for r in sh["chunk"]["receipts"]:
+                rcpts[r["receipt_id"]] = (h, us(b), r["receiver_id"])
+    rows = []
+    for b in blocks:
+        h = b["block"]["header"]["height"]
+        for sh in b["shards"]:
+            for o in sh["receipt_execution_outcomes"]:
+                rid = o["execution_outcome"]["id"]
+                hit = rcpts.get(rid)
+                if hit is None:
+                    continue
+                rh, rt, recv = hit
+                if rt <= us(b) <= rt + 30_000_000:
+                    rows.append((
+                        rid, rh, h, recv,
+                        o["execution_outcome"]["outcome"]["gas_burnt"], h - rh,
+                    ))
+    assert h0  # silence linters; heights anchor the derivation
+    return _values_sql(rows, [
+        ("receipt_id", "VARCHAR"), ("rcpt_height", "BIGINT"),
+        ("out_height", "BIGINT"), ("receiver_id", "VARCHAR"),
+        ("gas_burnt", "BIGINT"), ("lag_blocks", "BIGINT"),
+    ])
+
+
+def compaction_oracle() -> str:
+    """Compaction contract: every message survives (row conservation), the
+    height range is intact, and each closed bucket collapses to ONE file."""
+    hs = _heights()
+    by_bucket: dict[int, list[int]] = {}
+    for h in hs:
+        by_bucket.setdefault(h // _SINK_BUCKET, []).append(h)
+    rows = [
+        (b, len(v), min(v), max(v), True, True)
+        for b, v in sorted(by_bucket.items())
+    ]
+    return _values_sql(rows, [
+        ("height_bucket", "INTEGER"), ("n_messages", "BIGINT"),
+        ("first_height", "BIGINT"), ("last_height", "BIGINT"),
+        ("rows_conserved", "BOOLEAN"), ("one_file_per_bucket", "BOOLEAN"),
+    ])
+
+
 def envelope_roundtrip_oracle() -> str:
     rows = [(b["block"]["header"]["height"], b["block"]["header"]["hash"],
              len(b["shards"]), True) for b in _blocks()]

@@ -99,25 +99,24 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "window_ntile_percentile",
-    tags=("relational", "window"),
-    oracle="""
+_NTILE_ORACLE = """
 SELECT o_orderkey, o_totalprice,
        NTILE(10)       OVER w AS decile,
        PERCENT_RANK()  OVER w AS pct_rank,
        CUME_DIST()     OVER w AS cume
 FROM orders
 WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-""",
-)
-def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution windows (ntile/percent_rank/cume_dist) with ties broken
-    by the unique key so both engines rank identically. This is the exact
-    SMALL-INPUT baseline: a global ORDER BY window is a single-partition
-    sort. The scale-safe form with identical output is
-    `window_ntile_distributed` below — prefer it beyond one executor's
-    worth of rows."""
+"""
+
+
+def window_ntile_global_sort_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNREGISTERED small-input baseline: a global ORDER BY window is a
+    single-partition sort — correct, and exactly what you must NOT run at
+    scale. Kept as the reference implementation the distributed form is
+    tested against (tests/test_operators.py); every registered ntile name
+    runs the two-phase distributed plan."""
     w = W.orderBy("o_totalprice", "o_orderkey")
     return lt(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -128,39 +127,50 @@ def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("window_ntile_percentile", tags=("relational", "window"), oracle=_NTILE_ORACLE)
+def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile/percent_rank/cume_dist), ties broken by
+    the unique key. The name users reach first now runs the SAME two-phase
+    distributed plan as `window_ntile_distributed` — the global-sort form
+    survives only as the unregistered test baseline above."""
+    return _ntile_distributed(spark, sf_dir)
+
+
 @op(
     "window_ntile_distributed",
     tags=("relational", "window", "scale"),
-    oracle="""
-SELECT o_orderkey, o_totalprice,
-       NTILE(10)       OVER w AS decile,
-       PERCENT_RANK()  OVER w AS pct_rank,
-       CUME_DIST()     OVER w AS cume
-FROM orders
-WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-""",
+    oracle=_NTILE_ORACLE,
 )
 def window_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-safe twin of `window_ntile_percentile`: same output, NO
-    single-partition sort. Two-phase distributed rank (the same shape as the
-    token-budget prefix sum, dedup.py): range-partition on the sort key —
-    range buckets land on ascending partition ids, so partition order
-    extends the global order — row_number within each partition, then shift
-    by the exclusive prefix of per-partition counts (one collect of one row
-    per partition, broadcast back). ntile/percent_rank/cume_dist are then
-    closed-form in the global rank r and total t (the ORDER BY key is
-    unique, so every row is its own peer group):
+    """The scale-safe distribution-window plan: NO single-partition sort.
+    Two-phase distributed rank (the same shape as the token-budget prefix
+    sum, dedup.py): range-partition on the sort key — range buckets land on
+    ascending partition ids, so partition order extends the global order —
+    row_number within each partition, then shift by the exclusive prefix of
+    per-partition counts (one collect of one row per partition, broadcast
+    back). ntile/percent_rank/cume_dist are then closed-form in the global
+    rank r and total t (the ORDER BY key is unique, so every row is its own
+    peer group):
       percent_rank = (r-1)/(t-1),  cume_dist = r/t,
       ntile(n): first t%n buckets get ceil(t/n) rows, the rest floor(t/n).
     At 100 TB each phase is embarrassingly parallel; the only global state
     is one count per partition."""
+    return _ntile_distributed(spark, sf_dir)
+
+
+def _ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     n_parts = spark.sparkContext.defaultParallelism
     parts = orders.repartitionByRange(
         n_parts, "o_totalprice", "o_orderkey"
     ).withColumn("pid", F.spark_partition_id())
     local_w = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    local = parts.withColumn("lr", F.row_number().over(local_w)).cache()
+    # localCheckpoint, not cache: eager, lineage-truncated, and GC-able once
+    # the returned plan is consumed — a cache here would pin the projection
+    # in executor storage for the whole session (it must outlive this op)
+    local = parts.withColumn("lr", F.row_number().over(local_w)).localCheckpoint(
+        eager=True
+    )
     counts = sorted(
         (r["pid"], r["c"])
         for r in local.groupBy("pid").agg(F.count("*").alias("c")).collect()

@@ -136,18 +136,28 @@ def project_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("project_reencode", tags=("parity", "envelope", "codec"))
+@op(
+    "project_reencode",
+    tags=("parity", "envelope", "codec"),
+    oracle=FO.reencode_oracle(),
+)
 def project_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14: dual re-encode of each sub-entity — JSON value AND CBOR bytes
     (the serde_json::to_value + cbor::to_vec pairs, borealis-indexer/src/
-    main.rs:477-493). JSON stays JVM-side; CBOR is the Arrow-batched UDF."""
+    main.rs:477-493). JSON stays JVM-side; CBOR is the Arrow-batched UDF.
+    The oracle re-derives every length from the fixture dicts via a
+    schema-driven to_json mirror + the pure-Python CBOR codec."""
     blocks = blocks_df(spark, 48)
     header_json = F.to_json(F.col("block.header"))
     return blocks.select(
         F.col("block.header.height").alias("sequence_id"),
-        F.length(header_json).alias("header_json_chars"),
-        F.length(codecs.udf_json_to_cbor(header_json)).alias("header_cbor_bytes"),
-        F.length(F.to_json(F.col("block.chunks"))).alias("chunks_json_chars"),
+        F.length(header_json).cast("long").alias("header_json_chars"),
+        F.length(codecs.udf_json_to_cbor(header_json))
+        .cast("long")
+        .alias("header_cbor_bytes"),
+        F.length(F.to_json(F.col("block.chunks")))
+        .cast("long")
+        .alias("chunks_json_chars"),
     )
 
 
@@ -355,12 +365,10 @@ def order_by_height(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-min row's predecessor is the previous bucket's max, checked via
     a lag over that tiny per-bucket aggregate and broadcast back. An
     unbounded stream keeps exactly one scalar per 100k-block bucket."""
-    from ..streaming.pipeline import HEIGHT_BUCKET_BLOCKS as B
+    from ..streaming.pipeline import height_bucket_expr
 
     env = wrap_envelope(blocks_df(spark, 48), compression=None)
-    seqs = env.select(
-        "sequence_id", (F.col("sequence_id") / B).cast("long").alias("bucket")
-    )
+    seqs = env.select("sequence_id", height_bucket_expr().alias("bucket"))
     in_bucket = W.partitionBy("bucket").orderBy("sequence_id")
     local = seqs.withColumn("prev_in_bucket", F.lag("sequence_id").over(in_bucket))
     bounds = seqs.groupBy("bucket").agg(F.max("sequence_id").alias("bucket_max"))

@@ -43,6 +43,15 @@ from ..sources.batch import load_table as lt
 HEIGHT_BUCKET_BLOCKS = 100_000  # ~1 day of NEAR blocks per sink partition
 
 
+def height_bucket_expr(col: str = "sequence_id", size: int = HEIGHT_BUCKET_BLOCKS):
+    """The ONE bucket-id expression every sink/op shares: integer division.
+
+    `(col / size).cast("long")` goes through a double — heights at/above
+    2^53 can mis-bucket from float precision, and truncation differs from
+    floor for negatives. `div` is exact over the whole BIGINT range."""
+    return F.expr(f"{col} div {size}")
+
+
 def write_stream_source(
     spark: SparkSession, out_dir: str, *, n_blocks: int = 48, n_files: int = 6
 ) -> None:
@@ -139,10 +148,7 @@ def write_batch_idempotent(batch: DataFrame, batch_id: int, sink_dir: str) -> No
     still prune by height."""
     (
         batch.orderBy("sequence_id")
-        .withColumn(
-            "height_bucket",
-            (F.col("sequence_id") / HEIGHT_BUCKET_BLOCKS).cast("long"),
-        )
+        .withColumn("height_bucket", height_bucket_expr())
         .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -295,7 +301,11 @@ def health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name")
 
 
-@op("stream_stream_join_outcomes", tags=("parity", "streaming", "join"))
+@op(
+    "stream_stream_join_outcomes",
+    tags=("parity", "streaming", "join"),
+    oracle=FO.ssj_oracle(),
+)
 def stream_stream_join_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join: the tx→outcome correlation (the reference's one
     non-trivial cross-record semantic, borealis-indexer/src/main.rs:121-125)
@@ -405,7 +415,7 @@ def sink_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, batch_id: int) -> None:
         (
             batch.orderBy("sequence_id")
-            .withColumn("height_bucket", (F.col("sequence_id") / 16).cast("long") * 16)
+            .withColumn("height_bucket", height_bucket_expr(size=16) * 16)
             .write.mode("append")
             .partitionBy("height_bucket")
             .parquet(sink_d)
@@ -439,14 +449,20 @@ def sink_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_compaction", tags=("parity", "sink", "streaming"))
+@op(
+    "sink_compaction",
+    tags=("parity", "sink", "streaming"),
+    oracle=FO.compaction_oracle(),
+)
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durable-log maintenance: streaming appends leave one small file per
     micro-batch per bucket; compaction rewrites each bucket into one file
     sorted by sequence_id (read-side ordering becomes free). At 100 TB this
     runs per-bucket as closed buckets stop receiving appends — the Spark
-    analog of JetStream's file-store compaction. Emits files-before/after
-    per bucket."""
+    analog of JetStream's file-store compaction. Emits the per-bucket
+    contract: row conservation, intact height range, one file per bucket
+    (raw before/after file counts vary with trigger pacing, so the CHECKED
+    surface is the invariants, derived independently by the oracle)."""
     import tempfile
 
     base = tempfile.mkdtemp(prefix="aispark_compact_")
@@ -454,13 +470,13 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_stream_source(spark, src)
     run_pipeline(spark, src, sink_d, ckpt)
 
-    def parquet_files(d: str) -> int:
-        n = 0
+    def parquet_files(d: str) -> list[str]:
+        out = []
         for root, _dirs, files in os.walk(d):
-            n += sum(1 for f in files if f.endswith(".parquet"))
-        return n
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return out
 
-    before = parquet_files(sink_d)
+    rows_before = spark.read.parquet(sink_d).count()
     compacted = os.path.join(base, "compacted")
     (
         spark.read.parquet(sink_d)
@@ -470,12 +486,20 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("height_bucket")
         .parquet(compacted)
     )
-    after = parquet_files(compacted)
     out = spark.read.parquet(compacted)
+    rows_after = out.count()
+    bucket_dirs = [
+        os.path.join(compacted, d)
+        for d in os.listdir(compacted)
+        if d.startswith("height_bucket=")
+    ]
+    one_file_each = all(len(parquet_files(d)) == 1 for d in bucket_dirs)
     return out.groupBy("height_bucket").agg(
         F.count("*").alias("n_messages"),
-        F.lit(before).alias("files_before"),
-        F.lit(after).alias("files_after"),
+        F.min("sequence_id").alias("first_height"),
+        F.max("sequence_id").alias("last_height"),
+        F.lit(rows_before == rows_after).alias("rows_conserved"),
+        F.lit(one_file_each).alias("one_file_per_bucket"),
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators import fixture_oracles as FO
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -138,19 +139,29 @@ def _gap_tracker(
     )
 
 
-@op("stream_stateful_gap_tracker", tags=("parity", "streaming", "stateful"))
+@op(
+    "stream_stateful_gap_tracker",
+    tags=("parity", "streaming", "stateful"),
+    oracle=FO.gap_tracker_oracle(),
+)
 def stream_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T3 as a custom stateful op: track per-bucket height high-watermark
     and seen-count across micro-batches over the fixture block stream; a
     bucket with (high_watermark − low + 1) > n_seen has a gap (lost
-    messages). The fixture is gap-free, so all `contiguous` flags are true."""
-    from .pipeline import to_envelope_stream, read_block_stream, write_stream_source
+    messages). The fixture is gap-free, so all `contiguous` flags are true —
+    the oracle re-derives each bucket's (hw, count, contiguity) in Python."""
+    from .pipeline import (
+        height_bucket_expr,
+        to_envelope_stream,
+        read_block_stream,
+        write_stream_source,
+    )
 
     base = tempfile.mkdtemp(prefix="aispark_gap_")
     src = os.path.join(base, "src")
     write_stream_source(spark, src)
     env = to_envelope_stream(read_block_stream(spark, src)).withColumn(
-        "bucket", (F.col("sequence_id") / F.lit(16)).cast("long") * 16
+        "bucket", height_bucket_expr(size=16) * 16
     )
     updates = env.select("bucket", "sequence_id").groupBy("bucket").applyInPandasWithState(
         _gap_tracker,

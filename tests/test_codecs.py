@@ -75,6 +75,113 @@ def test_compression_roundtrip_property(data):
     assert codecs.decompress(data, None) == data
 
 
+def test_xxh32_known_vectors():
+    """xxHash32 pinned to the published test vectors (xxHash spec repo) —
+    the frame checksums below are only as good as this hash."""
+    from australis_indexer_spark.functions.lz4frame import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"abc") == 0x32D153FF
+
+
+# A 60-byte payload whose LZ4 block was HAND-ENCODED from the public block
+# spec: one sequence of 20 literals + a (offset=20, len=35) overlap match,
+# then the mandatory literals-only tail — so decoding exercises the
+# token/extension/match-copy path, not just stored blocks. The frame wraps
+# it per the frame spec with content-size + content-checksum set. Any
+# compliant LZ4F decoder (including the reference's `lzzzz`) accepts these
+# exact bytes (reference wire: borealis-indexer/src/main.rs:369,
+# borealis-consumer/src/main.rs:269-272).
+_LZ4F_GOLDEN_PAYLOAD = b"NEAR blocks stream. " * 3
+_LZ4F_GOLDEN_FRAME = bytes.fromhex(
+    "04224d186c403c00000000000000381f000000ff054e45415220626c6f636b7320"
+    "73747265616d2e201400105065616d2e2000000000c96561dc"
+)
+
+
+def test_lz4f_golden_frame_decodes():
+    from australis_indexer_spark.functions.lz4frame import lz4f_decompress
+
+    assert lz4f_decompress(_LZ4F_GOLDEN_FRAME) == _LZ4F_GOLDEN_PAYLOAD
+
+
+def test_lz4f_checksums_enforced():
+    import pytest
+
+    from australis_indexer_spark.functions.lz4frame import lz4f_decompress
+
+    bad = bytearray(_LZ4F_GOLDEN_FRAME)
+    bad[-1] ^= 0xFF  # corrupt content checksum
+    with pytest.raises(ValueError, match="content checksum"):
+        lz4f_decompress(bytes(bad))
+    bad = bytearray(_LZ4F_GOLDEN_FRAME)
+    bad[14] ^= 0xFF  # corrupt header checksum byte
+    with pytest.raises(ValueError, match="header checksum"):
+        lz4f_decompress(bytes(bad))
+
+
+def test_lz4f_roundtrip_and_wire_branch_registered():
+    """The LZ4F CODECS branch always runs now: real wheel when present,
+    else the self-contained frame codec — never silently absent."""
+    from australis_indexer_spark.functions.lz4frame import (
+        lz4f_compress,
+        lz4f_decompress,
+    )
+
+    assert "LZ4F" in codecs.CODECS
+    for payload in (b"", b"x", _LZ4F_GOLDEN_PAYLOAD, bytes(range(256)) * 1024):
+        assert lz4f_decompress(lz4f_compress(payload)) == payload
+        assert codecs.decompress(codecs.compress(payload, "LZ4F"), "LZ4F") == payload
+
+
+def test_lz4f_cross_check_real_wheel():
+    """When the real `lz4` wheel exists, both directions must interoperate
+    with it; recorded skip otherwise (wheel not in this container)."""
+    import pytest
+
+    try:
+        import lz4.frame as real
+    except ImportError:
+        pytest.skip("lz4 wheel absent: cross-check runs where it is installed")
+    from australis_indexer_spark.functions.lz4frame import (
+        lz4f_compress,
+        lz4f_decompress,
+    )
+
+    payload = _LZ4F_GOLDEN_PAYLOAD * 100
+    assert real.decompress(lz4f_compress(payload)) == payload
+    assert lz4f_decompress(real.compress(payload)) == payload
+    assert real.decompress(_LZ4F_GOLDEN_FRAME) == _LZ4F_GOLDEN_PAYLOAD
+
+
+# Zstd frame with a RAW block, hand-built from RFC 8878 (magic, single-
+# segment frame header with 1-byte frame content size, last-block raw block
+# header): compliant decoders accept it without any compression machinery.
+_ZSTD_GOLDEN_PAYLOAD = b"NEAR wire parity."
+_ZSTD_GOLDEN_FRAME = bytes.fromhex(
+    "28b52ffd20118900004e4541522077697265207061726974792e"
+)
+
+
+def test_zstd_golden_frame():
+    """Zstd branch: full decode needs the real library (FSE/Huffman — out of
+    scope for a pure-Python stand-in); the golden raw-block frame pins the
+    wire bytes and runs wherever the wheel exists."""
+    import pytest
+
+    try:
+        import zstandard
+    except ImportError:
+        pytest.skip(
+            "zstandard wheel absent: Zstd wire branch requires the real "
+            "codec; golden frame pinned for environments that have it"
+        )
+    assert (
+        zstandard.ZstdDecompressor().decompress(_ZSTD_GOLDEN_FRAME)
+        == _ZSTD_GOLDEN_PAYLOAD
+    )
+
+
 def test_large_int_survives():
     """u128 yoctoNEAR amounts (34-digit total_supply, main.rs:152) survive
     both as strings and as RFC 8949 bignum-tagged integers."""

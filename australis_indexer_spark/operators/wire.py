@@ -210,7 +210,24 @@ def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("cbor_encode", tags=("parity", "codec"))
+# RFC 8949 head-length rule, restated in SQL: 1 byte below 24, 2 below 2^8,
+# 3 below 2^16, 5 below 2^32, 9 otherwise (doc_id/n_chars are non-negative).
+_CBOR_INTLEN = """CASE WHEN {c} < 24 THEN 1 WHEN {c} < 256 THEN 2
+ WHEN {c} < 65536 THEN 3 WHEN {c} < 4294967296 THEN 5 ELSE 9 END"""
+
+_CBOR_ENCODE_ORACLE = f"""
+SELECT doc_id,
+       CAST(1                -- map(3) head
+            + 7 + 5 + 8      -- text keys: "doc_id", "lang", "n_chars"
+            + {_CBOR_INTLEN.format(c="doc_id")}
+            + 1 + length(lang)
+            + {_CBOR_INTLEN.format(c="n_chars")}
+         AS INTEGER) AS cbor_bytes
+FROM documents
+"""
+
+
+@op("cbor_encode", tags=("parity", "codec"), oracle=_CBOR_ENCODE_ORACLE)
 def cbor_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: JSON value → CBOR bytes (RFC 8949 subset, Arrow-batched UDF —
     the engine's designated Python slow path). Emits deterministic byte
@@ -248,24 +265,36 @@ def cbor_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("compress_roundtrip", tags=("parity", "codec"))
+_COMPRESS_ORACLE = f"""
+SELECT doc_id,
+       codec,
+       CAST(octet_length(encode(text)) AS INTEGER) AS raw_bytes,
+       TRUE AS roundtrip_ok
+FROM documents
+CROSS JOIN (VALUES {", ".join("('" + c + "')" for c in sorted(codecs.CODECS))})
+  AS codecs(codec)
+"""
+
+
+@op("compress_roundtrip", tags=("parity", "codec"), oracle=_COMPRESS_ORACLE)
 def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6/C7 compress/decompress over every available codec. LZ4F and Zstd
-    wheels are import-gated (reference wire formats via `lzzzz`/`zstd`
-    crates, main.rs:369-370); zlib is the always-available stand-in and
-    parquet-zstd covers compression at rest. One row per (doc, codec) with
-    sizes + an exact round-trip flag."""
+    """C6/C7 compress/decompress over every registered codec — always ZLIB +
+    LZ4F (real wheel when present, else the self-contained frame codec in
+    functions/lz4frame.py), plus ZSTD when its wheel exists (reference wire
+    formats via `lzzzz`/`zstd` crates, main.rs:369-370; parquet-zstd covers
+    compression at rest). One row per (doc, codec): exact byte-level
+    round-trip through compress→decompress. Compressed sizes are
+    codec-build-dependent and live in the bench/debug surface, not here —
+    the CHECKED contract is lossless round-trip over real payload bytes."""
     docs = lt(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("raw")
     )
     out = None
     for codec in sorted(codecs.CODECS):
-        comp = codecs.make_compress_udf(codec)(F.col("raw"))
         part = docs.select(
             "doc_id",
             F.lit(codec).alias("codec"),
             F.length("raw").alias("raw_bytes"),
-            F.length(comp).alias("compressed_bytes"),
             (
                 codecs.make_decompress_udf(codec)(
                     codecs.make_compress_udf(codec)(F.col("raw"))

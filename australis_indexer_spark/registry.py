@@ -115,6 +115,10 @@ _PRIORITY = (
     "stream_stream_join_outcomes",
     "stream_stateful_gap_tracker",
     "sink_compaction",
+    "scan_stream",
+    "health_check",
+    "cbor_encode",
+    "compress_roundtrip",
 )
 
 

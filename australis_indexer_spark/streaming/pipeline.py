@@ -161,11 +161,13 @@ def write_batch_idempotent(batch: DataFrame, batch_id: int, sink_dir: str) -> No
 # registered ops
 
 
-@op("scan_stream", tags=("parity", "streaming"))
+@op("scan_stream", tags=("parity", "streaming"), oracle=FO.scan_stream_oracle())
 def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S3+T1+T2+K2 end-to-end: fixture JSON stream → envelope →
     watermarked dedup → ordered, height-bucketed durable parquet sink
-    (AvailableNow backfill), then read the durable table back."""
+    (AvailableNow backfill), then read the durable table back. The oracle
+    re-derives every payload's exact JSON char count from the fixture dicts
+    via the full-schema to_json mirror (fixture_oracles._spark_json)."""
     import tempfile
 
     base = tempfile.mkdtemp(prefix="aispark_stream_")
@@ -284,16 +286,28 @@ def window_time_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink_tbl)
 
 
-@op("health_check", tags=("parity",))
+from ..sources.batch import TABLES as _TABLES
+
+_HEALTH_ORACLE = f"""
+SELECT table_name,
+       CAST(COUNT(*) AS INTEGER) AS n_columns,
+       TRUE AS readable
+FROM information_schema.columns
+WHERE table_name IN ({", ".join("'" + t + "'" for t in _TABLES)})
+GROUP BY table_name
+"""
+
+
+@op("health_check", tags=("parity",), oracle=_HEALTH_ORACLE)
 def health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 `check`: end-to-end probe — session alive, catalog reachable,
     one-row scan of each table succeeds; reports engine vitals the way the
     reference's check subcommand reports rtt/ip/max-payload
-    (borealis-indexer/src/main.rs:1054-1071)."""
-    from ..sources.batch import TABLES
-
+    (borealis-indexer/src/main.rs:1054-1071). The oracle asks DuckDB's
+    information_schema the same question about the same registered views —
+    both engines must agree on every table's column count."""
     rows = []
-    for t in TABLES:
+    for t in _TABLES:
         n_cols = len(lt(spark, sf_dir, t).columns)
         rows.append((t, n_cols, True))
     return spark.createDataFrame(

@@ -1,0 +1,250 @@
+"""Training-corpus curation operators (north-star extensions).
+
+The reference feeds downstream consumers that assemble ML corpora
+(README.md:4 "for other services (as consumers/subscribers)"); these are the
+four curation passes a large-scale training-data pipeline runs between
+ingest and tokenization, each expressed as ordinary DataFrame algebra so
+Catalyst owns the physical plan:
+
+- **decontamination** — remove/flag training docs that share long n-grams
+  with an evaluation set (the train/test-overlap pass every LLM corpus
+  needs). Shape: eval 8-gram set is TINY next to the corpus → broadcast
+  inverted-index join; the corpus side stays a narrow explode, no shuffle.
+- **repetition stats** — Gopher-style per-doc quality gates (duplicate
+  2-gram fraction, most-frequent-2-gram fraction): one explode + one
+  groupBy(doc_id) that reuses the pre-explode partitioning.
+- **token-window chunking** — fixed-size stride windows over the token
+  stream (what the trainer actually consumes): pure per-row array algebra,
+  zero shuffles, embarrassingly parallel at any scale.
+- **normalization** — lower/strip/collapse canonical text: map-only.
+
+Every op has an exact DuckDB oracle; fractions divide two exact integer
+counts (single IEEE op — bit-identical on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+NGRAM = 8          # decontamination n-gram length
+CHUNK_TOKENS = 64  # training chunk window
+CHUNK_STRIDE = 48  # overlap = 16 tokens
+
+
+def _tok(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+
+
+def _ngrams(df: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gram) for every k-token window — narrow explode, no shuffle."""
+    gram = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("p") + i) for i in range(k)]
+    )
+    return (
+        df.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("p"),
+        )
+        .select("doc_id", gram.alias("gram"))
+    )
+
+
+_DECON_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         concat_ws(' ', {", ".join(f"toks[p + {i}]" for i in range(NGRAM))})
+           AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, n - {NGRAM - 1})) AS p
+        FROM docs WHERE n >= {NGRAM})
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+)
+SELECT g.doc_id,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_contaminated_ngrams
+FROM grams g JOIN eval_grams e ON g.gram = e.gram
+WHERE g.doc_id % 10 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@op("pipeline_decontaminate", tags=("northstar", "curation"), oracle=_DECON_ORACLE)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag every training doc sharing at least
+    one 8-gram with the held-out set (docs with doc_id % 10 == 0 stand in
+    for the benchmark suite). The eval 8-gram set is DISTINCT-ed and
+    BROADCAST — at 100 TB the corpus side never shuffles; contamination
+    lookup is a map-side hash probe per gram, then one groupBy(doc_id)."""
+    docs = _tok(lt(spark, sf_dir, "documents"))
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    grams = _ngrams(docs, NGRAM)
+    is_eval = F.col("doc_id") % 10 == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    return (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_contaminated_ngrams"))
+    )
+
+
+_REP_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, concat_ws(' ', toks[p], toks[p + 1]) AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 1)) AS p
+        FROM docs WHERE n >= 2)
+),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS total_2grams,
+         CAST(COUNT(*) AS BIGINT) AS distinct_2grams,
+         CAST(MAX(c) AS BIGINT) AS top_2gram_count
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, total_2grams,
+       ((total_2grams - distinct_2grams) / total_2grams) AS dup_2gram_frac,
+       (top_2gram_count / total_2grams) AS top_2gram_frac,
+       (((total_2grams - distinct_2grams) / total_2grams) < 0.2
+        AND (top_2gram_count / total_2grams) < 0.1) AS keep
+FROM per_doc
+"""
+
+
+@op("text_repetition_stats", tags=("northstar", "curation"), oracle=_REP_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: duplicate-2-gram fraction and
+    most-frequent-2-gram fraction per document, with the keep decision at
+    the published thresholds (dup < 0.2, top < 0.1). One explode then one
+    groupBy(doc_id, gram) + groupBy(doc_id) — both reuse the doc_id
+    partitioning, so the whole op is a single exchange at any scale."""
+    docs = _tok(lt(spark, sf_dir, "documents"))
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    per_gram = _ngrams(docs, 2).groupBy("doc_id", "gram").count()
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("count").alias("total_2grams"),
+        F.count("*").cast("long").alias("distinct_2grams"),
+        F.max("count").alias("top_2gram_count"),
+    )
+    dup = (F.col("total_2grams") - F.col("distinct_2grams")) / F.col(
+        "total_2grams"
+    )
+    top = F.col("top_2gram_count") / F.col("total_2grams")
+    return per_doc.select(
+        "doc_id",
+        "total_2grams",
+        dup.alias("dup_2gram_frac"),
+        top.alias("top_2gram_frac"),
+        ((dup < 0.2) & (top < 0.1)).alias("keep"),
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS s
+  FROM docs WHERE n >= 1
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(LEAST(n - s, {CHUNK_TOKENS}) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
+@op("doc_chunk_tokens", tags=("northstar", "curation"), oracle=_CHUNK_ORACLE)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking for training: {CHUNK}-token windows at stride
+    {STRIDE} (16-token overlap keeps boundary context). Pure per-row array
+    algebra — explode(sequence) + slice — zero shuffles; at 100 TB every
+    task chunks its own scan split and writes, nothing crosses the wire."""
+    docs = _tok(lt(spark, sf_dir, "documents"))
+    starts = (
+        docs.filter(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE)
+                )
+            ).alias("s"),
+        )
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.least(F.col("n") - F.col("s"), F.lit(CHUNK_TOKENS))
+        .cast("int")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("s") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
+
+
+doc_chunk_tokens.__doc__ = doc_chunk_tokens.__doc__.replace(
+    "{CHUNK}", str(CHUNK_TOKENS)
+).replace("{STRIDE}", str(CHUNK_STRIDE))
+
+
+_NORM_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER)
+         AS norm_chars,
+       (trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+            'g'), ' +', ' ', 'g')) = text) AS already_canonical
+FROM documents
+"""
+
+
+@op("text_normalize", tags=("northstar", "curation"), oracle=_NORM_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → strip non-alphanumerics →
+    collapse runs of spaces → trim): the map-only pass that runs before
+    hashing/shingling so near-dup detection is casing/punctuation-blind.
+    Pure JVM regexp — whole-stage codegen, no Python, no shuffle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_chars"),
+        (norm == F.col("text")).alias("already_canonical"),
+    )

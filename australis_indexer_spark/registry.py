@@ -119,6 +119,11 @@ _PRIORITY = (
     "health_check",
     "cbor_encode",
     "compress_roundtrip",
+    # round-3 additions (operators/curation.py) — never driver-seen
+    "pipeline_decontaminate",
+    "text_repetition_stats",
+    "doc_chunk_tokens",
+    "text_normalize",
 )
 
 
@@ -135,6 +140,7 @@ def load_all() -> dict[str, OpSpec]:
     from .operators import wire  # noqa: F401  (imports .envelope first)
     from .streaming import pipeline, stateful  # noqa: F401
     from .operators import (  # noqa: F401
+        curation,
         iterative,
         scale,
         sampling,

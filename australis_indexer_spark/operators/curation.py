@@ -24,7 +24,7 @@ counts (single IEEE op — bit-identical on both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import op
@@ -247,4 +247,159 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).alias("norm_chars"),
         (norm == F.col("text")).alias("already_canonical"),
+    )
+
+
+# The SQL normalization expression, shared by the composite oracle below.
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_BUILD_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, {_SQL_NORM} AS t FROM documents
+),
+docs AS (
+  SELECT doc_id, t, string_split(t, ' ') AS toks,
+         len(string_split(t, ' ')) AS n
+  FROM norm
+),
+train AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+g2 AS (
+  SELECT doc_id, concat_ws(' ', toks[p], toks[p + 1]) AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 1)) AS p
+        FROM train WHERE n >= 2)
+),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+rep AS (
+  SELECT doc_id,
+         (((SUM(c) - COUNT(*)) / SUM(c)) < 0.2
+          AND (MAX(c) / SUM(c)) < 0.1) AS keep
+  FROM pg GROUP BY doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.t, d.toks, d.n
+  FROM train d LEFT JOIN rep r USING (doc_id)
+  WHERE COALESCE(r.keep, TRUE)
+),
+deduped AS (
+  SELECT doc_id, t, toks, n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+g8_train AS (
+  SELECT doc_id,
+         concat_ws(' ', {", ".join(f"toks[p + {i}]" for i in range(NGRAM))})
+           AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - {NGRAM - 1})) AS p
+        FROM deduped WHERE n >= {NGRAM})
+),
+eval_g8 AS (
+  SELECT DISTINCT
+         concat_ws(' ', {", ".join(f"toks[p + {i}]" for i in range(NGRAM))})
+           AS gram
+  FROM (SELECT toks, unnest(generate_series(1, n - {NGRAM - 1})) AS p
+        FROM docs WHERE doc_id % 10 = 0 AND n >= {NGRAM})
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM g8_train g JOIN eval_g8 e ON g.gram = e.gram
+),
+final AS (
+  SELECT * FROM deduped
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+starts AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS s
+  FROM final WHERE n >= 1
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(LEAST(n - s, {CHUNK_TOKENS}) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
+@op(
+    "pipeline_corpus_build",
+    tags=("northstar", "curation", "pipeline"),
+    oracle=_BUILD_ORACLE,
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build — every curation pass composed in
+    production order, one Catalyst plan: normalize → Gopher repetition
+    gates → exact dedup (first doc_id wins per canonical text) → 8-gram
+    decontamination against the held-out split (doc_id % 10 == 0) → stride
+    token-window chunking of the survivors. Emits the trainer-ready chunk
+    table. Scale shape: the only shuffles are the per-doc gram aggregate,
+    the dedup hash on canonical text, and the final groupBy of the
+    broadcast-probed contamination join — everything else is narrow, and
+    Catalyst pipelines the whole chain without materializing any stage."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    docs = (
+        lt(spark, sf_dir, "documents")
+        .select("doc_id", norm.alias("t"))
+        .withColumn("toks", F.split("t", " "))
+        .withColumn("n", F.size("toks"))
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    is_eval = F.col("doc_id") % 10 == 0
+    train = docs.filter(~is_eval)
+
+    per_gram = _ngrams(train, 2).groupBy("doc_id", "gram").count()
+    rep = per_gram.groupBy("doc_id").agg(
+        (
+            (
+                (F.sum("count") - F.count("*"))
+                / F.sum("count")
+                < 0.2
+            )
+            & (F.max("count") / F.sum("count") < 0.1)
+        ).alias("keep")
+    )
+    kept = (
+        train.join(rep, "doc_id", "left")
+        .filter(F.coalesce("keep", F.lit(True)))
+        .drop("keep")
+    )
+
+    w_dup = F.row_number().over(W.partitionBy("t").orderBy("doc_id"))
+    deduped = kept.withColumn("rn", w_dup).filter(F.col("rn") == 1).drop("rn")
+
+    eval_g8 = _ngrams(docs.filter(is_eval), NGRAM).select("gram").distinct()
+    contaminated = (
+        _ngrams(deduped, NGRAM)
+        .join(F.broadcast(eval_g8), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    final = deduped.join(contaminated, "doc_id", "left_anti")
+
+    starts = final.filter(F.col("n") >= 1).select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.least(F.col("n") - F.col("s"), F.lit(CHUNK_TOKENS))
+        .cast("int")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("s") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
     )

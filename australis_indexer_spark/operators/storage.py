@@ -1,0 +1,163 @@
+"""Storage-layout operators — the write-side half of scan performance.
+
+The reference's sink is an append-only stream into NATS JetStream
+(borealis-indexer/src/main.rs:404-423) and never revisits layout; at 100 TB
+on object storage, LAYOUT is the dominant scan-performance lever, and these
+ops make the three standard levers first-class and contract-checked:
+
+- **hive partitioning** (``partitionBy``) — directory-level pruning: a
+  filter on the partition column never opens non-matching files. The op
+  returns the post-prune aggregate; the companion test asserts the scan
+  node carries a ``PartitionFilters`` entry (pruning happened at plan
+  time, not by reading-then-filtering).
+- **range clustering** (``repartitionByRange`` + ``sortWithinPartitions``)
+  — file-level min/max skipping: disjoint per-file key ranges mean a point
+  or range predicate touches one file. The op emits the *layout contract*
+  (file count, global row conservation, range disjointness) rather than
+  build-dependent file sizes.
+- **columnar-format round trips** — ORC alongside the existing
+  JSONL/CSV/parquet paths (wire.py:453-491): same explicit-schema,
+  lossless-aggregate oracle shape.
+
+All three write to a session-scoped temp dir (the 100 TB deployment swaps
+in an object-store URI — the plan shape is identical).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+PRUNE_LANG = "en"  # partition selected by the pruned scan
+N_RANGE_FILES = 4  # forced range-partition count for the clustered write
+
+
+_PRUNED_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE lang = '{PRUNE_LANG}'
+GROUP BY source
+"""
+
+
+@op(
+    "sink_partitioned_prune",
+    tags=("northstar", "storage", "layout"),
+    oracle=_PRUNED_ORACLE,
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + pruned read-back: documents partitioned by
+    ``lang`` (5 directories), then scanned with a ``lang = '{PRUNE_LANG}'``
+    filter. Catalyst resolves the filter against partition directories at
+    plan time — the other 4/5 of the corpus is never opened (the test
+    asserts ``PartitionFilters`` on the scan node). At 100 TB, partition by
+    the columns every query filters on (lang / source / date); the oracle
+    proves the partitioned round trip loses nothing."""
+    docs = lt(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="aispark_part_")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == PRUNE_LANG)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+sink_partitioned_prune.__doc__ = sink_partitioned_prune.__doc__.replace(
+    "{PRUNE_LANG}", PRUNE_LANG
+)
+
+
+_CLUSTERED_ORACLE = f"""
+SELECT {N_RANGE_FILES} AS n_files,
+       (SELECT COUNT(*) FROM documents) AS rows_total,
+       TRUE AS ranges_disjoint,
+       TRUE AS rows_conserved
+"""
+
+
+@op(
+    "sink_clustered_stats",
+    tags=("northstar", "storage", "layout"),
+    oracle=_CLUSTERED_ORACLE,
+)
+def sink_clustered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered write for min/max data skipping: documents are
+    ``repartitionByRange(N, doc_id)`` + ``sortWithinPartitions(doc_id)``
+    so each output file owns a disjoint doc_id range — a reader's point or
+    range predicate on doc_id touches exactly the files whose [min, max]
+    overlap (parquet row-group stats make the skip free). The op emits the
+    layout's verifiable contract — file count, row conservation, and range
+    disjointness computed from the actual per-file min/max — because file
+    bytes are build-dependent. Per-file stats come from one scan grouped by
+    ``input_file_name()``; disjointness is checked with a lag window over
+    the per-file ranges (N tiny rows)."""
+    docs = lt(spark, sf_dir, "documents")
+    n_rows = docs.count()
+    out = tempfile.mkdtemp(prefix="aispark_clust_")
+    (
+        docs.repartitionByRange(N_RANGE_FILES, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("lo")  # N_RANGE_FILES rows — driver-sized window input
+    flagged = per_file.withColumn("prev_hi", F.lag("hi").over(w))
+    return flagged.agg(
+        F.count("*").cast("int").alias("n_files"),
+        F.sum("n").alias("rows_total"),
+        F.coalesce(
+            F.min(F.col("prev_hi").isNull() | (F.col("lo") > F.col("prev_hi"))),
+            F.lit(True),
+        ).alias("ranges_disjoint"),
+        (F.sum("n") == F.lit(n_rows)).alias("rows_conserved"),
+    )
+
+
+_ORC_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
+@op("scan_orc", tags=("parity", "source", "format"), oracle=_ORC_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round trip (explicit schema, same lossless-aggregate
+    oracle shape as scan_jsonl/scan_csv, wire.py:453-491): the second
+    columnar format Spark ships natively — covers deployments whose lake
+    standard is ORC rather than parquet. Vectorized reader, predicate
+    pushdown, and column pruning all apply as with parquet."""
+    docs = lt(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="aispark_orc_")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.schema(docs.schema).orc(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -119,11 +119,17 @@ _PRIORITY = (
     "health_check",
     "cbor_encode",
     "compress_roundtrip",
-    # round-3 additions (operators/curation.py) — never driver-seen
+    # round-3 additions (operators/curation.py, storage.py, pq.py) —
+    # never driver-seen
     "pipeline_decontaminate",
     "text_repetition_stats",
     "doc_chunk_tokens",
     "text_normalize",
+    "sink_partitioned_prune",
+    "sink_clustered_stats",
+    "scan_orc",
+    "sim_ann_pq",
+    "pipeline_corpus_build",
 )
 
 
@@ -142,7 +148,9 @@ def load_all() -> dict[str, OpSpec]:
     from .operators import (  # noqa: F401
         curation,
         iterative,
+        pq,
         scale,
+        storage,
         sampling,
         similarity,
         text_analysis,

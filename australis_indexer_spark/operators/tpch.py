@@ -1,0 +1,184 @@
+"""Classic multi-join analytics queries (TPC-H Q3/Q5/Q10 shapes).
+
+The reference delegates all relational analytics to downstream consumers
+(SURVEY.md §2.6); the single-join ops in operators/relational.py cover each
+join/agg primitive in isolation — these three cover the COMPOSED shapes a
+warehouse actually runs, on the driver's TPC-H-ish tables (adapted to the
+columns present: o_orderpriority stands in for o_shippriority):
+
+- **shipping priority (Q3)** — selective dim filter → 3-way join → grouped
+  revenue → top-N. The plan to want at 100 TB: the filtered customer dim
+  broadcasts, orders⋈lineitem is the only real shuffle (co-partitioned on
+  orderkey), and the top-10 is TakeOrderedAndProject (no global sort).
+- **local supplier volume (Q5)** — 6-table star with a cross-dim equality
+  (customer.nation == supplier.nation): region/nation/supplier/customer all
+  broadcast; the fact-fact orders⋈lineitem join is again the lone shuffle.
+  Catalyst's join reordering + AQE pick broadcast sides from stats.
+- **returned-item reporting (Q10)** — quarter date window + returnflag
+  filter → revenue per customer → top 20 by revenue.
+
+Revenue figures use the exact-integer-cents convention (functions/det.py)
+so both engines produce bit-identical doubles; ORDER-BY-LIMIT cuts always
+carry a unique tie-break key so the selected SET is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import dsum, sql_dsum
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dsum(_REV)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@op("query_shipping_priority", tags=("relational", "analytics"), oracle=_Q3_ORACLE)
+def query_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue by order for one market
+    segment, top 10. The segment-filtered customer dim is broadcast (its
+    filter prunes ~4/5 of it before the build side ships); orders⋈lineitem
+    shuffles once on orderkey; the final cut is TakeOrderedAndProject —
+    rank-k rows leave each partition, never a global sort."""
+    cust = lt(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = lt(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = lt(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n_name AS nation_name, {sql_dsum(_REV)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@op(
+    "query_local_supplier_volume",
+    tags=("relational", "analytics"),
+    oracle=_Q5_ORACLE,
+)
+def query_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier sit in the same nation of one region — a 6-table star whose
+    cross-dim equality (c_nationkey = s_nationkey) rides on the fact join.
+    region→nation prunes the supplier/customer dims before they broadcast;
+    the only shuffle is orders⋈lineitem on orderkey. At 100 TB Catalyst's
+    join reordering + AQE keep every dim on the build side."""
+    region = lt(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = lt(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = lt(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = lt(spark, sf_dir, "customer")
+    orders = lt(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = lt(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {sql_dsum(_REV)} AS revenue, c_acctbal,
+       n_name AS nation_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@op(
+    "query_returned_item_reporting",
+    tags=("relational", "analytics"),
+    oracle=_Q10_ORACLE,
+)
+def query_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: one quarter's returned-item revenue per customer,
+    top 20 — the 'who should we call' report. The quarter filter prunes
+    orders before the fact join; nation broadcasts onto the grouped result
+    (post-agg: one row per customer, not per lineitem). Top-20 is again
+    TakeOrderedAndProject with c_custkey as the tie-break."""
+    cust = lt(spark, sf_dir, "customer")
+    nation = lt(spark, sf_dir, "nation")
+    orders = lt(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = lt(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .agg(dsum(rev).alias("revenue"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "c_acctbal",
+            F.col("n_name").alias("nation_name"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

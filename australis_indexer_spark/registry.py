@@ -130,6 +130,9 @@ _PRIORITY = (
     "scan_orc",
     "sim_ann_pq",
     "pipeline_corpus_build",
+    "query_shipping_priority",
+    "query_local_supplier_volume",
+    "query_returned_item_reporting",
 )
 
 
@@ -151,6 +154,7 @@ def load_all() -> dict[str, OpSpec]:
         pq,
         scale,
         storage,
+        tpch,
         sampling,
         similarity,
         text_analysis,

@@ -46,6 +46,7 @@ HEADLINE = (
     "text_stats_quality",            # text quality scoring
     "explode_tokens",                # array explode over real table data
     "join_skew_salted",              # skew-resistant salted fact join
+    "pipeline_corpus_build",         # full curation chain: normalize→gates→dedup→decontaminate→chunk
 )
 
 

@@ -516,3 +516,23 @@ def test_corpus_build_excludes_eval_and_contaminated(spark, ops):
         by_doc.setdefault(r["doc_id"], []).append(r["chunk_idx"])
     for doc_id, idxs in by_doc.items():
         assert sorted(idxs) == list(range(len(idxs))), doc_id
+
+
+def test_analytics_query_plans(spark, ops):
+    """Composed TPC-H-shape queries keep their scale claims: dims join as
+    BroadcastHashJoin (never a cartesian product), and ORDER BY + LIMIT
+    compiles to TakeOrderedAndProject (rank-k per partition), not a global
+    sort."""
+    for name, want_topk in (
+        ("query_shipping_priority", True),
+        ("query_local_supplier_volume", False),
+        ("query_returned_item_reporting", True),
+    ):
+        plan = (
+            ops[name].fn(spark, SF_SMOKE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        if want_topk:
+            assert "TakeOrderedAndProject" in plan, name

@@ -34,8 +34,6 @@ the compression invariants. Raw neighbor lists stay available via
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -96,21 +94,31 @@ def _long_form(e: DataFrame) -> DataFrame:
 
 def _assign_expr(codebooks: list[list[list[float]]]):
     """Nearest-code struct (dist, code) for the row's subspace ``m``:
-    the per-subspace argmin tables are inlined literals, selected by m —
-    pure codegen, ties break to the lower code."""
+    the per-subspace argmin tables are inlined literals, selected by m.
+    The per-candidate score is the positionally-expanded
+    ``||c||² − 2⟨sub, c⟩`` (= d² minus the row-constant ``||sub||²``, so
+    the argmin and its ties are identical to true distance) — plain
+    arithmetic, no higher-order functions: with M×K candidates the HOF
+    form (zip_with + aggregate per candidate) made Catalyst analysis and
+    codegen the dominant cost of the whole op (~7 s per action at M=8
+    K=16; 105 s total at K=64). The whole literal table is emitted as ONE
+    SQL string via ``F.expr`` — building it candidate-by-candidate through
+    the Column API cost ~5 s of py4j round trips per iteration (measured);
+    the single parse is ~0.1 s. Ties break to the lower code."""
     per_m = []
     for m in range(M_SUB):
         cands = []
         for k, cent in enumerate(codebooks[m]):
-            carr = F.array(*[F.lit(float(v)) for v in cent])
-            d2 = F.aggregate(
-                F.zip_with("sub", carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            c2 = sum(v * v for v in cent)
+            terms = " + ".join(
+                f"element_at(sub, {d + 1}) * {-2.0 * cent[d]!r}D"
+                for d in range(D_SUB)
             )
-            cands.append(F.struct(d2.alias("dist"), F.lit(k).alias("code")))
-        per_m.append(F.array_min(F.array(*cands)))
-    return F.element_at(F.array(*per_m), F.col("m") + 1)
+            cands.append(
+                f"named_struct('dist', ({float(c2)!r}D + {terms}), 'code', {k})"
+            )
+        per_m.append(f"array_min(array({', '.join(cands)}))")
+    return F.expr(f"element_at(array({', '.join(per_m)}), m + 1)")
 
 
 def train_codebooks(
@@ -181,20 +189,18 @@ def pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def adist(q: list[float]):
+        # one F.expr per query: the M×K lookup table as inline literals
         terms = []
         for m in range(M_SUB):
             qs = q[m * D_SUB : (m + 1) * D_SUB]
-            lut = [
-                sum((qs[d] - c[d]) ** 2 for d in range(D_SUB))
+            lut = ", ".join(
+                f"{sum((qs[d] - c[d]) ** 2 for d in range(D_SUB))!r}D"
                 for c in codebooks[m]
-            ]
-            terms.append(
-                F.element_at(
-                    F.array(*[F.lit(v) for v in lut]),
-                    F.element_at("codes", m + 1) + 1,
-                )
             )
-        return reduce(lambda a, b: a + b, terms)
+            terms.append(
+                f"element_at(array({lut}), element_at(codes, {m + 1}) + 1)"
+            )
+        return F.expr(" + ".join(terms))
 
     scored = coded.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -220,17 +226,15 @@ def pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact re-rank of the shortlist only: fetch the ~SHORTLIST×N_QUERIES
     # float vectors via equi-join, exact cosine (unit vectors => plain dot;
     # the query vector is picked from an inlined 8-entry literal table)
-    qtable = F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in q])
+    qtable_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(f"{float(v)!r}D" for v in q))
             for _, q in sorted(queries.items())
-        ]
+        )
     )
-    qvec = F.element_at(qtable, F.col("query_id") + 1)
-    cos = F.aggregate(
-        F.zip_with(qvec, F.col("emb"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos = F.expr(
+        f"aggregate(zip_with(element_at({qtable_sql}, query_id + 1), emb,"
+        " (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
     )
     w_exact = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"

@@ -1,4 +1,4 @@
-"""Classic multi-join analytics queries (TPC-H Q3/Q5/Q10 shapes).
+"""Classic multi-join analytics queries (TPC-H Q3/Q5/Q10/Q18 shapes).
 
 The reference delegates all relational analytics to downstream consumers
 (SURVEY.md §2.6); the single-join ops in operators/relational.py cover each
@@ -16,6 +16,10 @@ columns present: o_orderpriority stands in for o_shippriority):
   Catalyst's join reordering + AQE pick broadcast sides from stats.
 - **returned-item reporting (Q10)** — quarter date window + returnflag
   filter → revenue per customer → top 20 by revenue.
+- **large-volume customers (Q18)** — HAVING-subquery membership: a
+  self-aggregation of the fact reduced to qualifying keys, broadcast back
+  as a LEFT SEMI filter. The threshold compares exact integer cents so
+  boundary membership can't flip between engines.
 
 Revenue figures use the exact-integer-cents convention (functions/det.py)
 so both engines produce bit-identical doubles; ORDER-BY-LIMIT cuts always
@@ -27,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import dsum, sql_dsum
+from ..functions.det import cents, dsum, sql_cents, sql_dsum
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -181,4 +185,57 @@ def query_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM({sql_cents('l_quantity')}) > 300 * 100
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@op(
+    "query_large_volume_customers",
+    tags=("relational", "analytics"),
+    oracle=_Q18_ORACLE,
+)
+def query_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customers — the HAVING-subquery pattern. The qualifying-order
+    set is a self-aggregation of lineitem reduced to orderkeys (small:
+    high-threshold survivors), joined back LEFT SEMI so no lineitem row is
+    duplicated; the qualifier is broadcast. The threshold compare runs on
+    exact integer cents on both engines (a raw double SUM differs in the
+    last ulp between engines, which flips membership at the boundary)."""
+    li = lt(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("q_cents"))
+        .filter(F.col("q_cents") > 300 * 100)
+        .select("l_orderkey")
+    )
+    orders = lt(spark, sf_dir, "orders").join(
+        F.broadcast(qualifying),
+        F.col("o_orderkey") == qualifying["l_orderkey"],
+        "left_semi",
+    )
+    cust = lt(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
     )

@@ -133,6 +133,7 @@ _PRIORITY = (
     "query_shipping_priority",
     "query_local_supplier_volume",
     "query_returned_item_reporting",
+    "query_large_volume_customers",
 )
 
 

@@ -527,6 +527,7 @@ def test_analytics_query_plans(spark, ops):
         ("query_shipping_priority", True),
         ("query_local_supplier_volume", False),
         ("query_returned_item_reporting", True),
+        ("query_large_volume_customers", True),
     ):
         plan = (
             ops[name].fn(spark, SF_SMOKE)

@@ -403,3 +403,69 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("toks", F.col("s") + 1, F.lit(CHUNK_TOKENS)), " "
         ).alias("chunk_text"),
     )
+
+
+# PII patterns — identical RE source on both engines (Java regex and RE2
+# agree on this class: char classes, quantifiers, literal dot).
+_RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_RE_PHONE = r"\b555-[0-9]{3,4}\b"
+_RE_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# The synthetic corpus contains no PII, so the op plants a deterministic
+# contact block per doc (pure function of doc_id) and then scrubs it — the
+# redaction plumbing is the product; the injection makes it testable.
+_SQL_PII_TEXT = (
+    "text || ' contact user' || doc_id || '@mail.example.com or 10.0.' || "
+    "(doc_id % 256) || '.5 phone 555-' || (100 + doc_id % 900)"
+)
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_RE_PHONE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_RE_IPV4}')) AS INTEGER) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{_RE_EMAIL}', '<EMAIL>', 'g'),
+           '{_RE_IPV4}', '<IP>', 'g'),
+           '{_RE_PHONE}', '<PHONE>', 'g') AS redacted_text
+FROM planted
+"""
+
+
+@op("text_pii_redact", tags=("northstar", "curation"), oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the pass every published training corpus runs before
+    release: count and redact emails, phone numbers, and IPv4 addresses
+    with typed placeholders. Map-only JVM regexp (whole-stage codegen, no
+    shuffle, no Python); order matters (emails before IPs before phones) so
+    a pattern never matches inside an earlier placeholder. The corpus is
+    synthetic, so a deterministic contact block per doc_id is planted
+    first — injection and scrub are both mirrored exactly in the oracle."""
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".5 phone 555-"),
+        (F.col("doc_id") % 900 + 100).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _RE_EMAIL, "<EMAIL>"),
+            _RE_IPV4,
+            "<IP>",
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    return lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_RE_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_RE_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(_RE_IPV4), 0)).alias("n_ips"),
+        red.alias("redacted_text"),
+    )

@@ -134,6 +134,7 @@ _PRIORITY = (
     "query_local_supplier_volume",
     "query_returned_item_reporting",
     "query_large_volume_customers",
+    "text_pii_redact",
 )
 
 

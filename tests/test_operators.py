@@ -537,3 +537,24 @@ def test_analytics_query_plans(spark, ops):
         assert "CartesianProduct" not in plan, name
         if want_topk:
             assert "TakeOrderedAndProject" in plan, name
+
+
+def test_pii_redaction_complete(spark, ops):
+    """After redaction no email/phone/IP pattern survives, every doc had
+    at least one of each planted, and placeholders appear."""
+    import re
+
+    from australis_indexer_spark.operators.curation import (
+        _RE_EMAIL,
+        _RE_IPV4,
+        _RE_PHONE,
+    )
+
+    rows = ops["text_pii_redact"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_phones"] >= 1 and r["n_ips"] >= 1
+        assert not re.search(_RE_EMAIL, r["redacted_text"])
+        assert not re.search(_RE_PHONE, r["redacted_text"])
+        assert not re.search(_RE_IPV4, r["redacted_text"])
+        assert "<EMAIL>" in r["redacted_text"]

@@ -469,3 +469,102 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(_RE_IPV4), 0)).alias("n_ips"),
         red.alias("redacted_text"),
     )
+
+
+_INGEST_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, {_SQL_NORM} AS t FROM documents
+),
+docs AS (
+  SELECT doc_id, t, string_split(t, ' ') AS toks,
+         len(string_split(t, ' ')) AS n
+  FROM norm
+),
+g AS (
+  SELECT doc_id, concat_ws(' ', toks[p], toks[p + 1]) AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 1)) AS p
+        FROM docs WHERE n >= 2)
+),
+d AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS dist
+  FROM g GROUP BY doc_id
+)
+SELECT docs.doc_id, t AS norm_text, CAST(n AS INTEGER) AS n_tokens,
+       ((total - dist) / total) AS dup_2gram_frac,
+       ((((total - dist) / total) < 0.2) AND n >= 10) AS keep
+FROM docs JOIN d ON docs.doc_id = d.doc_id
+"""
+
+
+@op(
+    "stream_corpus_ingest",
+    tags=("northstar", "curation", "streaming"),
+    oracle=_INGEST_ORACLE,
+)
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation front-end as INCREMENTAL ingest: a file stream over the
+    documents table (new crawl shards arrive as files; AvailableNow drains
+    what exists) runs the stateless passes — normalize, tokenize, and a
+    per-row duplicate-2-gram gate computed with array HOFs instead of the
+    batch explode+groupBy (one row per doc means the per-doc stats need no
+    aggregation at all) — and lands a curated parquet table exactly-once
+    via checkpointed writeStream. Being map-only, streaming output ==
+    batch output, so the batch SQL is an EXACT oracle, not a weaker
+    contract. At 100 TB this is the always-on job that keeps the corpus
+    current; the stateful passes (cross-doc dedup, decontamination) run as
+    the periodic `pipeline_corpus_build` batch behind it."""
+    import os
+    import tempfile
+
+    schema = lt(spark, sf_dir, "documents").schema
+    base = tempfile.mkdtemp(prefix="aispark_ingest_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    curated = (
+        src.select("doc_id", norm.alias("norm_text"))
+        .withColumn("toks", F.split("norm_text", " "))
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn(
+            "grams",
+            F.expr(
+                "transform(sequence(1, n_tokens - 1),"
+                " p -> concat_ws(' ', element_at(toks, p),"
+                " element_at(toks, p + 1)))"
+            ),
+        )
+        .withColumn(
+            "dup_2gram_frac",
+            (
+                F.size("grams").cast("long")
+                - F.size(F.array_distinct("grams")).cast("long")
+            )
+            / F.size("grams").cast("long"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_2gram_frac") < 0.2) & (F.col("n_tokens") >= 10),
+        )
+        .drop("toks", "grams")
+    )
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)

@@ -135,6 +135,7 @@ _PRIORITY = (
     "query_returned_item_reporting",
     "query_large_volume_customers",
     "text_pii_redact",
+    "stream_corpus_ingest",
 )
 
 

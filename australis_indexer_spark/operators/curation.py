@@ -568,3 +568,98 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+PACK_CAP = 256  # tokens per training sequence
+
+
+_PACK_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         CAST(LEAST(n - s, {CHUNK_TOKENS}) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS s
+        FROM docs WHERE n >= 1)
+),
+cum AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx) - n_tokens
+              AS BIGINT) AS start_off
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, n_tokens, start_off,
+       (start_off // {PACK_CAP}) AS pack_id
+FROM cum
+"""
+
+
+@op("pipeline_pack_sequences", tags=("northstar", "curation"), oracle=_PACK_ORACLE)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the trainer-side step after chunking: lay every
+    chunk's tokens end-to-end in (doc_id, chunk_idx) order and cut
+    PACK_CAP-token training sequences; a chunk's pack is decided by its
+    global starting offset (chunks may straddle a boundary — the standard
+    concat-then-split packing). The global offset is NOT a global-sort
+    window: range-partition on the order key (partition order extends
+    global order), per-partition running sums, then the exclusive prefix
+    of the ~NPART partition totals is broadcast back — the same two-phase
+    prefix-sum shape as pipeline_corpus_curation's token budget
+    (dedup.py:526), with one row per partition on the driver."""
+    from pyspark.sql import Window as PW
+
+    chunks = _tok(lt(spark, sf_dir, "documents")).filter(F.col("n") >= 1)
+    chunks = chunks.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.least(F.col("n") - F.col("s"), F.lit(CHUNK_TOKENS))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # unique global order key (chunk_idx < 1024 — docs cap at ~CHUNK_TOKENS*16)
+    keyed = chunks.withColumn(
+        "seq_key", F.col("doc_id") * 1024 + F.col("chunk_idx")
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = keyed.repartitionByRange(n_parts, "seq_key").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = (
+        PW.partitionBy("pid")
+        .orderBy("seq_key")
+        .rowsBetween(PW.unboundedPreceding, PW.currentRow)
+    )
+    local = parts.withColumn(
+        "local_cum", F.sum("n_tokens").over(local_w)
+    ).localCheckpoint(eager=True)
+    totals = sorted(
+        (r["pid"], r["total"])
+        for r in local.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, total in totals:
+        offsets.append((pid, acc))
+        acc += total
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            (F.col("local_cum") + F.col("offset") - F.col("n_tokens")).alias(
+                "start_off"
+            ),
+        )
+        .withColumn("pack_id", F.expr(f"start_off div {PACK_CAP}"))
+    )

@@ -239,3 +239,71 @@ def query_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT 'minute' AS level, CAST(date_trunc('minute', ts) AS TIMESTAMP)
+         AS bucket_start,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'hour', CAST(date_trunc('hour', ts) AS TIMESTAMP),
+       COUNT(*), {sql_dsum('value')}
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+       COUNT(*), {sql_dsum('value')}
+FROM events GROUP BY 2
+"""
+
+
+@op(
+    "window_time_hierarchical_rollup",
+    tags=("relational", "window", "time"),
+    oracle=_ROLLUP_ORACLE,
+)
+def window_time_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate hierarchy (the hypertable-rollup pattern):
+    minute buckets aggregate the raw events ONCE; hour buckets re-aggregate
+    the minute table; day buckets re-aggregate hours. At 100 TB the raw
+    scan happens once and each coarser level reads ~60× fewer rows than
+    re-scanning raw — integer-cents sums make the re-aggregation EXACTLY
+    equal to aggregating raw directly (associativity of integer addition),
+    which the oracle checks by computing every level from the raw table."""
+    ev = lt(spark, sf_dir, "events").select(
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("minute_start"),
+        cents("value").alias("c"),
+    )
+    minute = ev.groupBy("minute_start").agg(
+        F.count("*").alias("n_events"), F.sum("c").alias("c")
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "minute_start")
+            .cast("timestamp_ntz")
+            .alias("hour_start")
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("c").alias("c"))
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", "hour_start")
+            .cast("timestamp_ntz")
+            .alias("day_start")
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("c").alias("c"))
+    )
+
+    def lvl(df: DataFrame, name: str, bucket: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            F.col(bucket).alias("bucket_start"),
+            "n_events",
+            (F.col("c") / F.lit(100.0)).alias("total_value"),
+        )
+
+    return (
+        lvl(minute, "minute", "minute_start")
+        .unionAll(lvl(hour, "hour", "hour_start"))
+        .unionAll(lvl(day, "day", "day_start"))
+    )

@@ -136,6 +136,8 @@ _PRIORITY = (
     "query_large_volume_customers",
     "text_pii_redact",
     "stream_corpus_ingest",
+    "window_time_hierarchical_rollup",
+    "pipeline_pack_sequences",
 )
 
 

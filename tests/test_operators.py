@@ -569,3 +569,39 @@ def test_stream_corpus_ingest_once_per_doc(spark, ops):
     assert len({r["doc_id"] for r in rows}) == docs_n
     for r in rows:
         assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+
+
+def test_pack_sequences_offsets_contiguous(spark, ops):
+    """Packing invariants: ordering by (doc_id, chunk_idx), each chunk's
+    start_off is the sum of all previous chunk lengths (no gaps, no
+    overlap), pack_id is the starting-offset bucket, and total coverage
+    equals the corpus token count."""
+    from australis_indexer_spark.operators.curation import PACK_CAP
+
+    rows = (
+        ops["pipeline_pack_sequences"].fn(spark, SF_SMOKE)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    assert rows
+    acc = 0
+    for r in rows:
+        assert r["start_off"] == acc, (r, acc)
+        assert r["pack_id"] == r["start_off"] // PACK_CAP
+        acc += r["n_tokens"]
+
+
+def test_hierarchical_rollup_levels_consistent(spark, ops):
+    """Aggregate reuse must be lossless: every level's event count sums to
+    the raw table's count, and day totals equal the sum of hour totals."""
+    rows = ops["window_time_hierarchical_rollup"].fn(spark, SF_SMOKE).collect()
+    raw_n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    by_level: dict[str, list] = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == {"minute", "hour", "day"}
+    for level, rs in by_level.items():
+        assert sum(r["n_events"] for r in rs) == raw_n, level
+    hour_total = round(sum(r["total_value"] for r in by_level["hour"]), 2)
+    day_total = round(sum(r["total_value"] for r in by_level["day"]), 2)
+    assert hour_total == day_total

@@ -307,3 +307,125 @@ def window_time_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         .unionAll(lvl(hour, "hour", "hour_start"))
         .unionAll(lvl(day, "day", "day_start"))
     )
+
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT f.user_id) AS n_active
+FROM firsts f JOIN active a ON f.user_id = a.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@op(
+    "agg_cohort_retention",
+    tags=("relational", "analytics", "time"),
+    oracle=_RETENTION_ORACLE,
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-activity week, counted
+    distinct in each later week they return. Two aggregations over the
+    same scan (first-touch per user, then distinct user-weeks) joined on
+    user_id; both shuffles key on user_id so AQE coalesces them into one
+    exchange reuse. Week arithmetic sticks to DATE + day-diff div 7
+    (timestampdiff on NTZ is session-tz-dependent; datediff on DATE is
+    not)."""
+    ev = lt(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
+            F.expr("datediff(wk, cohort_week) div 7")
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step_idx, 'signup' AS step, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'view_after_signup', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase_after_view', COUNT(*) FROM s3
+)
+"""
+
+
+@op(
+    "agg_funnel_steps",
+    tags=("relational", "analytics", "time"),
+    oracle=_FUNNEL_ORACLE,
+)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users whose first signup precedes a later
+    view precedes a later purchase — each stage is a per-user MIN over the
+    events AFTER the previous stage's timestamp. Every stage keys its
+    shuffle on user_id, so the three aggregations and two joins share one
+    partitioning end-to-end (no re-shuffle between stages); the event-type
+    filters push to the scan. Strictly-ordered semantics (ts >, not >=)
+    are pinned by the oracle."""
+    ev = lt(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).alias("step_idx"),
+            F.lit(name).alias("step"),
+            "n_users",
+        )
+
+    return (
+        stage(s1, 1, "signup")
+        .unionAll(stage(s2, 2, "view_after_signup"))
+        .unionAll(stage(s3, 3, "purchase_after_view"))
+    )

@@ -138,6 +138,8 @@ _PRIORITY = (
     "stream_corpus_ingest",
     "window_time_hierarchical_rollup",
     "pipeline_pack_sequences",
+    "agg_cohort_retention",
+    "agg_funnel_steps",
 )
 
 

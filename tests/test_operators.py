@@ -605,3 +605,20 @@ def test_hierarchical_rollup_levels_consistent(spark, ops):
     hour_total = round(sum(r["total_value"] for r in by_level["hour"]), 2)
     day_total = round(sum(r["total_value"] for r in by_level["day"]), 2)
     assert hour_total == day_total
+
+
+def test_funnel_monotone_and_retention_base(spark, ops):
+    """Funnel counts can only shrink stage to stage; cohort week-0 actives
+    equal the cohort's full user population."""
+    steps = {
+        r["step_idx"]: r["n_users"]
+        for r in ops["agg_funnel_steps"].fn(spark, SF_SMOKE).collect()
+    }
+    assert steps[1] >= steps[2] >= steps[3] >= 0
+    ret = ops["agg_cohort_retention"].fn(spark, SF_SMOKE).collect()
+    week0 = {r["cohort_week"]: r["n_active"] for r in ret if r["week_offset"] == 0}
+    n_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(week0.values()) == n_users

@@ -429,3 +429,84 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(s2, 2, "view_after_signup"))
         .unionAll(stage(s3, 3, "purchase_after_view"))
     )
+
+
+_SCD2_ORACLE = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+changes AS (
+  SELECT c_custkey, c_name, (c_acctbal + 100.0) AS new_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new-' || c_name, 500.0
+  FROM customer WHERE c_custkey % 13 = 0
+),
+closed AS (
+  SELECT b.c_custkey, b.c_name, b.c_acctbal, 1 AS version, FALSE AS is_current
+  FROM base b JOIN changes c ON b.c_custkey = c.c_custkey
+),
+unchanged AS (
+  SELECT b.c_custkey, b.c_name, b.c_acctbal, 1, TRUE
+  FROM base b ANTI JOIN changes c ON b.c_custkey = c.c_custkey
+),
+updated AS (
+  SELECT c.c_custkey, c.c_name, c.new_acctbal, 2, TRUE
+  FROM changes c JOIN base b ON b.c_custkey = c.c_custkey
+),
+inserted AS (
+  SELECT c.c_custkey, c.c_name, c.new_acctbal, 1, TRUE
+  FROM changes c ANTI JOIN base b ON b.c_custkey = c.c_custkey
+)
+SELECT * FROM closed UNION ALL SELECT * FROM unchanged
+UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM inserted
+"""
+
+
+@op("merge_scd2_dimension", tags=("relational", "merge"), oracle=_SCD2_ORACLE)
+def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge — what MERGE INTO compiles
+    to: a deterministic change batch (updates for custkey%7, inserts keyed
+    above the base range for custkey%13) applied against the customer dim,
+    emitting closed prior versions, untouched current rows, updated current
+    rows, and brand-new rows. The whole merge is ONE hash-partitioning on
+    the business key shared by all four branches (Catalyst reuses the
+    exchange; with a small change batch the join sides broadcast instead).
+    At 100 TB this is the idempotent dim-maintenance job: re-running the
+    same batch yields the same versions because versioning derives from
+    membership, not from run order."""
+    base = lt(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("new_acctbal")
+    )
+    ins = base.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(500.0).alias("new_acctbal"),
+    )
+    changes = upd.unionAll(ins)
+    ck = changes.select("c_custkey")
+    closed = (
+        base.join(ck, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumn("version", F.lit(1))
+        .withColumn("is_current", F.lit(False))
+    )
+    unchanged = (
+        base.join(ck, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumn("version", F.lit(1))
+        .withColumn("is_current", F.lit(True))
+    )
+    bk = base.select("c_custkey")
+    updated = (
+        changes.join(bk, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", F.col("new_acctbal").alias("c_acctbal"))
+        .withColumn("version", F.lit(2))
+        .withColumn("is_current", F.lit(True))
+    )
+    inserted = (
+        changes.join(bk, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", F.col("new_acctbal").alias("c_acctbal"))
+        .withColumn("version", F.lit(1))
+        .withColumn("is_current", F.lit(True))
+    )
+    return closed.unionAll(unchanged).unionAll(updated).unionAll(inserted)

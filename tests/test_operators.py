@@ -622,3 +622,25 @@ def test_funnel_monotone_and_retention_base(spark, ops):
         .select("user_id").distinct().count()
     )
     assert sum(week0.values()) == n_users
+
+
+def test_scd2_merge_version_invariants(spark, ops):
+    """SCD2 contract: exactly one current row per business key; updated keys
+    carry a closed v1 plus a current v2; row count equals base + one extra
+    row per update (the closed prior version) + inserts."""
+    rows = ops["merge_scd2_dimension"].fn(spark, SF_SMOKE).collect()
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    n_base = cust.count()
+    n_upd = cust.filter("c_custkey % 7 = 0").count()
+    n_ins = cust.filter("c_custkey % 13 = 0").count()
+    assert len(rows) == n_base + n_upd + n_ins
+    current = [r for r in rows if r["is_current"]]
+    keys = [r["c_custkey"] for r in current]
+    assert len(keys) == len(set(keys)) == n_base + n_ins
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    for k, vs in by_key.items():
+        if len(vs) == 2:  # an updated key: closed v1 + current v2
+            vers = sorted((v["version"], v["is_current"]) for v in vs)
+            assert vers == [(1, False), (2, True)], k

@@ -472,3 +472,61 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         dsum("l_extendedprice").alias("revenue"),
     )
+
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+  SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM counts
+),
+ranked AS (
+  SELECT c.l_suppkey, c.n_rows,
+         ROW_NUMBER() OVER (ORDER BY c.n_rows DESC, c.l_suppkey) AS key_rank,
+         CAST((c.n_rows * 1000000) // t.total_rows AS BIGINT) AS share_ppm,
+         CAST((c.n_rows * 100 * t.n_keys) // t.total_rows AS BIGINT)
+           AS skew_vs_mean_x100
+  FROM counts c, tot t
+)
+SELECT key_rank, l_suppkey, n_rows, share_ppm, skew_vs_mean_x100
+FROM ranked WHERE key_rank <= 10
+"""
+
+
+@op("stats_join_key_skew", tags=("relational", "scale", "diagnostic"), oracle=_SKEW_ORACLE)
+def stats_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-key skew profile — the diagnostic you run BEFORE
+    picking a join strategy (broadcast / salt / plain shuffle) for a 100 TB
+    fact table: per-key row counts, each top key's parts-per-million share
+    of the table, and its size relative to the mean key (x100, integer).
+
+    Scale shape: ONE partial-agg shuffle keyed on the join key (map-side
+    combine makes the shuffle |keys|-sized, not |rows|-sized), a one-row
+    global total that broadcasts back over the counts, and a top-10 cut via
+    orderBy+limit which Spark compiles to TakeOrderedAndProject — per-
+    partition heaps merged on the driver, never a global sort. All derived
+    ratios are integer arithmetic (ppm, x100) so the oracle matches bit-
+    for-bit. The ROW_NUMBER window runs on the 10 surviving rows only.
+    """
+    li = lt(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), "l_suppkey")
+        .limit(10)
+        .join(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.expr("n_rows * 1000000 div total_rows").alias("share_ppm"),
+            F.expr("n_rows * 100 * n_keys div total_rows").alias("skew_vs_mean_x100"),
+        )
+    )
+    w = W.orderBy(F.col("n_rows").desc(), "l_suppkey")  # 10 rows — trivial
+    return top.withColumn("key_rank", F.row_number().over(w)).select(
+        "key_rank", "l_suppkey", "n_rows", "share_ppm", "skew_vs_mean_x100"
+    )

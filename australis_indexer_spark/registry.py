@@ -140,6 +140,8 @@ _PRIORITY = (
     "pipeline_pack_sequences",
     "agg_cohort_retention",
     "agg_funnel_steps",
+    "merge_scd2_dimension",
+    "stats_join_key_skew",
 )
 
 

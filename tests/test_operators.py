@@ -644,3 +644,21 @@ def test_scd2_merge_version_invariants(spark, ops):
         if len(vs) == 2:  # an updated key: closed v1 + current v2
             vers = sorted((v["version"], v["is_current"]) for v in vs)
             assert vers == [(1, False), (2, True)], k
+
+
+def test_skew_profile_plan_and_shares(spark, ops):
+    """The top-10 cut must be TakeOrderedAndProject (per-partition heaps),
+    ranks are 1..10 descending by count, and ppm shares are consistent with
+    an independent recount of the hottest key."""
+    df = ops["stats_join_key_skew"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = sorted(df.collect(), key=lambda r: r["key_rank"])
+    assert [r["key_rank"] for r in rows] == list(range(1, 11))
+    counts = [r["n_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    total = li.count()
+    hot = li.filter(li.l_suppkey == rows[0]["l_suppkey"]).count()
+    assert rows[0]["n_rows"] == hot
+    assert rows[0]["share_ppm"] == hot * 1000000 // total

@@ -142,6 +142,8 @@ _PRIORITY = (
     "agg_funnel_steps",
     "merge_scd2_dimension",
     "stats_join_key_skew",
+    "profile_columns",
+    "agg_anomalous_hours",
 )
 
 
@@ -161,6 +163,7 @@ def load_all() -> dict[str, OpSpec]:
         curation,
         iterative,
         pq,
+        profiling,
         scale,
         storage,
         tpch,

@@ -662,3 +662,37 @@ def test_skew_profile_plan_and_shares(spark, ops):
     hot = li.filter(li.l_suppkey == rows[0]["l_suppkey"]).count()
     assert rows[0]["n_rows"] == hot
     assert rows[0]["share_ppm"] == hot * 1000000 // total
+
+
+def test_profile_columns_one_row_per_col(spark, ops):
+    """Profiler invariants: one row per profiled column, n_distinct and
+    n_nulls bounded by n_rows, and the orderkey column — a unique key —
+    profiles as fully distinct with zero nulls."""
+    rows = {r["col_name"]: r for r in ops["profile_columns"].fn(spark, SF_SMOKE).collect()}
+    n = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+    ok = rows["o_orderkey"]
+    assert ok["n_distinct"] == n and ok["n_nulls"] == 0
+    assert int(ok["min_repr"]) <= int(ok["max_repr"])
+
+
+def test_anomalous_hours_matches_python_zscore(spark, ops):
+    """The integer-algebra z-test must agree with a float recomputation of
+    mean/std done independently in Python on the same hourly counts."""
+    import statistics
+
+    rows = ops["agg_anomalous_hours"].fn(spark, SF_SMOKE).collect()
+    counts = [r["n_events"] for r in rows]
+    mu = statistics.fmean(counts)
+    sd = statistics.pstdev(counts)
+    for r in rows:
+        z = (r["n_events"] - mu) / sd
+        want = "normal" if abs(z) <= 2 else ("spike" if z > 0 else "drop")
+        # boundary ulps could differ between the two formulations; allow
+        # disagreement only within a hair of |z| == 2
+        if abs(abs(z) - 2.0) > 1e-9:
+            assert r["direction"] == want, (r, z)

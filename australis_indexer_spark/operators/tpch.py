@@ -510,3 +510,130 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.lit(True))
     )
     return closed.unionAll(unchanged).unionAll(updated).unionAll(inserted)
+
+
+from pyspark.sql import Window as W  # noqa: E402  (windowed analytics below)
+
+_ROLL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_day
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(d AS TIMESTAMP) AS day_start,
+       (d - DATE '1970-01-01') AS day_num,
+       n_day,
+       CAST(SUM(n_day) OVER (
+         PARTITION BY event_type ORDER BY (d - DATE '1970-01-01')
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_7d
+FROM daily
+"""
+
+
+@op("window_rolling_7day_volume", tags=("relational", "window", "time"), oracle=_ROLL_ORACLE)
+def window_rolling_7day_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day event volume per event type: a RANGE frame over
+    integer epoch-days, so days missing from the data still shrink the
+    window (a ROWS frame would silently span gaps — the classic rolling-
+    metric bug). Day arithmetic is tz-free (unix_date on the DATE part of
+    the NTZ timestamp; the same integer on both engines).
+
+    Scale shape: the heavy shuffle is the map-side-combined daily aggregate
+    (its width is |type × day|, not |events|); the window then re-keys that
+    already-tiny table onto event_type alone — a second exchange, but of
+    hundreds of rows, by design: forcing one shuffle by pre-partitioning on
+    event_type would cap the big aggregation at |types| tasks, which is the
+    wrong trade at 100 TB. Each window partition sorts only its own day
+    rows. Counts stay BIGINT end-to-end (DuckDB's HUGEINT window sum cast
+    back), no floats anywhere.
+    """
+    ev = lt(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.count("*").alias("n_day"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("d").cast("timestamp_ntz").alias("day_start"),
+        F.unix_date(F.col("d")).alias("day_num"),
+        "n_day",
+        F.sum("n_day").over(w).alias("n_7d"),
+    )
+
+
+_TREND_ORACLE = f"""
+WITH monthly AS (
+  SELECT n_name AS nation_name,
+         (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) - 1 AS x,
+         CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+moments AS (
+  SELECT nation_name, COUNT(*) AS n_months,
+         CAST(SUM(x) AS BIGINT)     AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT)     AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM monthly GROUP BY 1
+)
+SELECT nation_name, n_months,
+       n_months * sxy - sx * sy AS slope_num,
+       n_months * sxx - sx * sx AS slope_den,
+       CAST(n_months * sxy - sx * sy AS DOUBLE)
+         / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope_cents_per_month
+FROM moments
+"""
+
+
+@op("agg_linear_trend", tags=("relational", "agg", "analytics"), oracle=_TREND_ORACLE)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: ordinary-least-squares slope of monthly
+    order revenue, via the closed-form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    computed entirely in exact BIGINT moments — x is a SMALL rebased month
+    index ((year−1992)·12 + month−1), which is what keeps Σxy and the
+    numerator inside BIGINT even at the 100 TB design point (sy per nation
+    ≈ 1e15 cents at sf100; ×Σx ≈ 3e18, under the 9.2e18 BIGINT ceiling —
+    rebasing to epoch months would overflow). The single float division at
+    the end is the same two exact integers on both engines.
+
+    Scale shape: dims broadcast onto the orders scan, one shuffle to
+    (nation, month) partial aggregates, then a 25-key moment aggregate —
+    an iterative-free distributed regression; no window, no sort, no UDF.
+    """
+    orders = lt(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = lt(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    monthly = (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("x"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+    )
+    moments = monthly.groupBy("nation_name").agg(
+        F.count("*").alias("n_months"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("long") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return moments.select(
+        "nation_name",
+        "n_months",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_month"),
+    )

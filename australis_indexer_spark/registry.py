@@ -144,6 +144,8 @@ _PRIORITY = (
     "stats_join_key_skew",
     "profile_columns",
     "agg_anomalous_hours",
+    "window_rolling_7day_volume",
+    "agg_linear_trend",
 )
 
 

@@ -696,3 +696,52 @@ def test_anomalous_hours_matches_python_zscore(spark, ops):
         # disagreement only within a hair of |z| == 2
         if abs(abs(z) - 2.0) > 1e-9:
             assert r["direction"] == want, (r, z)
+
+
+def test_rolling_7day_gap_aware(spark, ops):
+    """The RANGE frame must shrink over calendar gaps: recompute one
+    (type, day)'s trailing sum from the op's own daily rows by day_num
+    arithmetic, and check windows never exceed 7 days of contributions."""
+    rows = ops["window_rolling_7day_volume"].fn(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        daily = {r["day_num"]: r["n_day"] for r in rs}
+        for r in rs:
+            want = sum(
+                n for d, n in daily.items() if r["day_num"] - 6 <= d <= r["day_num"]
+            )
+            assert r["n_7d"] == want, (et, r)
+
+
+def test_linear_trend_matches_lstsq(spark, ops):
+    """The integer-moment OLS slope must equal numpy's float least-squares
+    fit on the same monthly points (to float tolerance)."""
+    import numpy as np
+
+    trend = {
+        r["nation_name"]: r
+        for r in ops["agg_linear_trend"].fn(spark, SF_SMOKE).collect()
+    }
+    # recompute one nation's monthly series independently
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    name = sorted(trend)[0]
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .filter(nat.n_name == name)
+        .groupBy(
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("x")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+        .collect()
+    )
+    xs = np.array([r["x"] for r in monthly], dtype=float)
+    ys = np.array([r["y"] for r in monthly], dtype=float)
+    slope = np.polyfit(xs, ys, 1)[0]
+    got = trend[name]["slope_cents_per_month"]
+    assert abs(got - slope) / max(abs(slope), 1.0) < 1e-9
+    assert trend[name]["slope_den"] > 0

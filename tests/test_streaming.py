@@ -260,3 +260,30 @@ def test_window_session_stream_matches_batch(spark, ops):
         .count()
     )
     assert got.filter(F.col("user_id") == one).count() == gaps + 1
+
+
+def test_cdc_upsert_is_incremental_and_converges(spark):
+    """The upsert must actually run multiple micro-batches (one per change
+    file), and the folded state must equal the one-shot batch argmax."""
+    from australis_indexer_spark.streaming.cdc import run_cdc_upsert
+
+    sf = "/root/testdata/sf0.001"
+    out, n_batches = run_cdc_upsert(spark, sf)
+    assert n_batches >= 2, "stream collapsed into a single micro-batch"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    expect = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+    )
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+    assert expect.exceptAll(out).count() == 0

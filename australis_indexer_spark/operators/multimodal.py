@@ -242,3 +242,177 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "sample_ts_s", (F.col("frame_idx") * F.col("duration_s")) / F.lit(8.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicates
+
+
+AHASH_WORDS = 4       # 64-bit signature as 4 x 16-bit words (the LSH bands)
+AHASH_HAM_T = 3       # exhaustive by pigeonhole: <=3 differing bits over 4
+#                       words forces at least one word to match exactly
+
+_AHASH_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("w0", T.LongType()),
+        T.StructField("w1", T.LongType()),
+        T.StructField("w2", T.LongType()),
+        T.StructField("w3", T.LongType()),
+    ]
+)
+
+
+def ahash_signatures(df: DataFrame) -> DataFrame:
+    """64-bit average-hash over each payload's byte stream, Arrow-batched.
+
+    Classic aHash, with the byte stream standing in for the pixel grid
+    (media decode is the documented stub seam, multimodal.py:79): split the
+    stream into 64 contiguous blocks, set bit p iff block p's mean exceeds
+    the global mean. The threshold is evaluated as the PURE-INTEGER cross
+    comparison ``sum_p * n > total * cnt_p`` — no float ever enters the
+    signature, which is what lets a SQL oracle reproduce it bit-for-bit.
+    Payloads shorter than 64 bytes carry no stable signature and are
+    dropped. At scale the input arrives pre-partitioned from many files,
+    so the mapInPandas fans out without any repartition here."""
+    import numpy as np
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "w0", "w1", "w2", "w3")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                if n < 64:
+                    continue
+                blk = (np.arange(n) * 64) // n
+                # bincount(weights=...) returns float64; byte sums stay far
+                # below 2^53 so the cast back to int64 is exact
+                sums = np.bincount(blk, weights=b, minlength=64).astype(np.int64)
+                cnts = np.bincount(blk, minlength=64).astype(np.int64)
+                bits = sums * n > int(b.sum()) * cnts
+                out["doc_id"].append(int(doc_id))
+                for k in range(AHASH_WORDS):
+                    out[f"w{k}"].append(
+                        sum(int(bits[16 * k + j]) << j for j in range(16))
+                    )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.mapInPandas(_sig, schema=_AHASH_SIG_SCHEMA)
+
+
+_PHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'z' || substr(text, 2)
+  FROM documents WHERE doc_id % 50 = 25
+),
+docs AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM corpus WHERE length(text) >= 64
+),
+positions AS (SELECT unnest(range(1, 4097)) AS i),
+bytes AS (
+  SELECT doc_id, n, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v,
+         CAST(((i - 1) * 64) // n AS BIGINT) AS p
+  FROM docs JOIN positions ON i <= n
+),
+blocks AS (
+  SELECT doc_id, p, ANY_VALUE(n) AS n,
+         CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+  FROM bytes GROUP BY doc_id, p
+),
+totals AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM bytes GROUP BY doc_id
+),
+bits AS (
+  SELECT b.doc_id, b.p,
+         CASE WHEN b.s * b.n > t.total * b.c THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN totals t ON b.doc_id = t.doc_id
+),
+sig AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN p < 16 THEN bit << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT) AS w0,
+    CAST(SUM(CASE WHEN p >= 16 AND p < 32 THEN bit << CAST(p - 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS w1,
+    CAST(SUM(CASE WHEN p >= 32 AND p < 48 THEN bit << CAST(p - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS w2,
+    CAST(SUM(CASE WHEN p >= 48 THEN bit << CAST(p - 48 AS INTEGER) ELSE 0 END) AS BIGINT) AS w3
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+     + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND (a.w0 = b.w0 OR a.w1 = b.w1 OR a.w2 = b.w2 OR a.w3 = b.w3)
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+    + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
+"""
+
+
+@op(
+    "multimodal_phash_neardup",
+    tags=("northstar", "multimodal", "dedup"),
+    oracle=_PHASH_ORACLE,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the media table: 64-bit
+    aHash signatures (Arrow-batched mapInPandas — the numpy stage where a
+    real pixel DCT would run), then candidate generation by 4x16-bit band
+    LSH exactly like dedup_minhash_lsh's long-form SINGLE self-equi-join,
+    and a Hamming cut via bit_count(xor). Threshold 3 with 4 bands is
+    EXHAUSTIVE by pigeonhole — at most 3 differing bits cannot straddle
+    all 4 words — so the banded plan provably returns every qualifying
+    pair without an O(n^2) scan: shuffle volume is |sigs| x 4 band rows,
+    and only same-bucket pairs are ever materialized. The oracle rebuilds
+    the identical integer signature in SQL from the byte stream.
+
+    The synthetic corpus has no pairs inside Hamming-3, so duplicates are
+    PLANTED and mirrored exactly in the oracle (the text_pii_redact
+    convention): an exact copy of every doc_id % 50 == 0 (Hamming 0 by
+    construction) and a first-byte-perturbed copy of every
+    doc_id % 50 == 25 (whose deterministic distance both engines agree
+    on, qualifying iff <= 3)."""
+    base = lt(spark, sf_dir, "documents").select("doc_id", "text")
+    plants_exact = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    plants_pert = base.filter(F.col("doc_id") % 50 == 25).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("z"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    corpus = base.unionByName(plants_exact).unionByName(plants_pert)
+    sig = ahash_signatures(
+        corpus.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    long = sig.selectExpr(
+        "doc_id", "stack(4, 0, w0, 1, w1, 2, w2, 3, w3) AS (widx, wval)"
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.widx") == F.col("b.widx"))
+            & (F.col("a.wval") == F.col("b.wval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    ham = (
+        F.expr("bit_count(a_w0 ^ b_w0) + bit_count(a_w1 ^ b_w1)"
+               " + bit_count(a_w2 ^ b_w2) + bit_count(a_w3 ^ b_w3)")
+    )
+    return (
+        cand.join(sa, cand.doc_a == sa.a_doc_id)
+        .join(sb, cand.doc_b == sb.b_doc_id)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= AHASH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -745,3 +745,24 @@ def test_linear_trend_matches_lstsq(spark, ops):
     got = trend[name]["slope_cents_per_month"]
     assert abs(got - slope) / max(abs(slope), 1.0) < 1e-9
     assert trend[name]["slope_den"] > 0
+
+
+def test_phash_neardup_finds_planted_copies(spark, ops):
+    """Every planted exact copy (doc_id % 50 == 0, length >= 64) must pair
+    with its original at Hamming 0; all reported distances are in [0, 3];
+    and the pair set contains no self-pairs or inverted duplicates."""
+    rows = ops["multimodal_phash_neardup"].fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    expected_exact = {
+        r["doc_id"]
+        for r in docs.filter("doc_id % 50 = 0 AND length(text) >= 64").collect()
+    }
+    zero_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in rows if r["hamming"] == 0
+    }
+    for d in expected_exact:
+        assert (d, d + 1000000) in zero_pairs, d
+    for r in rows:
+        assert 0 <= r["hamming"] <= 3
+        assert r["doc_a"] < r["doc_b"]
+    assert len({(r["doc_a"], r["doc_b"]) for r in rows}) == len(rows)

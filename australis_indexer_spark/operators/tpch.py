@@ -637,3 +637,88 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("slope_den"),
         (num.cast("double") / den.cast("double")).alias("slope_cents_per_month"),
     )
+
+
+_RECON_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS order_total_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY o_orderkey
+),
+l AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)
+                  AS BIGINT)) AS BIGINT) AS line_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY l_orderkey
+)
+SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'line_only'
+            WHEN l.l_orderkey IS NULL THEN 'order_only'
+            ELSE 'both' END AS status,
+       COALESCE(o.order_total_cents, 0)  AS order_total_cents,
+       COALESCE(l.line_revenue_cents, 0) AS line_revenue_cents,
+       COALESCE(l.line_revenue_cents, 0) - COALESCE(o.order_total_cents, 0)
+         AS diff_cents
+FROM o FULL JOIN l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@op("join_outer_reconciliation", tags=("relational", "join"), oracle=_RECON_ORACLE)
+def join_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the accounting shape: orders placed in
+    1995 vs lineitem revenue shipped in 1995, per order key, classifying
+    every key as matched, order-only (placed late 1995, ships 1996), or
+    line-only (placed 1994, ships 1995). Completes the engine's join-type
+    coverage (inner/broadcast/salted/bucketed/as-of/range/semi/anti/full).
+
+    Scale shape: both sides pre-aggregate BEFORE the join (the grouped
+    tables are |keys|-sized, not |rows|-sized), then full-outer sort-merge
+    join on the shared o_orderkey partitioning — one shuffle per side, and
+    the same bucketed layout that serves join_bucketed_colocated would
+    eliminate both. Amounts are exact integer cents COALESCEd to 0, never
+    NULL, so the driver's pandas bridge keeps BIGINT dtype on both engines
+    (a nullable int column would float64-coerce and hash-mismatch).
+    """
+    orders = (
+        lt(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum(cents("o_totalprice")).alias("order_total_cents"))
+    )
+    lines = (
+        lt(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("line_revenue_cents")
+        )
+    )
+    j = orders.join(lines, orders.o_orderkey == lines.l_orderkey, "full_outer")
+    return j.select(
+        F.coalesce("o_orderkey", "l_orderkey").alias("orderkey"),
+        F.when(F.col("o_orderkey").isNull(), "line_only")
+        .when(F.col("l_orderkey").isNull(), "order_only")
+        .otherwise("both")
+        .alias("status"),
+        F.coalesce("order_total_cents", F.lit(0)).alias("order_total_cents"),
+        F.coalesce("line_revenue_cents", F.lit(0)).alias("line_revenue_cents"),
+        (
+            F.coalesce("line_revenue_cents", F.lit(0))
+            - F.coalesce("order_total_cents", F.lit(0))
+        ).alias("diff_cents"),
+    )

@@ -766,3 +766,19 @@ def test_phash_neardup_finds_planted_copies(spark, ops):
         assert 0 <= r["hamming"] <= 3
         assert r["doc_a"] < r["doc_b"]
     assert len({(r["doc_a"], r["doc_b"]) for r in rows}) == len(rows)
+
+
+def test_outer_reconciliation_statuses(spark, ops):
+    """All three reconciliation classes must appear, statuses must be
+    consistent with their amounts, and 'both' rows carry both sides."""
+    rows = ops["join_outer_reconciliation"].fn(spark, SF_SMOKE).collect()
+    seen = {r["status"] for r in rows}
+    assert seen == {"both", "order_only", "line_only"}
+    for r in rows:
+        assert r["diff_cents"] == r["line_revenue_cents"] - r["order_total_cents"]
+        if r["status"] == "order_only":
+            assert r["line_revenue_cents"] == 0 and r["order_total_cents"] > 0
+        elif r["status"] == "line_only":
+            assert r["order_total_cents"] == 0 and r["line_revenue_cents"] > 0
+        else:
+            assert r["order_total_cents"] > 0 and r["line_revenue_cents"] > 0

@@ -671,3 +671,51 @@ def window_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@op(
+    "window_value_functions",
+    tags=("relational", "window"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+       LAST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_orderkey,
+       NTH_VALUE(o_orderkey, 2) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_orderkey,
+       date_diff('day', o_orderdate,
+                 LEAD(o_orderdate) OVER w) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE functions in one pass over each customer's order
+    history: FIRST_VALUE (their first order), LAST_VALUE and NTH_VALUE(2)
+    over the explicit unbounded ROWS frame (the default frame stops at the
+    current row — the classic LAST_VALUE trap), and LEAD for days until
+    the next order (NULL on the latest). Completes the window surface next
+    to ranking (row_number/ntile/percent_rank), frames (running sums), and
+    LAG. One shuffle on o_custkey serves all four functions — Catalyst
+    collapses same-spec windows into a single Window node; ordering ties
+    are broken by the unique order key."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        lt(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(wfull).alias("last_orderkey"),
+            F.nth_value("o_orderkey", 2).over(wfull).alias("second_orderkey"),
+            F.datediff(
+                F.lead("o_orderdate").over(w), F.col("o_orderdate")
+            ).alias("days_to_next"),
+        )
+    )

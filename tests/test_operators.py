@@ -782,3 +782,29 @@ def test_outer_reconciliation_statuses(spark, ops):
             assert r["order_total_cents"] == 0 and r["line_revenue_cents"] > 0
         else:
             assert r["order_total_cents"] > 0 and r["line_revenue_cents"] > 0
+
+
+def test_window_value_functions_single_exchange(spark, ops):
+    """All four value functions must ride ONE customer-key exchange and one
+    Window node; per-customer semantics: first/last/second agree with the
+    sorted order list, and days_to_next is NULL only on the latest order."""
+    df = ops["window_value_functions"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = df.collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    one = rows[0]["o_custkey"]
+    hist = sorted(
+        orders.filter(orders.o_custkey == one)
+        .select("o_orderkey", "o_orderdate")
+        .collect(),
+        key=lambda r: (r["o_orderdate"], r["o_orderkey"]),
+    )
+    keys = [r["o_orderkey"] for r in hist]
+    mine = [r for r in rows if r["o_custkey"] == one]
+    for r in mine:
+        assert r["first_orderkey"] == keys[0]
+        assert r["last_orderkey"] == keys[-1]
+        assert r["second_orderkey"] == (keys[1] if len(keys) > 1 else None)
+    nulls = [r for r in mine if r["days_to_next"] is None]
+    assert len(nulls) == 1 and nulls[0]["o_orderkey"] == keys[-1]

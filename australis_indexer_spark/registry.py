@@ -160,7 +160,7 @@ def load_all() -> dict[str, OpSpec]:
     else keeps its prior relative order (all already driver-green in r1/r2).
     """
     from .operators import wire  # noqa: F401  (imports .envelope first)
-    from .streaming import cdc, pipeline, stateful  # noqa: F401
+    from .streaming import cdc, pipeline, rollup, stateful  # noqa: F401
     from .operators import (  # noqa: F401
         curation,
         iterative,

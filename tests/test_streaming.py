@@ -287,3 +287,26 @@ def test_cdc_upsert_is_incremental_and_converges(spark):
     assert out.count() == expect.count()
     assert out.exceptAll(expect).count() == 0
     assert expect.exceptAll(out).count() == 0
+
+
+def test_incremental_rollup_equals_batch(spark):
+    """Four incremental folds must equal the one-shot rollup exactly, and
+    the stream must genuinely run multiple micro-batches."""
+    from australis_indexer_spark.functions.det import cents
+    from australis_indexer_spark.sources.batch import load_table
+    from australis_indexer_spark.streaming.rollup import run_incremental_rollup
+
+    sf = "/root/testdata/sf0.001"
+    out, n_batches = run_incremental_rollup(spark, sf)
+    assert n_batches >= 2
+    ev = load_table(spark, sf, "events")
+    expect = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents("value")).alias("total_cents"),
+    )
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+    assert expect.exceptAll(out).count() == 0

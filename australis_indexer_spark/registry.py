@@ -115,10 +115,6 @@ _PRIORITY = (
     "stream_stream_join_outcomes",
     "stream_stateful_gap_tracker",
     "sink_compaction",
-    "scan_stream",
-    "health_check",
-    "cbor_encode",
-    "compress_roundtrip",
     # round-3 additions (operators/curation.py, storage.py, pq.py) —
     # never driver-seen
     "pipeline_decontaminate",
@@ -146,6 +142,19 @@ _PRIORITY = (
     "agg_anomalous_hours",
     "window_rolling_7day_volume",
     "agg_linear_trend",
+    # late round-3 additions, never driver-seen
+    "stream_cdc_upsert",
+    "stream_incremental_rollup",
+    "multimodal_phash_neardup",
+    "window_value_functions",
+    "join_outer_reconciliation",
+    # env-bound contract mirrors last: their oracles are self-mirrors (the
+    # judge accepted them as env-bound), so they are the cheapest rows to
+    # lose if the driver's ~50-op window cuts before the end of this list.
+    "scan_stream",
+    "health_check",
+    "cbor_encode",
+    "compress_roundtrip",
 )
 
 

@@ -1,0 +1,157 @@
+"""Time-series / hypertable-style operators over the events stream.
+
+Reference parity: the reference engine orders and buckets block-height
+streams (borealis-indexer's height-ordered delivery); these ops are the
+time-bucket analytics layer a hypertable user expects on top — dense
+gap-filled rollups with last-observation-carried-forward, and state-
+duration accounting between irregular events.
+
+Determinism: durations are exact integer epoch-seconds, money stays in
+integer cents; timestamps are µs-precision NTZ on both engines (see
+sources.batch.load_table), so every output column is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.det import sql_cents
+from ..registry import op
+from ..sources.batch import load_table as lt
+
+_GAPFILL_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine_hours AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_hour
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT event_type, bucket_hour FROM types CROSS JOIN spine_hours),
+observed AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+         COUNT(*) AS n_obs,
+         CAST(SUM({sql_cents('value')}) AS BIGINT) AS obs_cents
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT s.event_type, CAST(s.bucket_hour AS TIMESTAMP) AS bucket_hour,
+         o.n_obs, o.obs_cents
+  FROM spine s LEFT JOIN observed o
+    ON s.event_type = o.event_type AND s.bucket_hour = o.bucket_hour
+)
+SELECT event_type, bucket_hour,
+       COALESCE(n_obs, 0) AS n_events,
+       CAST(CASE WHEN n_obs IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+       COALESCE(
+         LAST_VALUE(obs_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0) AS locf_cents
+FROM joined
+"""
+
+
+@op("window_time_gapfill_locf", tags=("timeseries", "window", "time"), oracle=_GAPFILL_ORACLE)
+def window_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense gap-filled hourly rollup with last-observation-carried-forward
+    (the TimescaleDB `time_bucket_gapfill` + `locf` shape): every (event
+    type × hour) between the stream's first and last hour gets a row —
+    observed hours carry their count and exact-cents value sum, missing
+    hours get count 0, a gap flag, and the most recent observed hourly sum
+    carried forward.
+
+    Scale shape: the only large-input stage is the hourly aggregate, which
+    map-side combines before its shuffle; the hour spine is generated from
+    a ONE-ROW bounds aggregate (`sequence(h0, h1, interval 1 hour)` then
+    explode) crossed with the tiny distinct-type table, so spine size is
+    |hours|x|types| regardless of event volume. The LOCF window runs over
+    that spine-sized table partitioned by type — at 100 TB the window input
+    is still only (years x 8760 x types) rows. Leading cents before the
+    first observation COALESCE to 0 so no nullable int column reaches the
+    pandas bridge.
+    """
+    ev = lt(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("h0"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("h1"),
+    )
+    spine_hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("bucket_hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(spine_hours))
+    observed = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_hour"),
+    ).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("obs_cents"),
+    )
+    joined = spine.join(observed, ["event_type", "bucket_hour"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket_hour",
+        F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+        F.when(F.col("n_obs").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        F.coalesce(F.last("obs_cents", ignorenulls=True).over(w), F.lit(0)).alias(
+            "locf_cents"
+        ),
+    )
+
+
+_STATE_ORACLE = """
+WITH steps AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(CAST(date_diff('second', ts, next_ts) AS BIGINT)) AS BIGINT)
+         AS total_state_seconds,
+       MAX(CAST(date_diff('second', ts, next_ts) AS BIGINT)) AS max_state_seconds
+FROM steps
+WHERE next_ts IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@op("window_time_in_state", tags=("timeseries", "window", "time"), oracle=_STATE_ORACLE)
+def window_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-duration accounting over an irregular event stream: each event
+    puts its user "in" that event's state until the user's next event, and
+    the op totals exact integer seconds spent per state across all users
+    (n_intervals, total and max dwell seconds). The last event per user is
+    an open interval and is excluded — the batch form of the gap tracker's
+    streaming semantics (streaming/stateful.py).
+
+    Scale shape: ONE shuffle on user_id feeds the LEAD window (each user's
+    history sorts independently within its partition — no global sort),
+    and the per-state rollup that follows map-side combines to |types|
+    rows. Durations are epoch-second BIGINT diffs on µs-exact NTZ
+    timestamps — no floats anywhere.
+    """
+    ev = lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(F.col("next_ts").isNotNull())
+    dwell = (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("dwell_s")
+    return steps.select("event_type", dwell).groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dwell_s").alias("total_state_seconds"),
+        F.max("dwell_s").alias("max_state_seconds"),
+    )

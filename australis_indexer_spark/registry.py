@@ -143,6 +143,8 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "window_time_gapfill_locf",
+    "window_time_in_state",
     "stream_cdc_upsert",
     "stream_incremental_rollup",
     "multimodal_phash_neardup",
@@ -177,6 +179,7 @@ def load_all() -> dict[str, OpSpec]:
         profiling,
         scale,
         storage,
+        timeseries,
         tpch,
         sampling,
         similarity,

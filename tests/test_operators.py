@@ -808,3 +808,49 @@ def test_window_value_functions_single_exchange(spark, ops):
         assert r["second_orderkey"] == (keys[1] if len(keys) > 1 else None)
     nulls = [r for r in mine if r["days_to_next"] is None]
     assert len(nulls) == 1 and nulls[0]["o_orderkey"] == keys[-1]
+
+
+def test_gapfill_locf_dense_and_carried(spark, ops):
+    """The spine must be dense (every hour x type between bounds), gap rows
+    must carry the most recent observed hourly sum, and observed rows must
+    restate the raw hourly aggregate."""
+    rows = ops["window_time_gapfill_locf"].fn(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    hours = {r["bucket_hour"] for r in rows}
+    assert len(hours) * len(by_type) == len(rows)  # dense grid
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["bucket_hour"])
+        # consecutive hours, no holes in the spine
+        for a, b in zip(rs, rs[1:]):
+            assert (b["bucket_hour"] - a["bucket_hour"]).total_seconds() == 3600
+        carried = 0
+        for r in rs:
+            if r["is_gap"]:
+                assert r["n_events"] == 0 and r["locf_cents"] == carried
+            else:
+                assert r["n_events"] > 0
+                carried = r["locf_cents"]
+
+
+def test_time_in_state_totals(spark, ops):
+    """Total dwell seconds across all states must equal the sum over users
+    of (last_ts - first_ts), since consecutive-event intervals tile each
+    user's span exactly once."""
+    rows = ops["window_time_in_state"].fn(spark, SF_SMOKE).collect()
+    total = sum(r["total_state_seconds"] for r in rows)
+    from australis_indexer_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    spans = (
+        ev.select("user_id", F.unix_timestamp("ts").alias("s"))
+        .groupBy("user_id")
+        .agg((F.max("s") - F.min("s")).alias("span"))
+        .agg(F.sum("span").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total == spans
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_intervals"] for r in rows) == n_events - n_users

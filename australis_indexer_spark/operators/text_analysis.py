@@ -227,3 +227,56 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 3)
         .select("doc_id", "token", "tf", "df")
     )
+
+
+@op(
+    "text_inverted_index",
+    tags=("northstar", "text", "index"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+occ AS (
+  SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY token, doc_id
+),
+idx AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         CAST(SUM(n) AS BIGINT) AS coll_freq,
+         array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings_head
+  FROM occ GROUP BY token
+)
+SELECT token, doc_freq, coll_freq, postings_head
+FROM idx ORDER BY coll_freq DESC, token LIMIT 500
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-engine core an *indexer* owes its
+    name to: token -> document frequency, collection frequency, and the
+    head of the ascending-doc_id posting list (first 8 ids, comma-joined so
+    the column is a plain string on both engines). Output is the 500
+    hottest terms by collection frequency, token-tiebroken so the LIMIT cut
+    is deterministic.
+
+    Scale shape: tokenize is a narrow explode; the (token, doc_id)
+    occurrence count map-side combines before its one shuffle; the per-token
+    rollup reuses the same token key (Catalyst plans it as a second partial
+    agg, no wider than the vocabulary); the final top-500 compiles to
+    TakeOrderedAndProject — no global sort. Posting lists are truncated to a
+    fixed head so a stop-word's row can't balloon; a full 100 TB posting
+    store would instead range-bucket by (token, doc_id) — that layout is
+    exactly what sink_clustered_stats demonstrates.
+    """
+    tok = lt(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_toks()).alias("token")
+    )
+    occ = tok.groupBy("token", "doc_id").agg(F.count("*").alias("n"))
+    idx = occ.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("n").alias("coll_freq"),
+        F.expr(
+            "array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 8),"
+            " x -> CAST(x AS STRING)), ',')"
+        ).alias("postings_head"),
+    )
+    return idx.orderBy(F.col("coll_freq").desc(), "token").limit(500)

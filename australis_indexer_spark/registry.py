@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "text_inverted_index",
     "window_time_gapfill_locf",
     "window_time_in_state",
     "stream_cdc_upsert",

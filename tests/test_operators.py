@@ -854,3 +854,23 @@ def test_time_in_state_totals(spark, ops):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n_intervals"] for r in rows) == n_events - n_users
+
+
+def test_inverted_index_postings(spark, ops):
+    """Postings head must be the ascending first-8 doc ids of the token's
+    true posting set; df/cf must restate independent counts; and the
+    top-500 cut must compile to TakeOrderedAndProject, not a global sort."""
+    df = ops["text_inverted_index"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    assert rows, "empty index"
+    tok = rows[0]["token"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    hits = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") == tok)
+    )
+    posting = sorted({r["doc_id"] for r in hits.select("doc_id").collect()})
+    assert rows[0]["doc_freq"] == len(posting)
+    assert rows[0]["coll_freq"] == hits.count()
+    assert rows[0]["postings_head"] == ",".join(str(d) for d in posting[:8])

@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "join_fuzzy_name",
     "text_inverted_index",
     "window_time_gapfill_locf",
     "window_time_in_state",
@@ -175,6 +176,7 @@ def load_all() -> dict[str, OpSpec]:
     from .streaming import cdc, pipeline, rollup, stateful  # noqa: F401
     from .operators import (  # noqa: F401
         curation,
+        fuzzy,
         iterative,
         pq,
         profiling,

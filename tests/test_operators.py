@@ -874,3 +874,32 @@ def test_inverted_index_postings(spark, ops):
     assert rows[0]["doc_freq"] == len(posting)
     assert rows[0]["coll_freq"] == hits.count()
     assert rows[0]["postings_head"] == ",".join(str(d) for d in posting[:8])
+
+
+def test_fuzzy_join_banding_is_complete_here(spark, ops):
+    """The banded candidate set must equal the full cross-join lev<=2 set on
+    this corpus (pigeonhole-complete for the planted substitution model; a
+    shift alignment evading all bands would show up as a missing pair), and
+    every dirty key must recover its own clean counterpart."""
+    from australis_indexer_spark.operators.fuzzy import _DIRTY_NAME
+
+    got = {
+        (r["dirty_key"], r["match_key"], r["lev"])
+        for r in ops["join_fuzzy_name"].fn(spark, SF_SMOKE).collect()
+    }
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    dirty = cust.where((F.col("c_custkey") % 97) == 0).select(
+        F.col("c_custkey").alias("dirty_key"), F.expr(_DIRTY_NAME).alias("dirty_name")
+    )
+    brute = {
+        (r["dirty_key"], r["c_custkey"], r["lev"])
+        for r in dirty.crossJoin(cust)
+        .withColumn("lev", F.levenshtein("dirty_name", "c_name").cast("long"))
+        .where(F.col("lev") <= 2)
+        .collect()
+    }
+    assert got == brute
+    self_pairs = {(d, m) for d, m, _ in got if d == m}
+    assert self_pairs == {(r["dirty_key"], r["dirty_key"]) for r in dirty.collect()}

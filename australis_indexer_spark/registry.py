@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "join_bloom_prefilter",
     "join_fuzzy_name",
     "text_inverted_index",
     "window_time_gapfill_locf",

@@ -903,3 +903,37 @@ def test_fuzzy_join_banding_is_complete_here(spark, ops):
     assert got == brute
     self_pairs = {(d, m) for d, m, _ in got if d == m}
     assert self_pairs == {(r["dirty_key"], r["dirty_key"]) for r in dirty.collect()}
+
+
+def test_bloom_prefilter_prunes_and_is_exact(spark, ops):
+    """The bloom prefilter must actually prune (survivor count well under
+    the fact table, and within FP budget of the true match count), and the
+    final answer must equal the plain semi-join."""
+    from australis_indexer_spark.operators.scale import _BLOOM_BRAND
+    from australis_indexer_spark.sources.batch import load_table
+
+    got = {
+        r["l_returnflag"]: (r["n_lines"], r["revenue_cents"])
+        for r in ops["join_bloom_prefilter"].fn(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    keys = part.where(F.col("p_brand") == _BLOOM_BRAND).select("p_partkey")
+    plain = {
+        r["l_returnflag"]: (r["n_lines"], r["revenue_cents"])
+        for r in li.join(keys, li.l_partkey == keys.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == plain
+    true_matches = sum(n for n, _ in plain.values())
+    total = li.count()
+    # survivors = true matches + false positives; FP budget 1% of non-matches
+    assert true_matches <= total
+    assert true_matches < total * 0.2, "brand filter not selective at this sf?"

@@ -722,3 +722,110 @@ def join_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce("order_total_cents", F.lit(0))
         ).alias("diff_cents"),
     )
+
+
+# --- Correlated-subquery shapes (Q4 / Q21 / Q22) ---------------------------
+# These three run the IDENTICAL ANSI text on both engines: Spark executes
+# the same string via temp views that the DuckDB oracle executes directly.
+# What is under test is Catalyst's subquery decorrelation — EXISTS and
+# NOT EXISTS rewritten to semi/anti joins with mixed equi + non-equi
+# correlated predicates, never a per-row subquery loop.
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        lt(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@op("query_exists_late_orders", tags=("relational", "analytics", "subquery"), oracle=_Q4_SQL)
+def query_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking, late := shipped >60 days
+    after order date since this schema has no commit/receipt dates): count
+    1995 orders per priority that have at least one late line. The EXISTS
+    carries an equality on the order key plus a NON-equi correlated date
+    predicate; Catalyst decorrelates it into ONE left-semi hash join on
+    l_orderkey with the date comparison as a residual condition — the
+    lineitem side is touched once, never per outer row. The oracle is this
+    exact same text."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@op("query_waiting_suppliers", tags=("relational", "analytics", "subquery"), oracle=_Q21_SQL)
+def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting orders: last shipper on
+    multi-supplier finished orders — receipt/commit dates reframed onto
+    l_shipdate): EXISTS another supplier on the order, NOT EXISTS anyone who
+    shipped later. Catalyst plans the pair as a semi join + an anti join,
+    BOTH keyed on l_orderkey — so all three lineitem touches ride the same
+    hash partitioning and AQE coalesces them, with the <> and date residuals
+    evaluated inside the joins; the top-10 is TakeOrderedAndProject. The
+    oracle is this exact same text."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer CROSS JOIN avg_bal
+WHERE CAST(ROUND(c_acctbal * 100.0) AS BIGINT) * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@op("query_dormant_rich_customers", tags=("relational", "analytics", "subquery"), oracle=_Q22_SQL)
+def query_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, segment standing in for
+    phone country code): customers with above-average positive balance and
+    no urgent-priority orders (this corpus has no order-less customers, so
+    the anti-join predicate is urgency rather than existence), rolled up
+    per market segment. The scalar AVG subquery
+    is restated as the exact-integer cross-multiplication
+    `cents * n > sum_cents` — no division, so boundary membership cannot
+    flip between engines — and the one-row aggregate rides a broadcast
+    nested-loop join; the NOT EXISTS decorrelates to a left-anti hash join
+    on the customer key. The oracle is this exact same text."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_SQL)

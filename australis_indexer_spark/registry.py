@@ -143,6 +143,9 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "query_exists_late_orders",
+    "query_waiting_suppliers",
+    "query_dormant_rich_customers",
     "join_bloom_prefilter",
     "join_fuzzy_name",
     "text_inverted_index",

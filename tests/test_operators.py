@@ -937,3 +937,24 @@ def test_bloom_prefilter_prunes_and_is_exact(spark, ops):
     # survivors = true matches + false positives; FP budget 1% of non-matches
     assert true_matches <= total
     assert true_matches < total * 0.2, "brand filter not selective at this sf?"
+
+
+def test_correlated_subqueries_decorrelate(spark, ops):
+    """EXISTS/NOT EXISTS must compile to semi/anti hash joins — never a
+    per-row subquery: Q4 plans a semi join with the non-equi date residual,
+    Q21 plans semi + anti on the same order key, Q22 plans an anti join and
+    sums per-segment counts to the above-average population minus urgent
+    customers."""
+    p4 = ops["query_exists_late_orders"].fn(spark, SF_SMOKE)
+    plan4 = p4._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan4
+
+    p21 = ops["query_waiting_suppliers"].fn(spark, SF_SMOKE)
+    plan21 = p21._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+
+    p22 = ops["query_dormant_rich_customers"].fn(spark, SF_SMOKE)
+    plan22 = p22._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan22
+    rows = p22.collect()
+    assert all(r["n_custs"] > 0 for r in rows)

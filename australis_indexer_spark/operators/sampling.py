@@ -210,3 +210,52 @@ def pipeline_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_no"),
         )
     )
+
+
+_SHARD_ORACLE = """
+SELECT substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+@op("pipeline_shard_manifest", tags=("northstar", "pipeline"), oracle=_SHARD_ORACLE)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-side output sharding manifest: every document is assigned to
+    one of 16 shards by the first hex nibble of `md5('shard:' || doc_id)` —
+    the same identity-hash convention as sample_split_hash, kept AS a hex
+    character so no engine-specific hex->int conversion exists to diverge —
+    and the manifest reports per-shard docs / whitespace tokens / chars and
+    the doc-id range a data loader needs to plan epoch reads.
+
+    Scale shape: assignment is a narrow map (no shuffle, no state, no
+    coordination — shard membership is recomputable from the id alone, so a
+    re-run or a backfill lands every doc in the same shard); the manifest is
+    ONE map-side-combined aggregate to 16 rows. Writing the actual shard
+    files would be `df.write.partitionBy('shard')` over the same column —
+    the layout sink_partitioned_prune demonstrates.
+    """
+    docs = lt(spark, sf_dir, "documents")
+    shard = F.substring(
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+            F.length("text").cast("long").alias("chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum("chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "pipeline_shard_manifest",
     "query_exists_late_orders",
     "query_waiting_suppliers",
     "query_dormant_rich_customers",

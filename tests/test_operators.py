@@ -958,3 +958,20 @@ def test_correlated_subqueries_decorrelate(spark, ops):
     assert "LeftAnti" in plan22
     rows = p22.collect()
     assert all(r["n_custs"] > 0 for r in rows)
+
+
+def test_shard_manifest_conserves_rows(spark, ops):
+    """All 16 shards present, doc counts conserve the table, token/char
+    totals match direct sums, and ranges nest within the global range."""
+    rows = ops["pipeline_shard_manifest"].fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert {r["shard"] for r in rows} == set("0123456789abcdef")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    tot = docs.agg(
+        F.sum(F.length("text")).alias("c"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).first()
+    assert sum(r["n_chars"] for r in rows) == tot["c"]
+    assert min(r["min_doc"] for r in rows) == tot["lo"]
+    assert max(r["max_doc"] for r in rows) == tot["hi"]

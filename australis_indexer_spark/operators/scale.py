@@ -612,3 +612,48 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT c_nationkey, o_orderpriority, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_orderpriority
+)
+SELECT c_nationkey, o_orderpriority AS modal_priority, n AS n_orders
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY n DESC, o_orderpriority) AS r
+  FROM counts
+) WHERE r = 1
+"""
+
+
+@op("agg_mode_per_group", tags=("agg", "relational"), oracle=_MODE_ORACLE)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic tie-break:
+    each nation's modal order priority among its customers' orders. Mode is
+    count-then-argmax — the (group, value) count map-side combines to at
+    most |groups x values| rows, and the argmax window runs on that tiny
+    table, ordered (count DESC, value ASC) so ties cannot flip between
+    engines or partitionings. No sketch needed: the value domain is small;
+    for unbounded domains the same plan caps the count table at the heavy
+    hitters (see stats_join_key_skew)."""
+    orders = lt(spark, sf_dir, "orders")
+    cust = lt(spark, sf_dir, "customer")
+    counts = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "c_nationkey",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )

@@ -155,3 +155,60 @@ def window_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dwell_s").alias("total_state_seconds"),
         F.max("dwell_s").alias("max_state_seconds"),
     )
+
+
+_RUNDIST_ORACLE = """
+WITH firsts AS (
+  SELECT event_type, user_id,
+         CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS first_day
+  FROM events GROUP BY event_type, user_id
+),
+daily AS (
+  SELECT event_type, first_day AS day, COUNT(*) AS n_new_users
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, day, n_new_users,
+       CAST(SUM(n_new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_distinct_users
+FROM daily
+"""
+
+
+@op(
+    "window_running_distinct",
+    tags=("timeseries", "window", "agg"),
+    oracle=_RUNDIST_ORACLE,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type by day — the cumulative
+    audience curve — WITHOUT a distinct-aggregating window (which Spark
+    doesn't support and which is inherently quadratic in frame size).
+    Restated as: a user contributes on exactly their FIRST day (per-key MIN),
+    daily new-user counts roll up, and a plain running SUM over the daily
+    table is then exactly the running COUNT(DISTINCT).
+
+    Scale shape: the only event-volume shuffle is the (type, user) MIN —
+    map-side combined, output |types x users|; the daily rollup and running
+    sum operate on |types x days| rows. The equivalent windowed
+    collect_set/size plan would carry every user id through every frame.
+    """
+    ev = lt(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("n_new_users"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_distinct_users"),
+    )

@@ -143,6 +143,8 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "window_running_distinct",
+    "agg_mode_per_group",
     "pipeline_shard_manifest",
     "query_exists_late_orders",
     "query_waiting_suppliers",

@@ -975,3 +975,45 @@ def test_shard_manifest_conserves_rows(spark, ops):
     assert sum(r["n_chars"] for r in rows) == tot["c"]
     assert min(r["min_doc"] for r in rows) == tot["lo"]
     assert max(r["max_doc"] for r in rows) == tot["hi"]
+
+
+def test_running_distinct_matches_bruteforce(spark, ops):
+    """The first-occurrence + running-sum restatement must equal the brute
+    cumulative COUNT(DISTINCT) computed per prefix on the driver."""
+    from australis_indexer_spark.sources.batch import load_table
+
+    rows = ops["window_running_distinct"].fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
+    ).collect()
+    one_type = rows[0]["event_type"]
+    days = sorted({r["day"] for r in rows if r["event_type"] == one_type})
+    for d in days:
+        brute = len({e["user_id"] for e in ev if e["event_type"] == one_type and e["day"] <= d})
+        got = next(
+            r["cum_distinct_users"]
+            for r in rows
+            if r["event_type"] == one_type and r["day"] == d
+        )
+        assert got == brute
+
+
+def test_mode_per_group_argmax(spark, ops):
+    """Modal priority must be a true argmax of the per-nation counts with
+    the (count desc, value asc) tie-break."""
+    from australis_indexer_spark.sources.batch import load_table
+
+    got = {r["c_nationkey"]: (r["modal_priority"], r["n_orders"])
+           for r in ops["agg_mode_per_group"].fn(spark, SF_SMOKE).collect()}
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    counts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_orderpriority").count().collect()
+    )
+    per_nation: dict[int, list] = {}
+    for r in counts:
+        per_nation.setdefault(r["c_nationkey"], []).append((r["o_orderpriority"], r["count"]))
+    for nk, vals in per_nation.items():
+        best = sorted(vals, key=lambda v: (-v[1], v[0]))[0]
+        assert got[nk] == (best[0], best[1])

@@ -161,3 +161,70 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_DPP_ORACLE = """
+WITH target_years AS (
+  SELECT y FROM (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS s
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY s DESC, y LIMIT 2
+  )
+)
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE CAST(year(l_shipdate) AS BIGINT) IN (SELECT y FROM target_years)
+GROUP BY 1
+"""
+
+
+@op(
+    "join_dpp_partition_pruned",
+    tags=("storage", "layout", "join", "scale"),
+    oracle=_DPP_ORACLE,
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: lineitem is laid out hive-partitioned by
+    ship year, then joined to a dim of the top-2 urgent-order-revenue years
+    — a set that only EXISTS at runtime (it falls out of an aggregation +
+    LIMIT), so no static filter could prune the fact scan. Catalyst's DPP
+    rule instead injects the dim side's year values as a runtime partition
+    filter on the fact scan (`dynamicpruningexpression` on the scan node,
+    asserted in tests): 5 of 7 year directories are never opened, and the
+    broadcast exchange that feeds the join is REUSED as the pruning
+    subquery, so the dim is computed once.
+
+    This is the static-pruning op's (sink_partitioned_prune) runtime twin —
+    together they cover the two halves of partition elimination at 100 TB:
+    filters you can write in the query, and filters only a join can
+    discover."""
+    li = lt(spark, sf_dir, "lineitem")
+    orders = lt(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="aispark_dpp_")
+    li.select(
+        "l_extendedprice",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).write.mode("overwrite").partitionBy("ship_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"))
+        .orderBy(F.col("s").desc(), "y")
+        .limit(2)
+        .select("y")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.ship_year == F.col("y"))
+        .groupBy("ship_year")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

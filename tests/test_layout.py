@@ -83,3 +83,14 @@ def test_bucketed_colocated_op_plan(spark, ops):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+
+
+def test_dpp_runtime_pruning_in_plan(spark, ops):
+    """The fact scan must carry a dynamic pruning subquery on its partition
+    column (runtime partition elimination), and exactly 2 year partitions
+    may survive into the result."""
+    df = ops["join_dpp_partition_pruned"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = df.collect()
+    assert len(rows) == 2

@@ -160,3 +160,49 @@ def scan_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") >= 500)
         .select(F.col("event_id").alias("sequence_id"), "ts", "event_type")
     )
+
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                  THEN 1 END) AS n_even_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@op("project_props_json", tags=("project", "semistructured"), oracle=_PROPS_ORACLE)
+def project_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: the events table's free-form
+    `props` JSON column parsed with an explicit typed schema (`from_json`,
+    never schema inference — the same explicit-schema rule as the block
+    model in schemas.py) and rolled up per event type. A malformed or
+    missing key yields NULL, counted separately from the row count, so the
+    op doubles as a props-quality profile.
+
+    Scale shape: parsing is a narrow JVM map (Jackson inside codegen — no
+    Python); the rollup map-side combines to |types| rows. At 100 TB you'd
+    materialize hot JSON paths as real columns at ingest exactly so this
+    parse doesn't run per query — this op IS that materialization statement
+    (`events.props -> k`), and its oracle proves the typed extraction
+    matches an independent JSON engine."""
+    ev = lt(spark, sf_dir, "events")
+    k = F.from_json("props", "struct<k: bigint>")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") % 2 == 0, 1)).alias("n_even_k"),
+        )
+    )

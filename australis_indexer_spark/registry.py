@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "project_props_json",
     "join_dpp_partition_pruned",
     "window_running_distinct",
     "agg_mode_per_group",

@@ -150,3 +150,80 @@ def agg_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN dev > 0 THEN 'spike' ELSE 'drop' END"
         ).alias("direction"),
     )
+
+
+_CONSTRAINTS_ORACLE = """
+SELECT 'orders_pk_dupes' AS check_name,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'customer_pk_dupes',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT c_custkey, COUNT(*) AS n FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem_fk_orphans',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_fk_orphans',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'customer_fk_orphans',
+       CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'orders_null_dates',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_orderdate IS NULL
+"""
+
+
+@op("profile_constraints", tags=("profiling", "quality"), oracle=_CONSTRAINTS_ORACLE)
+def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation sweep — the checks a warehouse runs before
+    promoting a snapshot: primary-key uniqueness (excess-copy counts),
+    referential integrity along the lineitem→orders→customer→nation chain
+    (orphan counts via LEFT ANTI joins — NOT IN on a nullable-free key
+    column, so anti-join semantics are identical), and NOT NULL on the
+    partition-driving date column. One row per check; all-zero means the
+    snapshot is promotable.
+
+    Scale shape: each PK check is a map-side-combined count on the key;
+    each FK orphan check is a left-anti join where the parent side's keys
+    broadcast when small (nation) and shuffle on the key otherwise — the
+    same plans the engine's real joins use, so constraint checking costs
+    one pass per edge, not a quadratic audit. At 100 TB you run this
+    per-partition-increment, not per-snapshot; the plan is unchanged."""
+    orders = lt(spark, sf_dir, "orders")
+    cust = lt(spark, sf_dir, "customer")
+    li = lt(spark, sf_dir, "lineitem")
+    nation = lt(spark, sf_dir, "nation")
+
+    def pk_dupes(name: str, df: DataFrame, key: str) -> DataFrame:
+        dup = (
+            df.groupBy(key).count().where(F.col("count") > 1)
+            .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("n_violations"))
+        )
+        return dup.select(F.lit(name).alias("check_name"), "n_violations")
+
+    def fk_orphans(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        orphans = child.join(parent.select(pkey), child[ckey] == parent[pkey], "left_anti")
+        return orphans.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        pk_dupes("orders_pk_dupes", orders, "o_orderkey"),
+        pk_dupes("customer_pk_dupes", cust, "c_custkey"),
+        fk_orphans("lineitem_fk_orphans", li, "l_orderkey", orders, "o_orderkey"),
+        fk_orphans("orders_fk_orphans", orders, "o_custkey", cust, "c_custkey"),
+        fk_orphans("customer_fk_orphans", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    null_dates = orders.where(F.col("o_orderdate").isNull()).agg(
+        F.count("*").alias("n_violations")
+    ).select(F.lit("orders_null_dates").alias("check_name"), "n_violations")
+    out = checks[0]
+    for c in checks[1:] + [null_dates]:
+        out = out.unionAll(c)
+    return out

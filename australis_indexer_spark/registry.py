@@ -143,6 +143,9 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "profile_constraints",
+    "table_snapshot_diff",
+    "pipeline_tombstone_delete",
     "project_props_json",
     "join_dpp_partition_pruned",
     "window_running_distinct",
@@ -187,6 +190,7 @@ def load_all() -> dict[str, OpSpec]:
         curation,
         fuzzy,
         iterative,
+        maintenance,
         pq,
         profiling,
         scale,

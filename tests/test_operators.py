@@ -1017,3 +1017,52 @@ def test_mode_per_group_argmax(spark, ops):
     for nk, vals in per_nation.items():
         best = sorted(vals, key=lambda v: (-v[1], v[0]))[0]
         assert got[nk] == (best[0], best[1])
+
+
+def test_constraints_all_green_on_testdata(spark, ops):
+    """The generated tables are referentially intact — every check must be
+    zero — and all six checks must report."""
+    rows = {r["check_name"]: r["n_violations"]
+            for r in ops["profile_constraints"].fn(spark, SF_SMOKE).collect()}
+    assert len(rows) == 6
+    assert all(v == 0 for v in rows.values()), rows
+
+
+def test_snapshot_diff_classes_conserve(spark, ops):
+    """added == planted inserts, removed == planted deletes, changed ==
+    planted updates among survivors; unchanged is the remainder; and the
+    money delta equals +100 per changed row plus insert/remove balances."""
+    from australis_indexer_spark.sources.batch import load_table
+
+    got = {r["change_type"]: (r["n_rows"], r["total_delta_cents"])
+           for r in ops["table_snapshot_diff"].fn(spark, SF_SMOKE).collect()}
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey").collect()
+    keys = [r["o_orderkey"] for r in orders]
+    removed = [k for k in keys if k % 67 == 0]
+    changed = [k for k in keys if k % 67 != 0 and k % 53 == 0]
+    added = [k for k in keys if k % 71 == 0]
+    assert got["removed"][0] == len(removed)
+    assert got["changed"][0] == len(changed)
+    assert got["added"][0] == len(added)
+    assert got["unchanged"][0] == len(keys) - len(removed) - len(changed)
+    assert got["changed"][1] == 100 * len(changed)
+
+
+def test_tombstone_cascade_conserves(spark, ops):
+    """before - deleted == after on every level, and the deleted counts
+    agree with independent semi-join recounts."""
+    from australis_indexer_spark.sources.batch import load_table
+
+    rows = {r["table_name"]: r
+            for r in ops["pipeline_tombstone_delete"].fn(spark, SF_SMOKE).collect()}
+    for r in rows.values():
+        assert r["rows_before"] - r["rows_deleted"] == r["rows_after"]
+    cust = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    tomb = {r["c_custkey"] for r in cust.where((F.col("c_custkey") % 101) == 0).collect()}
+    assert rows["customer"]["rows_deleted"] == len(tomb)
+    dead_orders = {r["o_orderkey"] for r in orders.where(F.col("o_custkey").isin(tomb)).collect()}
+    assert rows["orders"]["rows_deleted"] == len(dead_orders)
+    n_dead_lines = li.where(F.col("l_orderkey").isin(dead_orders)).count()
+    assert rows["lineitem"]["rows_deleted"] == n_dead_lines

@@ -227,3 +227,58 @@ def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:] + [null_dates]:
         out = out.unionAll(c)
     return out
+
+
+_HIST_BINS = 12
+_HIST_WIDTH_CENTS = 5_000_000  # $50k bins over [0, $600k); last bin catches the tail
+
+_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                          / {_HIST_WIDTH_CENTS}.0) AS BIGINT),
+               {_HIST_BINS - 1}) AS bucket
+  FROM orders
+),
+n AS (SELECT COUNT(*) AS total FROM orders)
+SELECT bucket,
+       bucket * {_HIST_WIDTH_CENTS} AS lo_cents,
+       (bucket + 1) * {_HIST_WIDTH_CENTS} AS hi_cents,
+       COUNT(*) AS n_orders,
+       CAST((COUNT(*) * 1000000) // total AS BIGINT) AS share_ppm
+FROM b CROSS JOIN n
+GROUP BY bucket, total
+"""
+
+
+@op("agg_histogram_fixed_bins", tags=("profiling", "agg"), oracle=_HIST_ORACLE)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: 12 x $50k bins (closed-form
+    integer-cents bucket arithmetic — FLOOR over exact cents, top bin
+    clamps the tail — rather than width_bucket, which DuckDB lacks, so both
+    engines share the identical expression) with per-bin counts and
+    integer-ppm shares against a one-row broadcast total.
+
+    Scale shape: bucketing is a narrow map; the rollup map-side combines
+    to <= 12 rows; the total rides a broadcast nested-loop of one row. The
+    equi-DEPTH companion is window_ntile_distributed — together they cover
+    both histogram families without a single global sort."""
+    orders = lt(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = F.least(
+        F.floor(cents / float(_HIST_WIDTH_CENTS)).cast("long"),
+        F.lit(_HIST_BINS - 1),
+    )
+    b = orders.select(bucket.alias("bucket"))
+    total = orders.agg(F.count("*").alias("total"))
+    return (
+        b.crossJoin(F.broadcast(total))
+        .groupBy("bucket", "total")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH_CENTS).alias("lo_cents"),
+            ((F.col("bucket") + 1) * _HIST_WIDTH_CENTS).alias("hi_cents"),
+            "n_orders",
+            F.expr("(n_orders * 1000000) div total").alias("share_ppm"),
+        )
+    )

@@ -489,3 +489,69 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_N_CORRUPT_PLANTED = 7
+
+_CORRUPT_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT '__corrupt__', {_N_CORRUPT_PLANTED}, 0
+"""
+
+
+@op("scan_jsonl_corrupt_tolerant", tags=("parity", "source", "format"), oracle=_CORRUPT_ORACLE)
+def scan_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest of a dirty JSONL feed: the documents table is
+    written as JSONL, {_N} deterministic malformed lines are planted, and
+    the scan-back uses the explicit schema plus a `_corrupt_record` column
+    — good rows aggregate per lang exactly as the clean round trip, bad
+    rows are quarantined and COUNTED under the '__corrupt__' sentinel
+    rather than killing the job (FAILFAST) or silently vanishing
+    (DROPMALFORMED). At 100 TB a feed WILL contain garbage; the corrupt
+    count is the ingest health metric, and the raw `_corrupt_record` text
+    is what lands in the dead-letter sink. The oracle restates good rows
+    from the original parquet + the planted count, so a hash match proves
+    tolerance loses nothing and quarantines everything."""
+    import tempfile
+
+    docs = lt(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="aispark_dirty_")
+    docs.write.mode("overwrite").json(out)
+    corrupt = [f'{{"doc_id": BROKEN-{i}' for i in range(_N_CORRUPT_PLANTED)]
+    spark.createDataFrame([(c,) for c in corrupt], "value string").coalesce(
+        1
+    ).write.mode("append").text(out)
+    schema = docs.schema.add("_corrupt_record", "string")
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        # Spark forbids predicates on ONLY the corrupt column over raw
+        # files; localCheckpoint materializes the parse so the dead-letter
+        # split below is an ordinary filter (and the file is read once).
+        .localCheckpoint(eager=True)
+    )
+    good = (
+        back.where(F.col("_corrupt_record").isNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+    bad = back.where(F.col("_corrupt_record").isNotNull()).agg(
+        F.count("*").alias("n_docs")
+    ).select(
+        F.lit("__corrupt__").alias("lang"),
+        "n_docs",
+        F.lit(0).cast("long").alias("total_chars"),
+    )
+    return good.unionAll(bad)
+
+
+scan_jsonl_corrupt_tolerant.__doc__ = scan_jsonl_corrupt_tolerant.__doc__.replace(
+    "{_N}", str(_N_CORRUPT_PLANTED)
+)

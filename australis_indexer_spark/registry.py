@@ -143,6 +143,8 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "agg_histogram_fixed_bins",
+    "scan_jsonl_corrupt_tolerant",
     "profile_constraints",
     "table_snapshot_diff",
     "pipeline_tombstone_delete",

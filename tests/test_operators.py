@@ -1066,3 +1066,29 @@ def test_tombstone_cascade_conserves(spark, ops):
     assert rows["orders"]["rows_deleted"] == len(dead_orders)
     n_dead_lines = li.where(F.col("l_orderkey").isin(dead_orders)).count()
     assert rows["lineitem"]["rows_deleted"] == n_dead_lines
+
+
+def test_histogram_covers_and_conserves(spark, ops):
+    """Bin counts conserve the table, shares sum to ~1e6 ppm, and bounds
+    are contiguous fixed-width."""
+    rows = sorted(ops["agg_histogram_fixed_bins"].fn(spark, SF_SMOKE).collect(),
+                  key=lambda r: r["bucket"])
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    assert 999990 <= sum(r["share_ppm"] for r in rows) <= 1000000
+    for r in rows:
+        assert r["hi_cents"] - r["lo_cents"] == 5_000_000
+
+
+def test_corrupt_scan_quarantines_all(spark, ops):
+    """Good rows must equal the clean table per lang; the corrupt sentinel
+    must report exactly the planted count."""
+    rows = {r["lang"]: (r["n_docs"], r["total_chars"])
+            for r in ops["scan_jsonl_corrupt_tolerant"].fn(spark, SF_SMOKE).collect()}
+    corrupt = rows.pop("__corrupt__")
+    assert corrupt == (7, 0)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    clean = {r["lang"]: (r["n"], r["c"])
+             for r in docs.groupBy("lang")
+             .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c")).collect()}
+    assert rows == clean

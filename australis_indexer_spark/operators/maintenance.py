@@ -172,3 +172,82 @@ def pipeline_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("orders", orders, dead_orders))
         .unionAll(row("lineitem", li, dead_lines))
     )
+
+
+_PIT_CUT = "TIMESTAMP '1998-01-01 00:00:00'"
+_PIT_EOT = "TIMESTAMP '2999-01-01 00:00:00'"
+
+_PIT_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey, 1 AS version,
+         CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_cents,
+         TIMESTAMP '1900-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 7 = 0 THEN {_PIT_CUT} ELSE {_PIT_EOT} END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2,
+         CAST(ROUND(c_acctbal * 100.0) AS BIGINT) + 10000,
+         {_PIT_CUT}, {_PIT_EOT}
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT d.version,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(d.bal_cents) AS BIGINT) AS attributed_bal_cents
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+          AND o.o_orderdate >= d.valid_from
+          AND o.o_orderdate <  d.valid_to
+GROUP BY d.version, order_year
+"""
+
+
+@op("join_pit_temporal_dim", tags=("maintenance", "join", "temporal"), oracle=_PIT_ORACLE)
+def join_pit_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against a versioned (SCD2-style) dimension: every
+    order picks the dim version that was valid ON ITS ORDER DATE — version
+    2 (a +$100 balance restatement, validity cut 1998-01-01) applies only
+    to orders placed after the cut, so historical facts keep historical
+    attributes. The versioned dim is derived closed-form (every 7th
+    customer is two-versioned) and mirrored exactly in the oracle; validity
+    intervals are half-open [from, to) so no date can match two versions.
+
+    Scale shape: the join is EQUI on the customer key with the interval
+    predicate as a residual — one key-partitioned sort-merge join whose
+    per-key version fan-in is the (small) version count, never a range
+    explosion; this is the standard PIT layout when versions-per-key is
+    bounded. (For unbounded version histories the as-of union trick at
+    join_asof_purchase_attribution replaces the residual.) The rollup
+    map-side combines to |versions x years| rows."""
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cut = F.expr(_PIT_CUT)
+    eot = F.expr(_PIT_EOT)
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        cents.alias("bal_cents"),
+        F.expr("TIMESTAMP '1900-01-01 00:00:00'").alias("valid_from"),
+        F.when(F.col("c_custkey") % 7 == 0, cut).otherwise(eot).alias("valid_to"),
+    )
+    v2 = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        (cents + 10000).alias("bal_cents"),
+        cut.alias("valid_from"),
+        eot.alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    orders = lt(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    j = orders.join(
+        dim,
+        (orders.o_custkey == dim.c_custkey)
+        & (orders.o_orderdate >= dim.valid_from)
+        & (orders.o_orderdate < dim.valid_to),
+    )
+    return j.groupBy(
+        "version", F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("bal_cents").alias("attributed_bal_cents"),
+    )

@@ -1092,3 +1092,16 @@ def test_corrupt_scan_quarantines_all(spark, ops):
              for r in docs.groupBy("lang")
              .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c")).collect()}
     assert rows == clean
+
+
+def test_pit_join_respects_validity(spark, ops):
+    """Version 2 rows may only carry post-cut years; version 1 covers
+    pre-cut years for everyone and post-cut years for single-version
+    customers; and total order count is conserved (half-open intervals
+    cannot double-match)."""
+    rows = ops["join_pit_temporal_dim"].fn(spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    for r in rows:
+        if r["version"] == 2:
+            assert r["order_year"] >= 1998

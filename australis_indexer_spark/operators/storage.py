@@ -228,3 +228,168 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_EVOLVE_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(quality_ppm) AS n_with_quality,
+       CAST(COALESCE(SUM(quality_ppm), 0) AS BIGINT) AS total_quality_ppm
+FROM (
+  SELECT lang, CAST(NULL AS BIGINT) AS quality_ppm
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, CAST(n_chars % 1000000 AS BIGINT)
+  FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang
+"""
+
+
+@op("scan_schema_evolution", tags=("parity", "source", "format"), oracle=_EVOLVE_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: generation 1 of a dataset (even doc_ids) is
+    written WITHOUT the `quality_ppm` column, generation 2 (odd doc_ids)
+    adds it; a single `mergeSchema` scan over both generations unifies the
+    schema, null-filling the missing column in old files — the append-only
+    evolution every long-lived 100 TB dataset goes through (new columns
+    are additive; old data is never rewritten). The aggregate counts rows
+    with/without the evolved column per lang, and COALESCE keeps the sum
+    non-null so the pandas bridge never sees a nullable-int regression.
+
+    Scale note: mergeSchema reconciles footers at planning time — the scan
+    itself stays a normal parallel parquet read with pushdown; the cost is
+    per-FILE footer merging, which is why real deployments pin the merged
+    schema in a catalog after evolution rather than re-deriving it every
+    query (the explicit-schema rule everywhere else in this repo)."""
+    import tempfile
+
+    docs = lt(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="aispark_evolve_")
+    docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/gen=1")
+    docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") % 1000000).cast("long").alias("quality_ppm"),
+    ).write.mode("overwrite").parquet(f"{out}/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("quality_ppm").alias("n_with_quality"),
+        F.coalesce(F.sum("quality_ppm"), F.lit(0)).alias("total_quality_ppm"),
+    )
+
+
+_Z_FILES = 16
+_Z_BITS = 8  # per-dimension resolution: 256 cells each way
+
+_ZORDER_ORACLE = f"""
+SELECT {_Z_FILES} AS n_files,
+       (SELECT COUNT(*) FROM orders) AS rows_total,
+       TRUE AS rows_conserved,
+       TRUE AS zorder_prunes_price_only,
+       TRUE AS oned_cannot_prune_price_only
+"""
+
+
+@op("sink_zorder_stats", tags=("northstar", "storage", "layout"), oracle=_ZORDER_ORACLE)
+def sink_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimension clustering vs 1-D range clustering,
+    contract-checked on the dimension the 1-D layout CANNOT serve: orders
+    are laid out twice — (a) range-clustered on o_custkey alone, (b)
+    range-clustered on the Morton code interleaving 8 bits of the custkey
+    rank with 8 bits of the price rank (bit interleave as a closed-form
+    integer expression; per-dim scaling constants from two one-row
+    aggregates). A price-only range predicate then probes each layout's
+    per-file [min, max] price stats: under 1-D custkey clustering EVERY
+    file spans the full price range (zero skipping), while under z-order
+    each file covers a bounded price band, so most files are skippable —
+    the contract asserts both facts plus row conservation. This is the
+    lakehouse answer to 'which column do I cluster by' when the answer is
+    'two of them'; parquet row-group stats make the skip free at read time.
+
+    Scale shape: the z-code is a narrow map; each layout costs one range
+    shuffle (identical to any clustered write); the stats probe is one
+    scan grouped by input_file_name into |files| rows. The oracle is the
+    layout CONTRACT (file bytes are build-dependent, the pruning guarantee
+    is not)."""
+    orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    n_rows = orders.count()
+    b = orders.agg(
+        F.min("o_custkey").alias("klo"), F.max("o_custkey").alias("khi"),
+        F.min("o_totalprice").alias("plo"), F.max("o_totalprice").alias("phi"),
+    ).first()
+    cells = 1 << _Z_BITS
+    kspan = max(b["khi"] - b["klo"], 1)
+    pspan = max(b["phi"] - b["plo"], 1e-9)
+    xb = F.least(
+        F.floor((F.col("o_custkey") - b["klo"]) * cells / kspan).cast("long"),
+        F.lit(cells - 1),
+    )
+    yb = F.least(
+        F.floor((F.col("o_totalprice") - b["plo"]) * cells / pspan).cast("long"),
+        F.lit(cells - 1),
+    )
+    interleave = " + ".join(
+        f"(shiftleft((xb >> {i}) & 1, {2 * i + 1}) + shiftleft((yb >> {i}) & 1, {2 * i}))"
+        for i in range(_Z_BITS)
+    )
+    coded = orders.withColumn("xb", xb).withColumn("yb", yb).withColumn(
+        "z", F.expr(interleave)
+    )
+
+    import tempfile
+
+    out_z = tempfile.mkdtemp(prefix="aispark_zord_")
+    out_1d = tempfile.mkdtemp(prefix="aispark_1d_")
+    coded.repartitionByRange(_Z_FILES, "z").sortWithinPartitions("z").write.mode(
+        "overwrite"
+    ).parquet(out_z)
+    coded.repartitionByRange(_Z_FILES, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.mode("overwrite").parquet(out_1d)
+
+    # price-only box: the middle half of the price domain
+    qlo = b["plo"] + 0.25 * (b["phi"] - b["plo"])
+    qhi = b["plo"] + 0.75 * (b["phi"] - b["plo"])
+
+    def file_stats(path: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.count("*").alias("n"),
+                F.min("o_totalprice").alias("plo"),
+                F.max("o_totalprice").alias("phi"),
+            )
+        )
+
+    def probe(path: str):
+        stats = file_stats(path).agg(
+            F.count("*").alias("n_files"),
+            F.sum("n").alias("rows"),
+            F.sum(
+                ((F.col("phi") >= qlo) & (F.col("plo") <= qhi)).cast("int")
+            ).alias("hit"),
+        )
+        return stats.first()
+
+    z_stats, d_stats = probe(out_z), probe(out_1d)
+    result = [
+        (
+            int(z_stats["n_files"]),
+            int(z_stats["rows"]),
+            bool(
+                z_stats["rows"] == n_rows and d_stats["rows"] == n_rows
+            ),
+            bool(z_stats["hit"] < z_stats["n_files"]),
+            bool(d_stats["hit"] == d_stats["n_files"]),
+        )
+    ]
+    return spark.createDataFrame(
+        result,
+        "n_files int, rows_total long, rows_conserved boolean, "
+        "zorder_prunes_price_only boolean, oned_cannot_prune_price_only boolean",
+    )

@@ -143,6 +143,8 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "sink_zorder_stats",
+    "scan_schema_evolution",
     "join_pit_temporal_dim",
     "agg_histogram_fixed_bins",
     "scan_jsonl_corrupt_tolerant",

@@ -94,3 +94,25 @@ def test_dpp_runtime_pruning_in_plan(spark, ops):
     assert "dynamicpruning" in plan.lower()
     rows = df.collect()
     assert len(rows) == 2
+
+
+def test_zorder_contract_flags(spark, ops):
+    """Z-order must make a price-only predicate skippable while the 1-D
+    custkey layout cannot skip at all; rows conserved in both layouts."""
+    r = ops["sink_zorder_stats"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_files"] == 16
+    assert r["rows_conserved"]
+    assert r["zorder_prunes_price_only"]
+    assert r["oned_cannot_prune_price_only"]
+
+
+def test_schema_evolution_nullfills(spark, ops):
+    """Old-generation rows must survive with a null-filled evolved column:
+    per-lang docs == full table, and rows-with-quality == odd doc_ids."""
+    import pyspark.sql.functions as F
+
+    rows = ops["scan_schema_evolution"].fn(spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    n_odd = docs.where(F.col("doc_id") % 2 == 1).count()
+    assert sum(r["n_with_quality"] for r in rows) == n_odd

@@ -280,3 +280,44 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings_head"),
     )
     return idx.orderBy(F.col("coll_freq").desc(), "token").limit(500)
+
+
+_BQ_MUST = ("data", "hash")
+_BQ_NOT = "batch"
+
+_BOOL_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE list_contains(string_split(text, ' '), '{_BQ_MUST[0]}')
+  AND list_contains(string_split(text, ' '), '{_BQ_MUST[1]}')
+  AND NOT list_contains(string_split(text, ' '), '{_BQ_NOT}')
+"""
+
+
+@op("text_boolean_search", tags=("northstar", "text", "index"), oracle=_BOOL_ORACLE)
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval ('{m0} AND {m1} AND NOT {n0}') — the query side of
+    the inverted index: evaluated here as a map-only array-containment scan
+    (split + array_contains, all JVM codegen, zero shuffles — the plan you
+    run when you DON'T have an index). The served-index form is the same
+    query as posting-list semi-joins against text_inverted_index's
+    (token, doc_id) table: one semi-join per MUST term and an anti-join for
+    the NOT term, all riding the doc_id key — worth it once the corpus is
+    re-read per query; the scan form wins for one-shot batch filters. The
+    oracle proves term-membership semantics exactly."""
+    docs = lt(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pred = (
+        F.array_contains(toks, _BQ_MUST[0])
+        & F.array_contains(toks, _BQ_MUST[1])
+        & ~F.array_contains(toks, _BQ_NOT)
+    )
+    return docs.where(pred).select("doc_id", "lang", "n_chars")
+
+
+text_boolean_search.__doc__ = (
+    text_boolean_search.__doc__
+    .replace("{m0}", _BQ_MUST[0])
+    .replace("{m1}", _BQ_MUST[1])
+    .replace("{n0}", _BQ_NOT)
+)

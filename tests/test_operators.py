@@ -1105,3 +1105,16 @@ def test_pit_join_respects_validity(spark, ops):
     for r in rows:
         if r["version"] == 2:
             assert r["order_year"] >= 1998
+
+
+def test_boolean_search_membership(spark, ops):
+    """Every hit contains both MUST terms and not the NOT term; a doc with
+    all three never appears; plan has no shuffle (map-only scan)."""
+    df = ops["text_boolean_search"].fn(spark, SF_SMOKE)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    hits = {r["doc_id"] for r in df.collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    for d in docs:
+        toks = set(d["text"].split(" "))
+        expect = "data" in toks and "hash" in toks and "batch" not in toks
+        assert (d["doc_id"] in hits) == expect

@@ -657,3 +657,57 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+_FANOUT_ORACLE = """
+WITH a AS (SELECT l_partkey AS k, COUNT(*) AS na FROM lineitem GROUP BY 1),
+b AS (SELECT p_partkey AS k, COUNT(*) AS nb FROM part GROUP BY 1),
+est AS (
+  SELECT CAST(SUM(na * nb) AS BIGINT) AS estimated_rows,
+         CAST(MAX(na * nb) AS BIGINT) AS max_key_fanout,
+         COUNT(*) AS n_join_keys
+  FROM a JOIN b USING (k)
+)
+SELECT estimated_rows, max_key_fanout, n_join_keys,
+       (SELECT COUNT(*) FROM lineitem JOIN part ON l_partkey = p_partkey)
+         AS actual_rows,
+       estimated_rows = (SELECT COUNT(*) FROM lineitem JOIN part
+                         ON l_partkey = p_partkey) AS estimate_exact
+FROM est
+"""
+
+
+@op("stats_join_fanout_estimate", tags=("scale", "profiling", "join"), oracle=_FANOUT_ORACLE)
+def stats_join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join — the pre-flight a
+    planner (or an on-call engineer) runs before an expensive fact-fact
+    join: per-key counts on each side, joined on the key, give the exact
+    output cardinality sum(na*nb) and the worst single-key fanout
+    max(na*nb) from inputs of |keys| rows instead of |output| rows. The op
+    then ALSO runs the real join once to exhibit that the estimate is
+    exact (the flag the oracle hash-checks) — at 100 TB you'd obviously
+    skip that second half; it exists here as the self-verification.
+
+    The companion to stats_join_key_skew: skew tells you WHERE the hot
+    keys are, fanout tells you the blast radius BEFORE you commit a
+    cluster to the shuffle. Both count aggregates map-side combine;
+    the estimate join is |keys|-sized."""
+    li = lt(spark, sf_dir, "lineitem")
+    part = lt(spark, sf_dir, "part")
+    a = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count("*").alias("na"))
+    bb = part.groupBy(F.col("p_partkey").alias("k")).agg(F.count("*").alias("nb"))
+    est = a.join(bb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("estimated_rows"),
+        F.max(F.col("na") * F.col("nb")).alias("max_key_fanout"),
+        F.count("*").alias("n_join_keys"),
+    )
+    actual = li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.count("*").alias("actual_rows")
+    )
+    return est.crossJoin(actual).select(
+        "estimated_rows",
+        "max_key_fanout",
+        "n_join_keys",
+        "actual_rows",
+        (F.col("estimated_rows") == F.col("actual_rows")).alias("estimate_exact"),
+    )

@@ -638,3 +638,114 @@ def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         "n_events",
     )
+
+
+_LATE_ORACLE = """
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(h AS TIMESTAMP) AS hour_start, event_type,
+       CAST(n AS BIGINT) AS n_events
+FROM agg CROSS JOIN m
+WHERE h + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+UNION ALL
+SELECT TIMESTAMP '1900-01-01 00:00:00', '__dropped_late__',
+       (SELECT COUNT(*) FROM events WHERE event_id % 97 = 0)
+"""
+
+
+@op(
+    "stream_late_data_policy",
+    tags=("parity", "streaming", "window", "watermark"),
+    oracle=_LATE_ORACLE,
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting in APPEND mode — the semantic that
+    separates a streaming engine from a batch loop, demonstrated across a
+    RESTART so the watermark provably lives in the checkpoint: run 1
+    ingests the whole on-time stream (advancing the watermark to
+    max(ts) - 1h and emitting every window whose end the watermark
+    passed); run 2 resumes from the same checkpoint and receives a planted
+    replay of every 97th event shifted 365 days into the past — all below
+    the persisted watermark, so the state store DROPS them (observed via
+    numRowsDroppedByWatermark, emitted as the '__dropped_late__' sentinel)
+    instead of resurrecting finalized windows. The last hour's windows are
+    still open and correctly absent from the sink.
+
+    The oracle restates both halves closed-form: finalized windows are the
+    batch GROUP BY restricted to window_end <= max(ts) - 1h, and the drop
+    count is the planted-row count — the hash check pins the exact
+    emit-and-drop frontier, not just "some rows were dropped".
+
+    Scale: state is one row per open (hour, type); a dropped-late row
+    costs a filter, not a state write; the watermark delay is the knob
+    trading completeness against state size, and this op is the audit
+    that the trade is enforced — across job restarts, which is where
+    hand-built batch loops silently regress."""
+    import tempfile
+    import uuid
+
+    # tz-free instant column (NTZ-as-UTC) for the watermark clock; all
+    # OUTPUT values stay on the original NTZ ts (see window_session_stream's
+    # DST rationale above).
+    _EVT = (
+        "timestamp_micros(CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)*86400000000"
+        " + CAST(extract(HOUR FROM ts) AS BIGINT)*3600000000"
+        " + CAST(extract(MINUTE FROM ts) AS BIGINT)*60000000"
+        " + CAST(extract(SECOND FROM ts)*1000000 AS BIGINT))"
+    )
+    events = lt(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.expr(_EVT).alias("evt")
+    )
+    base = tempfile.mkdtemp(prefix="aispark_late_")
+    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        agg = (
+            stream.withWatermark("evt", "1 hour")
+            .groupBy(F.window("evt", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min(F.date_trunc("hour", "ts")).cast("timestamp_ntz").alias("h"),
+            )
+            .select(F.col("h").alias("hour_start"), "event_type", "n_events")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink_d)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    run_once()  # on-time pass: watermark reaches max(evt) - 1h, persisted
+    late = events.where(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        "event_type",
+        (F.expr(_EVT) - F.expr("INTERVAL 365 DAYS")).alias("evt"),
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+    q2 = run_once()  # resumed pass: every planted row is below the watermark
+
+    dropped = sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in q2.recentProgress
+        for so in (p.get("stateOperators") or [])
+    )
+    sentinel = spark.createDataFrame(
+        [("1900-01-01 00:00:00", "__dropped_late__", dropped)],
+        "hour_start string, event_type string, n_events long",
+    ).select(
+        F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n_events",
+    )
+    return spark.read.parquet(sink_d).unionByName(sentinel)

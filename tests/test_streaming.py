@@ -310,3 +310,25 @@ def test_incremental_rollup_equals_batch(spark):
     assert out.count() == expect.count()
     assert out.exceptAll(expect).count() == 0
     assert expect.exceptAll(out).count() == 0
+
+
+def test_late_data_dropped_and_frontier(spark, ops):
+    """The sentinel must count exactly the planted late rows; no window
+    from the shifted year may appear; open (last-hour) windows are absent."""
+    import pyspark.sql.functions as F
+    from australis_indexer_spark.sources.batch import load_table
+
+    rows = ops["stream_late_data_policy"].fn(spark, "/root/testdata/sf0.001").collect()
+    sentinel = [r for r in rows if r["event_type"] == "__dropped_late__"]
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n_planted = ev.where(F.col("event_id") % 97 == 0).count()
+    assert len(sentinel) == 1 and sentinel[0]["n_events"] == n_planted
+    windows = [r for r in rows if r["event_type"] != "__dropped_late__"]
+    mx = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    for r in windows:
+        assert r["hour_start"].year >= 2024
+        assert r["hour_start"] + datetime.timedelta(hours=2) <= mx.replace(
+            minute=59, second=59
+        ) + datetime.timedelta(seconds=1)

@@ -711,3 +711,45 @@ def stats_join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_rows",
         (F.col("estimated_rows") == F.col("actual_rows")).alias("estimate_exact"),
     )
+
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@op("agg_bitmap_distinct", tags=("agg", "scale"), oracle=_BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through bitmap aggregation — the dense-id
+    alternative to both COUNT(DISTINCT) and HLL: user ids are packed into
+    64-bit words (word = id div 64, bit = id mod 64), the per-(type, word)
+    bit_or collapses every duplicate map-side, and popcounts sum to the
+    exact distinct count. The shuffle carries at most |distinct ids| / 64
+    words per group instead of every distinct id — a 64x reduction over
+    Spark's Expand-based COUNT(DISTINCT) shuffle on dense id spaces, and
+    unlike agg_hll_sketch_users the answer is EXACT. The oracle is plain
+    COUNT(DISTINCT): bit-identical results from a completely different
+    plan is the point.
+
+    At 100 TB: this is the roaring-bitmap pattern warehouses use for
+    audience counting; for sparse/high id spaces the word table degrades
+    toward |distinct| rows and HLL (agg_hll_sketch_users) takes over —
+    the two ops bracket the exact-vs-approximate trade."""
+    ev = lt(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 64").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_distinct_users")
+    )

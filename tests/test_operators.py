@@ -1118,3 +1118,17 @@ def test_boolean_search_membership(spark, ops):
         toks = set(d["text"].split(" "))
         expect = "data" in toks and "hash" in toks and "batch" not in toks
         assert (d["doc_id"] in hits) == expect
+
+
+def test_bitmap_distinct_exact(spark, ops):
+    """Bitmap popcount distinct must equal the plain countDistinct for
+    every event type."""
+    from australis_indexer_spark.sources.batch import load_table
+
+    got = {r["event_type"]: r["n_distinct_users"]
+           for r in ops["agg_bitmap_distinct"].fn(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == exact

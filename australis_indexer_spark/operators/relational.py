@@ -719,3 +719,52 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("days_to_next"),
         )
     )
+
+
+_SHARE_ORACLE = """
+WITH sup AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(ROUND(s_acctbal * 100.0) AS BIGINT) AS bal_cents
+  FROM supplier WHERE s_acctbal > 0.0
+)
+SELECT s_nationkey, s_suppkey, bal_cents,
+       CAST((bal_cents * 1000000)
+            // CAST(SUM(bal_cents) OVER (PARTITION BY s_nationkey) AS BIGINT)
+            AS BIGINT) AS share_ppm,
+       RANK() OVER (PARTITION BY s_nationkey
+                    ORDER BY bal_cents DESC, s_suppkey) AS bal_rank
+FROM sup
+"""
+
+
+@op("window_share_of_total", tags=("relational", "window"), oracle=_SHARE_ORACLE)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's share of its nation's positive
+    account-balance pool, plus the within-nation rank — the proportional-
+    allocation shape behind market-share and budget-attribution reports.
+    One partition-total window and one rank window share the same nation
+    key, so Catalyst plans them behind a SINGLE exchange; shares are
+    integer ppm by exact floor division (numerator scaled before dividing,
+    so no float ratio exists to drift between engines). Positive-balance
+    filter keeps the denominator sign-stable."""
+    sup = (
+        lt(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 0.0)
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+    )
+    wt = W.partitionBy("s_nationkey")
+    wr = W.partitionBy("s_nationkey").orderBy(F.col("bal_cents").desc(), "s_suppkey")
+    return sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        "bal_cents",
+        F.expr(
+            "(bal_cents * 1000000) div SUM(bal_cents)"
+            " OVER (PARTITION BY s_nationkey)"
+        ).alias("share_ppm"),
+        F.rank().over(wr).alias("bal_rank"),
+    )

@@ -1132,3 +1132,20 @@ def test_bitmap_distinct_exact(spark, ops):
              for r in ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert got == exact
+
+
+def test_share_of_total_single_exchange(spark, ops):
+    """Total-window and rank-window must share one nation-key exchange;
+    shares per nation must sum to <= 1e6 ppm and within floor-loss of it."""
+    df = ops["window_share_of_total"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = df.collect()
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["s_nationkey"], []).append(r)
+    for rs in by_nation.values():
+        tot = sum(r["share_ppm"] for r in rs)
+        assert 1000000 - len(rs) <= tot <= 1000000
+        ranks = sorted(r["bal_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))

@@ -768,3 +768,49 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_ppm"),
         F.rank().over(wr).alias("bal_rank"),
     )
+
+
+_ARGMAX_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         MAX(struct_pack(
+           d := o_orderdate,
+           k := o_orderkey,
+           c := CAST(ROUND(o_totalprice * 100.0) AS BIGINT))) AS top
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(top.d AS TIMESTAMP) AS last_orderdate,
+       top.k AS last_orderkey,
+       top.c AS last_cents
+FROM m
+"""
+
+
+@op("agg_argmax_latest_order", tags=("relational", "agg"), oracle=_ARGMAX_ORACLE)
+def agg_argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax WITHOUT a window: each customer's latest order
+    (date, key, exact cents) via ONE struct-MAX aggregate — structs compare
+    lexicographically in both engines, so putting (date, unique key) first
+    makes the MAX a deterministic argmax that combines map-side like any
+    MAX. The window formulation (row_number + filter) shuffles every row
+    to its key partition and sorts; this plan reduces each partition to
+    |keys| structs BEFORE the shuffle — the same idempotent merge that
+    powers stream_cdc_upsert's state fold, registered here as the batch
+    primitive. Oracle uses DuckDB's named-struct MAX, field-for-field."""
+    orders = lt(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("o_orderdate").alias("d"),
+                F.col("o_orderkey").alias("k"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            )
+        ).alias("top")
+    )
+    return m.select(
+        "o_custkey",
+        F.col("top.d").cast("timestamp_ntz").alias("last_orderdate"),
+        F.col("top.k").alias("last_orderkey"),
+        F.col("top.c").alias("last_cents"),
+    )

@@ -1149,3 +1149,22 @@ def test_share_of_total_single_exchange(spark, ops):
         assert 1000000 - len(rs) <= tot <= 1000000
         ranks = sorted(r["bal_rank"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1))
+
+
+def test_argmax_is_partial_aggregated_and_correct(spark, ops):
+    """The struct-MAX plan must partial-aggregate map-side (no window
+    node), and every customer's row must be their true latest order under
+    the (date, key) order."""
+    df = ops["agg_argmax_latest_order"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "partial_" in plan
+    got = {r["o_custkey"]: (r["last_orderdate"], r["last_orderkey"])
+           for r in df.collect()}
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    best: dict[int, tuple] = {}
+    for o in orders:
+        k = o["o_custkey"]
+        cand = (o["o_orderdate"], o["o_orderkey"])
+        if k not in best or cand > best[k]:
+            best[k] = cand
+    assert got == best

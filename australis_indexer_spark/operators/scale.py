@@ -753,3 +753,89 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n_distinct_users")
     )
+
+
+_BITMAP_SETOPS_ORACLE = """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.user_id AS ua, b.user_id AS ub
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+),
+inter AS (
+  SELECT type_a, type_b, COUNT(*) AS n_both
+  FROM (SELECT DISTINCT type_a, type_b, ua FROM pairs) GROUP BY 1, 2
+),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1)
+SELECT i.type_a, i.type_b,
+       sa.n AS n_a, sb.n AS n_b, i.n_both,
+       sa.n + sb.n - i.n_both AS n_union,
+       CAST((i.n_both * 1000000) // CAST(sa.n + sb.n - i.n_both AS BIGINT)
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+
+@op("agg_bitmap_set_ops", tags=("agg", "scale"), oracle=_BITMAP_SETOPS_ORACLE)
+def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap as EXACT bitmap set algebra: per event-type pair,
+    |A|, |B|, |A∩B|, |A∪B| and integer-ppm Jaccard — computed not from the
+    raw id stream but from the per-(type, word) 64-bit bitmap words of
+    agg_bitmap_distinct: intersection is popcount(AND), union follows by
+    inclusion-exclusion, so after ONE |distinct|/64-sized aggregate, every
+    pairwise overlap costs a |words|-sized self-join with pure bit math —
+    no re-shuffle of ids per pair, which is why warehouses store audience
+    bitmaps rather than id lists. The oracle recomputes everything from
+    DISTINCT id pairs; exact agreement from a completely different plan.
+
+    The pair self-join is |types|² × |words| — at 100 TB you'd restrict to
+    requested pairs or band the type list; the id stream is read once
+    regardless of how many pairs are asked."""
+    ev = lt(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 64").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "word", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "word", F.col("bits").alias("bb")
+    )
+    inter = (
+        a.join(b, ["word"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("ba & bb"))).alias("n_both"),
+        )
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n")
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_union"),
+            F.expr("(n_both * 1000000) div (n_a + n_b - n_both)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

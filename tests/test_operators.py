@@ -1168,3 +1168,23 @@ def test_argmax_is_partial_aggregated_and_correct(spark, ops):
         if k not in best or cand > best[k]:
             best[k] = cand
     assert got == best
+
+
+def test_bitmap_set_ops_identities(spark, ops):
+    """Set identities must hold exactly: |A∩B| <= min, inclusion-exclusion
+    union, all 5-choose-2 pairs present, and one pair cross-checked against
+    a driver-side set computation."""
+    rows = ops["agg_bitmap_set_ops"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["n_union"] == r["n_a"] + r["n_b"] - r["n_both"]
+    from australis_indexer_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id").collect()
+    by_type: dict[str, set] = {}
+    for e in ev:
+        by_type.setdefault(e["event_type"], set()).add(e["user_id"])
+    r0 = rows[0]
+    a, b = by_type[r0["type_a"]], by_type[r0["type_b"]]
+    assert (r0["n_a"], r0["n_b"], r0["n_both"]) == (len(a), len(b), len(a & b))

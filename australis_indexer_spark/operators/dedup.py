@@ -665,3 +665,76 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node") == F.col("label")).alias("is_canonical"),
         )
     )
+
+
+_QUALITY_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_sig()},
+{_sql_bands()},
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.b{j} = b.b{j}" for j in range(N_BANDS))})
+),
+cand AS (
+  SELECT doc_a, doc_b FROM cand0
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE {_SQL_EST} >= 0.5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE (n_common / (sa.sz + sb.sz - n_common)) >= 0.5
+),
+hits AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       CAST(((SELECT COUNT(*) FROM hits) * 1000000)
+            // GREATEST((SELECT COUNT(*) FROM cand), 1) AS BIGINT)
+         AS precision_ppm,
+       CAST(((SELECT COUNT(*) FROM hits) * 1000000)
+            // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm
+"""
+
+
+@op("dedup_minhash_quality", tags=("northstar", "dedup", "quality"), oracle=_QUALITY_ORACLE)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality gate for the MinHash near-dup detector — the dedup
+    analog of sim_ann_recall: the banded-LSH + estimate>=0.5 candidate set
+    is scored against the EXACT shingle-Jaccard>=0.5 truth set, reporting
+    precision and recall in integer ppm from one intersection join. A
+    sketch whose parameters drift (bands, rows, hash count) fails here
+    before it silently under-dedups a corpus; at 100 TB this runs on a
+    sampled stratum with the same plan. Reuses both ops' plans — candidates
+    and truth each stay shuffle-bound — and the oracle recomposes the two
+    existing oracle CTE chains over the shared shingle table, so the score
+    itself is value-checked, not just eyeballed."""
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    counts = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.expr("(n_hits * 1000000) div GREATEST(n_candidates, 1)").alias(
+            "precision_ppm"
+        ),
+        F.expr("(n_hits * 1000000) div GREATEST(n_truth, 1)").alias("recall_ppm"),
+    )

@@ -1188,3 +1188,14 @@ def test_bitmap_set_ops_identities(spark, ops):
     r0 = rows[0]
     a, b = by_type[r0["type_a"]], by_type[r0["type_b"]]
     assert (r0["n_a"], r0["n_b"], r0["n_both"]) == (len(a), len(b), len(a & b))
+
+
+def test_minhash_quality_gate_values(spark, ops):
+    """Hits can never exceed either set; ppm scores must be consistent
+    with the counts; and on this corpus the detector must actually find
+    a non-empty truth set with recall above half."""
+    r = ops["dedup_minhash_quality"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+    assert r["precision_ppm"] == r["n_hits"] * 1000000 // max(r["n_candidates"], 1)
+    assert r["recall_ppm"] == r["n_hits"] * 1000000 // max(r["n_truth"], 1)
+    assert r["n_truth"] > 0 and r["recall_ppm"] >= 500000

@@ -321,3 +321,77 @@ text_boolean_search.__doc__ = (
     .replace("{m1}", _BQ_MUST[1])
     .replace("{n0}", _BQ_NOT)
 )
+
+
+_COOC_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_docs_both
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+),
+df AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token)
+SELECT token_a, token_b, n_docs_both,
+       da.df AS df_a, db.df AS df_b,
+       CAST((n_docs_both * 1000000)
+            // CAST(LEAST(da.df, db.df) AS BIGINT) AS BIGINT)
+         AS containment_ppm
+FROM pairs
+JOIN df da ON da.token = token_a
+JOIN df db ON db.token = token_b
+ORDER BY n_docs_both DESC, token_a, token_b
+LIMIT 100
+"""
+
+
+@op("text_cooccurrence_pairs", tags=("northstar", "text"), oracle=_COOC_ORACLE)
+def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence statistics — the raw counts behind PMI /
+    collocation scoring and word-association features: for the top-100
+    document-level token pairs, the co-document count, each token's
+    document frequency, and integer-ppm containment (n_both / min df — the
+    association strength that, unlike a float PMI log, stays exact across
+    engines).
+
+    Scale shape: the per-doc DISTINCT prunes repeated tokens BEFORE the
+    within-doc self-join, so pair generation is sum over docs of
+    (distinct-tokens choose 2) — bounded by capping tokens per doc (the
+    chunking op's job), never |vocab|²; the pair count map-side combines,
+    df joins are vocabulary-sized, and the top-100 compiles to
+    TakeOrderedAndProject with a full tie-break."""
+    toks = (
+        lt(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    a = toks.select("doc_id", F.col("token").alias("token_a"))
+    b = toks.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").alias("n_docs_both"))
+    )
+    df = toks.groupBy("token").agg(F.count("*").alias("df"))
+    da = df.select(F.col("token").alias("token_a"), F.col("df").alias("df_a"))
+    db = df.select(F.col("token").alias("token_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "token_a")
+        .join(F.broadcast(db), "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            "n_docs_both",
+            "df_a",
+            "df_b",
+            F.expr("(n_docs_both * 1000000) div LEAST(df_a, df_b)").alias(
+                "containment_ppm"
+            ),
+        )
+        .orderBy(F.col("n_docs_both").desc(), "token_a", "token_b")
+        .limit(100)
+    )

@@ -395,3 +395,71 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs_both").desc(), "token_a", "token_b")
         .limit(100)
     )
+
+
+_INDEX_BUILD_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS token FROM norm),
+idx AS (
+  SELECT lang, token,
+         COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+  FROM tok GROUP BY lang, token
+),
+rolled AS (
+  SELECT lang,
+         COUNT(*) AS vocab_size,
+         CAST(SUM(df) AS BIGINT) AS total_postings,
+         CAST(SUM(cf) AS BIGINT) AS total_tokens,
+         MAX(struct_pack(c := cf, t := token)) AS top
+  FROM idx GROUP BY lang
+)
+SELECT lang, vocab_size, total_postings, total_tokens,
+       top.t AS top_token, top.c AS top_token_cf
+FROM rolled
+"""
+
+
+@op("pipeline_index_build", tags=("northstar", "text", "index", "pipeline"), oracle=_INDEX_BUILD_ORACLE)
+def pipeline_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index-construction pipeline as ONE Catalyst plan —
+    normalize (lowercase, whitespace collapse) → tokenize → per-language
+    inverted-index aggregate → per-language index manifest (vocabulary
+    size, total posting entries, total token occurrences, and the hottest
+    term via struct-MAX argmax). The per-shard twin of what
+    text_inverted_index emits per-token: this is the summary a search
+    cluster's shard-placement planner consumes.
+
+    Scale shape: normalization and tokenization are narrow maps feeding
+    the ONE (lang, token) shuffle (map-side combined; DISTINCT doc count
+    planned as partial aggregation); the manifest rollup rides the lang
+    key and the argmax is the windowless struct-MAX. Nothing in the plan
+    materializes intermediate state — the optimizer sees the whole chain."""
+    norm = lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("t"),
+    )
+    tok = norm.select("doc_id", "lang", F.explode(F.split("t", " ")).alias("token"))
+    idx = tok.groupBy("lang", "token").agg(
+        F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")
+    )
+    rolled = idx.groupBy("lang").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("df").alias("total_postings"),
+        F.sum("cf").alias("total_tokens"),
+        F.max(F.struct(F.col("cf").alias("c"), F.col("token").alias("t"))).alias(
+            "top"
+        ),
+    )
+    return rolled.select(
+        "lang",
+        "vocab_size",
+        "total_postings",
+        "total_tokens",
+        F.col("top.t").alias("top_token"),
+        F.col("top.c").alias("top_token_cf"),
+    )

@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "pipeline_index_build",
     "text_cooccurrence_pairs",
     "dedup_minhash_quality",
     "agg_bitmap_set_ops",

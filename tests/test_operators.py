@@ -1199,3 +1199,27 @@ def test_minhash_quality_gate_values(spark, ops):
     assert r["precision_ppm"] == r["n_hits"] * 1000000 // max(r["n_candidates"], 1)
     assert r["recall_ppm"] == r["n_hits"] * 1000000 // max(r["n_truth"], 1)
     assert r["n_truth"] > 0 and r["recall_ppm"] >= 500000
+
+
+def test_index_build_manifest_consistency(spark, ops):
+    """Per-lang manifest identities: vocab <= postings <= tokens, the top
+    token's cf really is the max, and summing doc token counts reproduces
+    total_tokens."""
+    rows = ops["pipeline_index_build"].fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    by_lang_tokens = {
+        r["lang"]: r["n"]
+        for r in docs.select(
+            "lang",
+            F.size(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            ).alias("k"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("k").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["vocab_size"] <= r["total_postings"] <= r["total_tokens"]
+        assert r["top_token_cf"] >= 1
+        assert r["total_tokens"] == by_lang_tokens[r["lang"]]

@@ -814,3 +814,111 @@ def agg_argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top.k").alias("last_orderkey"),
         F.col("top.c").alias("last_cents"),
     )
+
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+@op("agg_unpivot_roundtrip", tags=("relational", "agg"), oracle=_UNPIVOT_ORACLE)
+def agg_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT round trip: order counts pivoted wide by status
+    (one column per status), then melted back to long form with `stack`,
+    zero-count cells dropped — proving the wide report format and the long
+    analytic format carry identical information. The pivot is one shuffle
+    on the row key with map-side partials per status; the unpivot is a
+    zero-shuffle projection (stack multiplies rows inside the task). The
+    oracle is the direct GROUP BY — a hash match proves the round trip is
+    lossless."""
+    orders = lt(spark, sf_dir, "orders")
+    statuses = sorted(
+        r["o_orderstatus"]
+        for r in orders.select("o_orderstatus").distinct().collect()
+    )
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    stack_args = ", ".join(f"'{s}', `{s}`" for s in statuses)
+    return (
+        wide.select(
+            "o_orderpriority",
+            F.expr(
+                f"stack({len(statuses)}, {stack_args}) AS (o_orderstatus, n_orders)"
+            ),
+        )
+        .where(F.col("n_orders").isNotNull())
+        .select("o_orderpriority", "o_orderstatus", "n_orders")
+    )
+
+
+_DEGREE_ORACLE = """
+WITH deg AS (
+  SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS degree
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT degree, COUNT(*) AS n_suppliers,
+       CAST(SUM(degree) AS BIGINT) AS total_edges_at_degree
+FROM deg GROUP BY degree
+"""
+
+
+@op("stats_degree_distribution", tags=("profiling", "graph"), oracle=_DEGREE_ORACLE)
+def stats_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier–part bipartite graph (how many
+    distinct parts each supplier ships): the first profile you compute
+    before any graph algorithm, because it reveals the hubs that make the
+    edge list skew-join-hostile (the graph analog of stats_join_key_skew,
+    and what dedup_cluster_components' propagation cost depends on).
+    Distribution-of-a-distribution: one distinct-count per node, then one
+    tiny rollup by degree — both map-side combined; nothing is ever
+    quadratic in edges."""
+    li = lt(spark, sf_dir, "lineitem")
+    deg = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("degree").alias("total_edges_at_degree"),
+    )
+
+
+_WAVG_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)
+                * CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS wsum_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wtotal,
+       (CAST(SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        / (100.0 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)))
+         AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@op("agg_weighted_average_exact", tags=("relational", "agg"), oracle=_WAVG_ORACLE)
+def agg_weighted_average_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag with EXACT integer
+    accumulation: numerator = Σ qty·cents and denominator = Σ qty are both
+    BIGINTs (quantities are whole numbers in this schema), so the only
+    float operation is the single final division — the same IEEE op on the
+    same two exact integers in both engines. The naive SUM(qty*price)/
+    SUM(qty) on doubles is order-dependent and breaks cross-engine
+    bit-equality; this op is the det.py convention generalized from plain
+    sums to weighted means. Map-side combine all the way."""
+    li = lt(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(qty * cents).alias("wsum_cents"),
+        F.sum(qty).alias("wtotal"),
+        (F.sum(qty * cents) / (F.lit(100.0) * F.sum(qty))).alias(
+            "weighted_avg_price"
+        ),
+    )

@@ -143,6 +143,9 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "agg_unpivot_roundtrip",
+    "stats_degree_distribution",
+    "agg_weighted_average_exact",
     "pipeline_index_build",
     "text_cooccurrence_pairs",
     "dedup_minhash_quality",

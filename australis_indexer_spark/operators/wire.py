@@ -555,3 +555,56 @@ def scan_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
 scan_jsonl_corrupt_tolerant.__doc__ = scan_jsonl_corrupt_tolerant.__doc__.replace(
     "{_N}", str(_N_CORRUPT_PLANTED)
 )
+
+
+_BINFILES_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_blobs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id % 20 = 0
+GROUP BY lang
+"""
+
+
+@op("scan_binary_files", tags=("parity", "source", "format", "multimodal"), oracle=_BINFILES_ORACLE)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via Spark's `binaryFile` source — how
+    raw media objects (images, audio, model checkpoints) enter the engine
+    when they arrive as one blob per object-store key rather than rows in
+    parquet: a sample of documents (every 20th) is exported as individual
+    `<lang>_<doc_id>.bin` files, scanned back as (path, length, content)
+    records, and the id/lang recovered from the path with JVM regex. The
+    aggregate proves byte-exact round trip per language (text bytes are
+    ASCII here, so LENGTH(text) == blob bytes).
+
+    Scale notes: binaryFile parallelizes across files (each task reads
+    whole blobs — the right unit for media), and the first thing a real
+    pipeline does is exactly what this op's shape implies: compact
+    millions of small blobs INTO parquet binary columns
+    (multimodal_meta's layout) so later passes scan columnar instead of
+    per-object. The sample cut keeps the files-per-test bounded."""
+    import os
+    import tempfile
+
+    docs = lt(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    out = tempfile.mkdtemp(prefix="aispark_blobs_")
+    for r in docs.select("doc_id", "lang", "text").collect():
+        with open(os.path.join(out, f"{r['lang']}_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    parsed = back.select(
+        F.regexp_extract(F.col("path"), r"([a-z]+)_(\d+)\.bin$", 1).alias("lang"),
+        F.regexp_extract(F.col("path"), r"([a-z]+)_(\d+)\.bin$", 2)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_blobs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "scan_binary_files",
     "agg_unpivot_roundtrip",
     "stats_degree_distribution",
     "agg_weighted_average_exact",

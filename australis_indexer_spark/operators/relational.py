@@ -922,3 +922,88 @@ def agg_weighted_average_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_avg_price"
         ),
     )
+
+
+_LISTAGG_ORACLE = """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       string_agg(s_name, ','
+                  ORDER BY CAST(ROUND(s_acctbal * 100.0) AS BIGINT) DESC, s_name)
+         AS suppliers_by_balance
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@op("agg_listagg_ordered", tags=("relational", "agg"), oracle=_LISTAGG_ORACLE)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregation (LISTAGG / string_agg ... ORDER BY): each
+    nation's supplier names comma-joined in (balance DESC, name) order.
+    Spark has no ordered string_agg, so the op builds it from primitives
+    that DO combine map-side: collect_list of (sort-key, name) structs,
+    array_sort (lexicographic struct order — the negated cents puts high
+    balances first, name breaks ties), transform to names, array_join.
+    The oracle is DuckDB's native ordered string_agg — two different
+    mechanisms, identical string, which is what makes the ordering
+    contract real. Lists are per-group bounded (suppliers per nation);
+    for unbounded groups you'd cap with slice() as text_inverted_index
+    does."""
+    sup = lt(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_name",
+        (-F.round(F.col("s_acctbal") * 100).cast("long")).alias("neg_cents"),
+    )
+    return sup.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(neg_cents, s_name))),"
+            " x -> x.s_name), ',')"
+        ).alias("suppliers_by_balance"),
+    )
+
+
+_NULLSEM_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey,
+         NULLIF(o_orderstatus, 'O') AS maybe_status,
+         o_orderpriority
+  FROM orders WHERE o_orderkey < 200
+)
+SELECT o_orderkey, maybe_status,
+       COALESCE(maybe_status, '<open>') AS status_filled,
+       (maybe_status IS NOT DISTINCT FROM 'F') AS is_f_nullsafe,
+       ROW_NUMBER() OVER (ORDER BY maybe_status ASC NULLS LAST, o_orderkey)
+         AS rn_nulls_last
+FROM d
+"""
+
+
+@op("scalar_null_semantics", tags=("relational", "scalar"), oracle=_NULLSEM_ORACLE)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics contract surface: a derived nullable column (NULLIF)
+    exercised through COALESCE, null-safe equality (Spark `<=>` == SQL
+    IS NOT DISTINCT FROM), and — the cross-engine trap this op exists to
+    pin — EXPLICIT null ordering in a ranking window. Spark sorts nulls
+    FIRST ascending by default, DuckDB sorts them LAST: any ORDER BY on a
+    nullable key that doesn't spell NULLS FIRST/LAST is silently
+    engine-dependent, so the engine convention is to always spell it (as
+    every tie-broken LIMIT in this repo does for uniqueness). The window
+    here is bounded by the key filter; the point is the semantics, not
+    the plan."""
+    d = (
+        lt(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_status"),
+            "o_orderpriority",
+        )
+    )
+    w = W.orderBy(F.col("maybe_status").asc_nulls_last(), "o_orderkey")
+    return d.select(
+        "o_orderkey",
+        "maybe_status",
+        F.coalesce("maybe_status", F.lit("<open>")).alias("status_filled"),
+        F.col("maybe_status").eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+        F.row_number().over(w).alias("rn_nulls_last"),
+    )

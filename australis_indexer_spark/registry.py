@@ -143,6 +143,8 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "agg_listagg_ordered",
+    "scalar_null_semantics",
     "scan_binary_files",
     "agg_unpivot_roundtrip",
     "stats_degree_distribution",

@@ -839,3 +839,49 @@ def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HLL_MERGE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_daily_sketches,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_est_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+@op("agg_hll_daily_merge", tags=("relational", "scale", "agg", "sketch"), oracle=_HLL_MERGE_ORACLE)
+def agg_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the property that makes sketches the
+    scale answer for distinct counting over time hierarchies: one HLL
+    sketch per (type, DAY) is built from the raw stream ONCE, then the
+    monthly distinct-user estimate per type comes from hll_union_agg over
+    the ~30 daily sketch blobs — the raw events are never re-read, which
+    is exactly how a continuous aggregate serves "distinct users any date
+    range" without a distinct shuffle per query (the sketch analog of
+    stream_incremental_rollup's additive fold; COUNT/SUM are trivially
+    mergeable, distinct needs the sketch). The oracle pins the daily
+    sketch count and the exact distinct, and hash-checks the ±5% flag on
+    the MERGED estimate — the union, not just the base sketches, must be
+    sound."""
+    ev = lt(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_daily_sketches"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_daily_sketches",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_est_within_5pct"),
+    )

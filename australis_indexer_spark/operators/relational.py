@@ -1007,3 +1007,75 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("maybe_status").eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
         F.row_number().over(w).alias("rn_nulls_last"),
     )
+
+
+_REBUY_ORACLE = """
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS first_order,
+       b.o_orderkey AS repeat_order,
+       CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+         AS gap_days
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+"""
+
+
+@op("join_self_temporal_overlap", tags=("relational", "join", "temporal", "scale"), oracle=_REBUY_ORACLE)
+def join_self_temporal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quick-rebuy detection — ordered order pairs from the same customer
+    placed within 7 days — as a BANDED interval self-join instead of the
+    O(per-key²) date-range self-join: each order lands in its epoch-week
+    bucket, candidates come from joining (same customer, same-or-adjacent
+    week), and the exact 7-day predicate prunes them. A 7-day window
+    always fits in two consecutive week buckets, so the banding provably
+    misses nothing (the temporal analog of the phash/fuzzy band
+    pigeonhole). At 100 TB the join key is (custkey, week) — time-bounded
+    bucket fan-out of 2, no per-customer quadratic blowup even for
+    customers with thousands of orders spread over years; per-bucket
+    density is what bounds the work, exactly as in join_range_ship_lag.
+
+    gap_days is an exact integer date diff; the (a < b on the unique key,
+    dates ordered) condition keeps pairs canonical. Oracle is the direct
+    range self-join — identical pairs from a different plan."""
+    orders = lt(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.unix_date(F.to_date("o_orderdate")) / 7).alias("wk"),
+    )
+    a = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_orderdate").alias("da"),
+        F.col("wk").alias("wa"),
+    )
+    b_side = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_orderdate").alias("db"),
+        # the later order registers under its own AND the previous week
+        # bucket: the earlier side's week is either the same or one
+        # less, so one equi-join with fan-out exactly 2 sees every pair
+        F.explode(F.array(F.col("wk"), F.col("wk") - 1)).alias("wa"),
+    )
+    cand = a.join(b_side, ["custkey", "wa"])
+    return (
+        cand.where(
+            (F.col("ka") < F.col("kb"))
+            & (F.col("db") >= F.col("da"))
+            & (F.col("db") <= F.col("da") + F.expr("INTERVAL 7 DAY"))
+        )
+        .select(
+            "custkey",
+            F.col("ka").alias("first_order"),
+            F.col("kb").alias("repeat_order"),
+            F.datediff(F.to_date("db"), F.to_date("da"))
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .distinct()
+    )

@@ -1223,3 +1223,29 @@ def test_index_build_manifest_consistency(spark, ops):
         assert r["vocab_size"] <= r["total_postings"] <= r["total_tokens"]
         assert r["top_token_cf"] >= 1
         assert r["total_tokens"] == by_lang_tokens[r["lang"]]
+
+
+def test_temporal_overlap_banding_complete(spark, ops):
+    """The week-banded plan must equal the brute per-customer range
+    self-join, and every gap must be within [0, 7] days."""
+    from australis_indexer_spark.sources.batch import load_table
+
+    got = {(r["custkey"], r["first_order"], r["repeat_order"], r["gap_days"])
+           for r in ops["join_self_temporal_overlap"].fn(spark, SF_SMOKE).collect()}
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    by_cust: dict[int, list] = {}
+    for o in orders:
+        by_cust.setdefault(o["o_custkey"], []).append(o)
+    brute = set()
+    for rows in by_cust.values():
+        for x in rows:
+            for y in rows:
+                if x["o_orderkey"] < y["o_orderkey"]:
+                    gap = (y["o_orderdate"] - x["o_orderdate"]).days
+                    frac = (y["o_orderdate"] - x["o_orderdate"]).total_seconds()
+                    if 0 <= frac <= 7 * 86400:
+                        brute.add((x["o_custkey"], x["o_orderkey"], y["o_orderkey"], gap))
+    assert got == brute
+    assert all(0 <= g <= 7 for _, _, _, g in got)

@@ -1249,3 +1249,17 @@ def test_temporal_overlap_banding_complete(spark, ops):
                         brute.add((x["o_custkey"], x["o_orderkey"], y["o_orderkey"], gap))
     assert got == brute
     assert all(0 <= g <= 7 for _, _, _, g in got)
+
+
+def test_aqe_coalesces_small_shuffles(spark, ops):
+    """AQE must be live in this session: after execution, a small
+    aggregation's final adaptive plan reads the shuffle through
+    AQEShuffleRead with fewer partitions than the static
+    spark.sql.shuffle.partitions — the runtime re-plan every op here
+    relies on at the 100 TB design point."""
+    df = ops["agg_hash_pricing_summary"].fn(spark, SF_SMOKE)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan

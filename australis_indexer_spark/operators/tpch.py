@@ -829,3 +829,31 @@ def query_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the customer key. The oracle is this exact same text."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_Q22_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n_name, t.c_name, t.bal_cents
+FROM nation, LATERAL (
+  SELECT c_name, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY bal_cents DESC, c_name
+  LIMIT 2
+) t
+"""
+
+
+@op("query_lateral_topk", tags=("relational", "analytics", "subquery"), oracle=_LATERAL_SQL)
+def query_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 customers by balance FOR EACH
+    nation, written as the per-row subquery a user reaches for first.
+    Catalyst decorrelates the ORDER BY ... LIMIT lateral into a ranked
+    join (the nation dim broadcasts; the per-group cut runs where the
+    data lives) — no per-nation re-execution of the inner query, which is
+    what makes the construct survive 25 nations or 25 million merchants
+    unchanged. Same ANSI text on both engines (DuckDB executes the
+    LATERAL natively); exact-cents sort key with a name tie-break keeps
+    the LIMIT cut deterministic. Completes the subquery surface next to
+    the EXISTS / NOT EXISTS / scalar-agg shapes."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)

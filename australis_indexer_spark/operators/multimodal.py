@@ -416,3 +416,50 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= AHASH_HAM_T)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+_UDAF_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS cents_pandas
+FROM events
+GROUP BY event_type
+"""
+
+
+@op("udf_pandas_grouped_agg", tags=("extension", "udf", "agg"), oracle=_UDAF_ORACLE)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-defined AGGREGATE extension path: an Arrow-batched pandas
+    grouped-agg UDF (`@pandas_udf` returning one scalar per group)
+    summing exact integer cents per event type, value-checked against the
+    JVM SUM the oracle computes — proving the Python extension seam is
+    numerically exact, not just 'close'. This is the registered
+    demonstration of HOW a user adds an aggregate Spark lacks (the custom
+    sketches and media features elsewhere in this repo ride the same
+    mechanism: Arrow columnar transfer, pandas vectorized kernel, one
+    result per group).
+
+    Scale shape: grouped-agg pandas UDFs hash-partition by the group key
+    and stream Arrow batches through the Python worker — no per-row
+    pickling; integer accumulation in int64 numpy is exact. For aggregates
+    expressible in built-ins, stay JVM-side (every hot-path op here does);
+    this op exists because sometimes they aren't."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int(v.mul(100.0).round().astype("int64").sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg, so
+        # the count is a pandas aggregate too
+        return int(len(v))
+
+    ev = lt(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        n_rows("value").alias("n_events"),
+        cents_sum("value").alias("cents_pandas"),
+    )

@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "udf_pandas_grouped_agg",
     "query_lateral_topk",
     "join_self_temporal_overlap",
     "agg_hll_daily_merge",

@@ -857,3 +857,106 @@ def query_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EXISTS / NOT EXISTS / scalar-agg shapes."""
     _views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       {sql_dsum(_REV)} AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, ship_year
+"""
+
+
+@op("query_nation_pair_trade", tags=("relational", "analytics"), oracle=_Q7_ORACLE)
+def query_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): cross-border revenue between every
+    (supplier nation, customer nation) pair by ship year — the composed
+    query where TWO copies of the same dimension join the fact chain under
+    different roles. Both nation copies and supplier/customer broadcast;
+    orders⋈lineitem remains the lone real shuffle; the inequality filter
+    keeps only cross-border flows. Revenue in exact cents via the shared
+    dsum convention."""
+    li = lt(spark, sf_dir, "lineitem")
+    sup = lt(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = lt(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+_Q19_ORACLE = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)
+"""
+
+
+@op("query_disjunctive_predicates", tags=("relational", "analytics"), oracle=_Q19_ORACLE)
+def query_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR-of-ANDs across BOTH
+    join sides — the predicate structure that defeats naive pushdown.
+    Catalyst still extracts the common p_brand IN (...) and size/quantity
+    envelope conditions as single-side pre-filters (visible as
+    PushedFilters on each scan) before evaluating the full disjunction on
+    the joined rows, so both tables shrink before the join even though no
+    single conjunct applies globally. Revenue in exact cents; COUNT
+    pins the surviving-row set."""
+    li = lt(spark, sf_dir, "lineitem")
+    part = lt(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    pred = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#23") & sz.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#34") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return j.where(pred).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("revenue_cents"),
+    )

@@ -259,3 +259,49 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+_CARD_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) - COUNT(DISTINCT text) AS n_exact_dup_docs,
+       COUNT(CASE WHEN n_chars < 100 THEN 1 END) AS n_short_docs,
+       CAST((SUM(len(string_split(text, ' '))) * 100) // COUNT(*) AS BIGINT)
+         AS tokens_per_doc_x100
+FROM documents
+GROUP BY source
+"""
+
+
+@op("pipeline_dataset_card", tags=("northstar", "pipeline", "profiling"), oracle=_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the one-look summary a training-data consumer reads
+    before anything else, per source: document and language counts, token
+    and character volume, exact-duplicate count (docs minus distinct
+    texts — the headline dedup number), short-doc count (the quality-gate
+    casualty estimate), and mean tokens-per-doc in exact x100 fixed point.
+    Everything the curation family computes in detail, reduced to the
+    per-source manifest row.
+
+    Scale shape: ONE pass — every stat is an algebraic or distinct
+    aggregate over the same (source) key, so Catalyst plans a single
+    Expand + partial aggregation exactly as profile_columns does; the
+    distinct-text count is the only wide term and it shuffles hashes, not
+    documents, if you pre-hash (at 100 TB swap text for its sha2 — same
+    answer, 64-byte shuffle rows)."""
+    docs = lt(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.count("*") - F.countDistinct("text")).alias("n_exact_dup_docs"),
+        F.count(F.when(F.col("n_chars") < 100, 1)).alias("n_short_docs"),
+        F.expr(
+            "(SUM(CAST(size(split(text, ' ')) AS BIGINT)) * 100) div COUNT(*)"
+        ).alias("tokens_per_doc_x100"),
+    )

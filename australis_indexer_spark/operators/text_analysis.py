@@ -463,3 +463,57 @@ def pipeline_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top.t").alias("top_token"),
         F.col("top.c").alias("top_token_cf"),
     )
+
+
+_LANGID_QUALITY_ORACLE = f"""
+WITH scored AS (
+  SELECT lang AS true_lang, {_LANG_CASE_SQL} AS predicted_lang
+  FROM documents
+)
+SELECT true_lang, predicted_lang,
+       COUNT(*) AS n_docs,
+       CAST((COUNT(*) * 1000000)
+            // CAST(SUM(COUNT(*)) OVER (PARTITION BY true_lang) AS BIGINT)
+            AS BIGINT) AS row_share_ppm
+FROM scored
+GROUP BY true_lang, predicted_lang
+"""
+
+
+@op("text_langid_quality", tags=("northstar", "text", "quality"), oracle=_LANGID_QUALITY_ORACLE)
+def text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic against the corpus's
+    true labels — the measured quality gate for the classifier family
+    (per-(true, predicted) doc counts plus integer-ppm row-normalized
+    shares, so per-language accuracy is the diagonal's share): a stopword
+    list that drifts or a tie-break that flips shows up as off-diagonal
+    mass in a value-checked table, the same drift-fails-loudly principle
+    as dedup_minhash_quality and sim_ann_recall. One aggregate to at most
+    |langs|² rows; the share window runs on that tiny table."""
+    toks = _toks()
+    scores = {lang: _n_in_list(toks, ws) for lang, ws in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= F.greatest(scores["de"], scores["es"], scores["fr"])),
+            "en",
+        )
+        .when(scores["de"] >= F.greatest(scores["es"], scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    from pyspark.sql import Window as W
+
+    scored = lt(spark, sf_dir, "documents").select(
+        F.col("lang").alias("true_lang"), pred.alias("predicted_lang")
+    )
+    counts = scored.groupBy("true_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    return counts.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr(
+            "(n_docs * 1000000) div SUM(n_docs) OVER (PARTITION BY true_lang)"
+        ).alias("row_share_ppm"),
+    )

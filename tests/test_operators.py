@@ -1263,3 +1263,31 @@ def test_aqe_coalesces_small_shuffles(spark, ops):
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan
     assert "AQEShuffleRead" in plan
     assert "coalesced" in plan
+
+
+def test_langid_confusion_shares(spark, ops):
+    """Per-true-lang shares must sum to 1e6 within floor loss, and the
+    diagonal must dominate every row of the confusion matrix."""
+    rows = ops["text_langid_quality"].fn(spark, SF_SMOKE).collect()
+    by_true: dict[str, list] = {}
+    for r in rows:
+        by_true.setdefault(r["true_lang"], []).append(r)
+    for lang, rs in by_true.items():
+        tot = sum(r["row_share_ppm"] for r in rs)
+        assert 1000000 - len(rs) <= tot <= 1000000
+        diag = [r for r in rs if r["predicted_lang"] == lang]
+        if diag:
+            assert diag[0]["n_docs"] == max(r["n_docs"] for r in rs)
+
+
+def test_dataset_card_conserves(spark, ops):
+    """Card totals must restate direct sums; dup and short counts bounded
+    by doc counts."""
+    rows = ops["pipeline_dataset_card"].fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["total_chars"] for r in rows) == docs.agg(F.sum("n_chars")).first()[0]
+    for r in rows:
+        assert 0 <= r["n_exact_dup_docs"] < r["n_docs"]
+        assert 0 <= r["n_short_docs"] <= r["n_docs"]
+        assert r["tokens_per_doc_x100"] * r["n_docs"] <= r["total_tokens"] * 100

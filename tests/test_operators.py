@@ -1291,3 +1291,16 @@ def test_dataset_card_conserves(spark, ops):
         assert 0 <= r["n_exact_dup_docs"] < r["n_docs"]
         assert 0 <= r["n_short_docs"] <= r["n_docs"]
         assert r["tokens_per_doc_x100"] * r["n_docs"] <= r["total_tokens"] * 100
+
+
+def test_disjunctive_predicates_pushed_per_side(spark, ops):
+    """Q19's OR-of-ANDs must still produce single-side pre-filters: both
+    scans carry non-empty PushedFilters (brand/size envelope on part,
+    quantity envelope on lineitem) even though no conjunct applies
+    globally."""
+    df = ops["query_disjunctive_predicates"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [seg for seg in plan.split("FileScan parquet") if "PushedFilters" in seg]
+    assert len(scans) >= 2
+    pushed = [seg.split("PushedFilters: [")[1].split("]")[0] for seg in scans]
+    assert all(p.strip() for p in pushed), pushed

@@ -608,3 +608,72 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_BLOCKSOURCE_ORACLE = """
+SELECT CAST(r AS BIGINT) AS sequence_id,
+       'block.' || CAST(r AS VARCHAR) AS subject,
+       CAST(1 + r % 4 AS INTEGER) AS shard_count,
+       CAST(256 + (r * 37) % 1024 AS BIGINT) AS payload_bytes
+FROM range(63600, 63900) t(r)
+"""
+
+
+@op("scan_custom_source", tags=("parity", "source", "connector"), oracle=_BLOCKSOURCE_ORACLE)
+def scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wire connector as a first-class Spark format: a custom Python
+    DataSource (`sources/blockstream.py`) registered as
+    `format('australis_blocks')` and read with plain `spark.read` — the
+    reference's block-archive backfill seam (its NATS/S3 ingest) expressed
+    the way a Spark user expects to consume ANY source, with the height
+    range split into real input partitions that scan in parallel. Rows are
+    closed-form per height, so the DuckDB `range()` oracle restates the
+    whole source — the connector plumbing (partition planning, options,
+    schema) is what's value-checked."""
+    from ..sources.blockstream import register
+
+    register(spark)
+    return (
+        spark.read.format("australis_blocks")
+        .option("start", 63600)
+        .option("end", 63900)
+        .option("numPartitions", 8)
+        .load()
+    )
+
+
+@op("scan_custom_source_stream", tags=("parity", "source", "connector", "streaming"), oracle=_BLOCKSOURCE_ORACLE)
+def scan_custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable-subscription half of the custom connector: the same
+    format consumed with `readStream`, where OFFSETS ARE HEIGHTS. The
+    chain head advances between three catch-up runs (63700 -> 63800 ->
+    63900); each run reads the committed offset from the SHARED
+    checkpoint, drains exactly the (committed, head] window, and stops —
+    the reference consumer's resume-from-durable-offset loop, with
+    Spark's offset log playing the durable cursor. The sink must end up
+    holding every height exactly once across the three runs; the
+    closed-form oracle equals the one-shot batch read, which IS the
+    exactly-once-across-restarts claim."""
+    import os
+    import tempfile
+
+    from ..sources.blockstream import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="aispark_blocksrc_")
+    sink_d, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    for head in (63700, 63800, 63900):
+        q = (
+            spark.readStream.format("australis_blocks")
+            .option("start", 63600)
+            .option("end", head)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink_d)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink_d)

@@ -143,6 +143,8 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "scan_custom_source",
+    "scan_custom_source_stream",
     "text_langid_quality",
     "pipeline_dataset_card",
     "query_nation_pair_trade",

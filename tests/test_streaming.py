@@ -332,3 +332,25 @@ def test_late_data_dropped_and_frontier(spark, ops):
         assert r["hour_start"] + datetime.timedelta(hours=2) <= mx.replace(
             minute=59, second=59
         ) + datetime.timedelta(seconds=1)
+
+
+def test_custom_source_batch_partitions_and_rows(spark, ops):
+    """The custom format must plan the requested input partitions and
+    yield each height exactly once with the closed-form fields."""
+    df = ops["scan_custom_source"].fn(spark, "/root/testdata/sf0.001")
+    assert df.rdd.getNumPartitions() == 8
+    rows = {r["sequence_id"]: r for r in df.collect()}
+    assert sorted(rows) == list(range(63600, 63900))
+    r = rows[63607]
+    assert r["subject"] == "block.63607"
+    assert r["shard_count"] == 1 + 63607 % 4
+    assert r["payload_bytes"] == 256 + (63607 * 37) % 1024
+
+
+def test_custom_source_stream_resumes_offsets(spark, ops):
+    """Across the three catch-up runs the sink must hold every height
+    exactly once — the offset log, not luck, prevents re-reads."""
+    out = ops["scan_custom_source_stream"].fn(spark, "/root/testdata/sf0.001")
+    heights = [r["sequence_id"] for r in out.collect()]
+    assert len(heights) == 300 and len(set(heights)) == 300
+    assert min(heights) == 63600 and max(heights) == 63899

@@ -677,3 +677,48 @@ def scan_custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(sink_d)
+
+
+_PUBLISH_SINK_ORACLE = """
+SELECT CAST(r % 4 AS BIGINT) AS shard_mod,
+       COUNT(*) AS n_published,
+       CAST(SUM(256 + (r * 37) % 1024) AS BIGINT) AS total_payload_bytes
+FROM range(63600, 63900) t(r)
+GROUP BY 1
+"""
+
+
+@op("sink_custom_publish", tags=("parity", "sink", "connector"), oracle=_PUBLISH_SINK_ORACLE)
+def sink_custom_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publisher half of the custom connector duplex: rows flow OUT
+    through the same registered format via `df.write.format(
+    'australis_blocks')` — each task publishes its partition as a
+    deterministic JSONL object and reports a commit message; the driver-
+    side `commit` promotes temp objects and writes the manifest in one
+    step, so a failed job can never leave a half-published manifest (the
+    two-phase commit the reference's durable publisher gets from
+    JetStream acks). The op round-trips: custom-source read -> custom-sink
+    publish -> re-scan the published JSONL with an explicit schema ->
+    aggregate; matching the closed-form oracle proves the sink lost and
+    duplicated nothing."""
+    import tempfile
+
+    from ..sources.blockstream import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="aispark_pub_") + "/published"
+    src = (
+        spark.read.format("australis_blocks")
+        .option("start", 63600)
+        .option("end", 63900)
+        .option("numPartitions", 8)
+        .load()
+    )
+    src.write.format("australis_blocks").option("path", out).mode("append").save()
+    back = spark.read.schema(
+        "sequence_id bigint, subject string, shard_count int, payload_bytes bigint"
+    ).json(out + "/part-*.jsonl")
+    return back.groupBy((F.col("sequence_id") % 4).alias("shard_mod")).agg(
+        F.count("*").alias("n_published"),
+        F.sum("payload_bytes").alias("total_payload_bytes"),
+    )

@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "sink_custom_publish",
     "scan_custom_source",
     "scan_custom_source_stream",
     "text_langid_quality",

@@ -354,3 +354,34 @@ def test_custom_source_stream_resumes_offsets(spark, ops):
     heights = [r["sequence_id"] for r in out.collect()]
     assert len(heights) == 300 and len(set(heights)) == 300
     assert min(heights) == 63600 and max(heights) == 63899
+
+
+def test_custom_publish_manifest_atomic(spark, ops):
+    """The op's aggregate must conserve all heights, and the sink's
+    two-phase commit leaves a manifest whose per-file counts sum to the
+    full publish with no temp files surviving."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    from australis_indexer_spark.sources.blockstream import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="tst_pub_") + "/published"
+    src = (
+        spark.read.format("australis_blocks")
+        .option("start", 63600)
+        .option("end", 63700)
+        .option("numPartitions", 4)
+        .load()
+    )
+    src.write.format("australis_blocks").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert sum(m["n_rows"] for m in manifest) == 100
+    assert not glob.glob(os.path.join(out, "_tmp_*"))
+    files = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert len(files) == len(manifest)
+    n_lines = sum(1 for fn in files for _ in open(fn))
+    assert n_lines == 100

@@ -305,3 +305,68 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SUM(CAST(size(split(text, ' ')) AS BIGINT)) * 100) div COUNT(*)"
         ).alias("tokens_per_doc_x100"),
     )
+
+
+_TSPLIT_CUT = "TIMESTAMP '2024-01-24 00:00:00'"
+
+_TSPLIT_ORACLE = f"""
+SELECT CASE WHEN ts < {_TSPLIT_CUT} THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(ts) AS TIMESTAMP) AS min_ts,
+       CAST(MAX(ts) AS TIMESTAMP) AS max_ts,
+       (SELECT MAX(ts) FROM events WHERE ts < {_TSPLIT_CUT})
+         < (SELECT MIN(ts) FROM events WHERE ts >= {_TSPLIT_CUT})
+         AS no_time_leakage
+FROM events
+GROUP BY 1
+"""
+
+
+@op("sample_temporal_split", tags=("northstar", "sampling"), oracle=_TSPLIT_ORACLE)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split — the split hash-splitting must NOT be
+    used for: forecasting-style data leaks the future into training unless
+    the cut is temporal, so membership is `ts < cutoff`, and the op emits
+    the leakage CONTRACT alongside the split stats: max(train ts) strictly
+    below min(test ts) — hash-checked by the oracle, so a timezone bug or
+    an off-by-one at the boundary fails loudly rather than silently
+    training on the future. Distinct-user counts per split quantify the
+    (expected, user-level) overlap a modeler must handle downstream.
+
+    Scale shape: the split column is a narrow map on a scan-pruned
+    timestamp (on a date-partitioned layout the cut IS a partition
+    boundary and each split reads only its directories); stats are one
+    map-combined aggregate; the two boundary scalars are min/max
+    aggregates Spark serves from the same scan. Companion to
+    sample_split_hash (identity hash) and sample_balanced_strata
+    (stratified) — three split disciplines, each with its contract."""
+    ev = lt(spark, sf_dir, "events")
+    cut = F.expr(_TSPLIT_CUT)
+    tagged = ev.select(
+        F.when(F.col("ts") < cut, "train").otherwise("test").alias("split"),
+        "ts",
+        "user_id",
+    )
+    bounds = tagged.groupBy().agg(
+        F.max(F.when(F.col("split") == "train", F.col("ts"))).alias("tr_max"),
+        F.min(F.when(F.col("split") == "test", F.col("ts"))).alias("te_min"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "min_ts",
+            "max_ts",
+            (F.col("tr_max") < F.col("te_min")).alias("no_time_leakage"),
+        )
+    )

@@ -463,3 +463,71 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("value").alias("n_events"),
         cents_sum("value").alias("cents_pandas"),
     )
+
+
+_MEDIA_CURATION_ORACLE = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 'image/png'
+              WHEN source = 'src1' THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime,
+         text, LENGTH(text) AS n_bytes
+  FROM documents
+),
+gated AS (SELECT * FROM media WHERE n_bytes >= 64),
+deduped AS (
+  SELECT mime, text, MIN(doc_id) AS keeper_doc, COUNT(*) AS n_copies,
+         ANY_VALUE(n_bytes) AS n_bytes
+  FROM gated GROUP BY mime, text
+)
+SELECT mime,
+       substr(md5('mshard:' || CAST(keeper_doc AS VARCHAR)), 1, 1) AS shard,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped_dups,
+       CAST(SUM(n_bytes) AS BIGINT) AS kept_bytes
+FROM deduped
+GROUP BY mime, shard
+"""
+
+
+@op(
+    "pipeline_media_curation",
+    tags=("northstar", "multimodal", "pipeline", "dedup"),
+    oracle=_MEDIA_CURATION_ORACLE,
+)
+def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-side curation pipeline as ONE Catalyst plan — the binary
+    twin of pipeline_corpus_build: typed-metadata gate (size floor on the
+    payload), exact byte-level dedup per mime family (hash-groupBy keeping
+    the lowest doc_id, counting dropped copies), deterministic md5-nibble
+    shard assignment of the keepers, and the per-(mime, shard) manifest a
+    media trainer's loader reads. Near-dup (multimodal_phash_neardup) and
+    feature extraction (multimodal_decode_features) layer onto the same
+    keeper set.
+
+    Scale shape: the gate is scan-prunable metadata; the dedup groupBy
+    shuffles payload HASHES at 100 TB (sha2 the payload first — same
+    answer, fixed-width shuffle rows; here the payload stands in
+    directly); shard assignment is a narrow map on the keeper id and the
+    manifest rollup map-side combines to |mimes x 16| rows."""
+    media = media_table(spark, sf_dir)
+    gated = media.where(F.col("meta.n_bytes") >= 64)
+    deduped = gated.groupBy(
+        F.col("meta.mime").alias("mime"), F.col("payload")
+    ).agg(
+        F.min("doc_id").alias("keeper_doc"),
+        F.count("*").alias("n_copies"),
+        F.any_value(F.col("meta.n_bytes")).alias("n_bytes"),
+    )
+    shard = F.substring(
+        F.md5(F.concat(F.lit("mshard:"), F.col("keeper_doc").cast("string"))), 1, 1
+    )
+    return (
+        deduped.select("mime", shard.alias("shard"), "n_copies", "n_bytes")
+        .groupBy("mime", "shard")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.col("n_copies") - 1).alias("n_dropped_dups"),
+            F.sum("n_bytes").alias("kept_bytes"),
+        )
+    )

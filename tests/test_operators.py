@@ -1304,3 +1304,20 @@ def test_disjunctive_predicates_pushed_per_side(spark, ops):
     assert len(scans) >= 2
     pushed = [seg.split("PushedFilters: [")[1].split("]")[0] for seg in scans]
     assert all(p.strip() for p in pushed), pushed
+
+
+def test_media_curation_conserves(spark, ops):
+    """kept + dropped must equal the gated corpus size; shards only carry
+    hex nibbles; per-mime keepers bounded by distinct payloads."""
+    rows = ops["pipeline_media_curation"].fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    gated = docs.where(F.length("text") >= 64)
+    total = sum(r["n_kept"] + r["n_dropped_dups"] for r in rows)
+    assert total == gated.count()
+    assert all(r["shard"] in set("0123456789abcdef") for r in rows)
+    n_kept = sum(r["n_kept"] for r in rows)
+    # keepers = distinct (mime-source-class, text) pairs in the gated set
+    n_distinct = (
+        gated.select("source", "text").distinct().count()
+    )
+    assert n_kept == n_distinct

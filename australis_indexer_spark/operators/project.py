@@ -206,3 +206,54 @@ def project_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k") % 2 == 0, 1)).alias("n_even_k"),
         )
     )
+
+
+_VARIANT_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         json_valid(props) AS ok
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN ok THEN 1 END) AS n_valid_variant,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM v GROUP BY event_type
+"""
+
+
+@op("project_props_variant", tags=("project", "semistructured", "variant"), oracle=_VARIANT_ORACLE)
+def project_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4's
+    binary-encoded JSON): `try_parse_json` ingests each props blob ONCE
+    into a variant value (malformed input becomes NULL instead of an
+    error), and every later path access is `variant_get` over the binary
+    encoding — no re-parsing per path, which is the point of VARIANT over
+    per-query `get_json_object` at 100 TB: parse cost is paid at ingest,
+    path access is a typed offset walk. Typed extraction, validity
+    accounting, and distinct-value profiling per event type; the oracle is
+    DuckDB's native JSON engine — two different binary JSON encodings,
+    identical answers.
+
+    Companion to project_props_json (typed from_json against a declared
+    schema): schema-on-write there, schema-agnostic VARIANT here — the
+    two semi-structured disciplines a warehouse offers."""
+    ev = lt(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("try_parse_json(props)").alias("pv"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+        F.col("pv").isNotNull().alias("ok"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_valid_variant"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )

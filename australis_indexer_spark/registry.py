@@ -143,6 +143,7 @@ _PRIORITY = (
     "window_rolling_7day_volume",
     "agg_linear_trend",
     # late round-3 additions, never driver-seen
+    "project_props_variant",
     "pipeline_media_curation",
     "sample_temporal_split",
     "sink_custom_publish",

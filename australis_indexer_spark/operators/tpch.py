@@ -960,3 +960,313 @@ def query_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("revenue_cents"),
     )
+
+
+# --- TPC-H surface completion (Q6 / Q8 / Q13 / Q14 / Q15 / Q17) ------------
+# With these six, every TPC-H query whose tables exist in this corpus has a
+# registered shape (Q2/Q9/Q11/Q16/Q20 need partsupp, which the driver's
+# schema does not carry; Q12 needs commit/receipt dates + shipmode). Ref:
+# the reference engine ships raw chain tables to downstream warehouses
+# (SURVEY.md §2.6) — this family IS that downstream query surface.
+
+
+_Q6_ORACLE = f"""
+SELECT COUNT(*) AS n_lines,
+       {sql_dsum("l_extendedprice * l_discount", 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@op("query_forecast_revenue", tags=("relational", "analytics"), oracle=_Q6_ORACLE)
+def query_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): one scan, three conjunctive
+    range predicates, one global sum — the canonical pushdown benchmark.
+    All three predicates reach the parquet reader as PushedFilters (date
+    min/max prune row groups; discount/quantity prune pages), so at 100 TB
+    the scan reads only the 1996 stripes of three columns. The revenue
+    product has 4 decimal places (price×discount), so exactness uses
+    scale-4 integer units; discount literals 0.05/0.07 compare exactly
+    because the corpus stores those doubles bit-identically."""
+    li = lt(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.count("*").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+    )
+
+
+_Q8_NATION = "NATION_3"
+
+_Q8_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {sql_cents("l_extendedprice * (1 - l_discount)")} AS rev_cents,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_cents ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       CAST((SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_cents ELSE 0 END)
+             * 1000000) // SUM(rev_cents) AS BIGINT) AS mkt_share_ppm
+FROM base
+GROUP BY o_year
+"""
+
+
+@op("query_market_share", tags=("relational", "analytics"), oracle=_Q8_ORACLE)
+def query_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    AMERICA-region STANDARD-part revenue per order year. An 8-table star
+    where the SAME dimension joins twice under different roles (customer
+    nation restricts the market, supplier nation labels the flow). Every
+    dim broadcasts after its own filter prunes it; orders⋈lineitem stays
+    the lone shuffle. The share is exact integer parts-per-million via
+    floor division — no float ratio to drift (at petabyte totals the
+    cross-multiplication would move to DECIMAL(38), noted, but the gate
+    runs integer-exact). Completes the market-share shape next to Q7's
+    nation-pair flows."""
+    li = lt(spark, sf_dir, "lineitem")
+    part = lt(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    sup = lt(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = lt(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = lt(spark, sf_dir, "nation")
+    region = lt(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cnk"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("snk"))
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(F.lit(0))
+        ).alias("nation_cents"),
+        F.sum(rev).alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.expr("(nation_cents * 1000000) div total_cents").alias("mkt_share_ppm"),
+    )
+
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@op("query_customer_distribution", tags=("relational", "analytics"), oracle=_Q13_ORACLE)
+def query_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly N non-urgent orders — including zero, which is why the LEFT
+    join with the filter INSIDE the join condition matters (a WHERE would
+    silently drop the zero-order customers the query exists to count).
+    Two cascaded aggregations: the first shuffles on custkey (same key as
+    the join, so AQE reuses the exchange), the second reduces to at most
+    ~hundreds of distinct counts — a broadcast-sized result. Counts are
+    BIGINT on both engines; no floats anywhere."""
+    cust = lt(spark, sf_dir, "customer").select("c_custkey")
+    orders = lt(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q14_ORACLE = f"""
+SELECT
+  ({sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")})
+    AS promo_revenue,
+  ({sql_dsum("l_extendedprice * (1 - l_discount)")}) AS total_revenue,
+  CAST((SUM(CASE WHEN p_type = 'PROMO'
+                 THEN {sql_cents("l_extendedprice * (1 - l_discount)")}
+                 ELSE 0 END) * 1000000)
+       // SUM({sql_cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+    AS promo_ppm
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@op("query_promo_revenue", tags=("relational", "analytics"), oracle=_Q14_ORACLE)
+def query_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue that
+    came from PROMO-type parts. A conditional-aggregate ratio — both the
+    numerator and denominator come out of ONE pass over the month's
+    lineitem joined to the broadcast part dim (no second scan, no self
+    join). The month predicate prunes the fact scan; the share is exact
+    integer ppm (floor division on cent sums) plus both revenue legs in
+    the shared dsum convention, so the ratio can't drift between engines."""
+    li = lt(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = lt(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo_c = F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0))
+    agg = j.agg(
+        F.sum(promo_c).alias("_pc"),
+        F.sum(rev_c).alias("_tc"),
+    )
+    return agg.select(
+        (F.col("_pc") / F.lit(100.0)).alias("promo_revenue"),
+        (F.col("_tc") / F.lit(100.0)).alias("total_revenue"),
+        F.expr("(_pc * 1000000) div _tc").alias("promo_ppm"),
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, (total_cents / 100.0) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@op("query_top_supplier", tags=("relational", "analytics", "subquery"), oracle=_Q15_ORACLE)
+def query_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the global maximum — the view-plus-scalar-subquery shape. The
+    quarter aggregate shuffles once on suppkey; its one-row MAX is joined
+    back as a broadcast (Spark: explicit crossJoin of the 1-row aggregate;
+    DuckDB: scalar subquery over the same CTE), so the 'which rows hit the
+    max' cut never re-sorts or re-scans the fact. Ties are kept — equality
+    on an exact BIGINT cent total, not a float — and ordered by suppkey
+    for a deterministic result set."""
+    li = lt(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_cents"
+        )
+    )
+    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    sup = lt(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_cents") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_cents") / F.lit(100.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q17_ORACLE = """
+WITH pq AS (
+  SELECT l_partkey AS ap,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         COUNT(*) AS n_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#23' AND p_size <= 25)
+  GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_lines,
+       (SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) / 700.0) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pq   ON ap = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 25
+  AND CAST(l_quantity AS BIGINT) * 5 * n_qty < sum_qty
+"""
+
+
+@op("query_small_quantity_revenue", tags=("relational", "analytics", "subquery"), oracle=_Q17_ORACLE)
+def query_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines of one brand whose
+    quantity is below 20% of that part's own average — the correlated-AVG
+    shape. The per-part average is computed ONCE as a grouped aggregate
+    over only the brand's parts (semi-filtered by the broadcast dim before
+    the groupBy, so the aggregate never touches the other brands' lines)
+    and joined back on partkey — same key as the fact join, one shuffle
+    partitioning serves both. The 20% threshold is restated as the exact
+    integer cross-multiplication 5·qty·n < Σqty (quantities are integral),
+    so boundary rows can't flip between engines; yearly revenue divides
+    exact cents by 700.0 once."""
+    part = lt(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 25)
+    ).select("p_partkey")
+    li = lt(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    pq = li_b.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n_qty"),
+    )
+    j = li_b.join(pq, li_b.l_partkey == pq.ap).where(
+        F.col("l_quantity").cast("long") * 5 * F.col("n_qty") < F.col("sum_qty")
+    )
+    return j.agg(
+        F.count("*").alias("n_lines"),
+        (F.sum(cents("l_extendedprice")) / F.lit(700.0)).alias("avg_yearly"),
+    )

@@ -199,6 +199,13 @@ _PRIORITY = (
     "multimodal_phash_neardup",
     "window_value_functions",
     "join_outer_reconciliation",
+    # TPC-H surface completion (Q6/Q8/Q13/Q14/Q15/Q17)
+    "query_forecast_revenue",
+    "query_market_share",
+    "query_customer_distribution",
+    "query_promo_revenue",
+    "query_top_supplier",
+    "query_small_quantity_revenue",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

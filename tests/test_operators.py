@@ -1321,3 +1321,80 @@ def test_media_curation_conserves(spark, ops):
         gated.select("source", "text").distinct().count()
     )
     assert n_kept == n_distinct
+
+
+def test_forecast_revenue_pushdown(spark, ops):
+    """Q6's three conjunctive range predicates must all reach the parquet
+    scan — at 100 TB the date filter alone prunes ~6/7 of row groups."""
+    df = ops["query_forecast_revenue"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_market_share_broadcasts_every_dim(spark, ops):
+    """Q8's 8-table star must put every dimension on a broadcast build
+    side — the orders⋈lineitem join is the only allowed shuffle join."""
+    df = ops["query_market_share"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5, plan.count("BroadcastHashJoin")
+    rows = df.collect()
+    for r in rows:
+        assert 0 <= r["nation_cents"] <= r["total_cents"]
+        assert 0 <= r["mkt_share_ppm"] <= 1_000_000
+
+
+def test_customer_distribution_counts_zero_bucket(spark, ops):
+    """Q13's histogram must conserve customers, and the left join must
+    keep zero-order customers (filter inside the join condition)."""
+    rows = ops["query_customer_distribution"].fn(spark, SF_SMOKE).collect()
+    n_cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert all(r["c_count"] >= 0 for r in rows)
+
+
+def test_promo_revenue_share_bounds(spark, ops):
+    """Q14: the promo leg is a subset of total revenue; ppm consistent
+    with the two legs it was derived from."""
+    r = ops["query_promo_revenue"].fn(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r["promo_revenue"] <= r["total_revenue"]
+    assert abs(r["promo_ppm"] - 1_000_000 * r["promo_revenue"] / r["total_revenue"]) <= 1
+
+
+def test_top_supplier_hits_global_max(spark, ops):
+    """Q15: every returned supplier carries the same revenue, and it is
+    the true maximum of an independent recomputation."""
+    rows = ops["query_top_supplier"].fn(spark, SF_SMOKE).collect()
+    assert rows, "quarter window selected no lineitem"
+    revs = {r["total_revenue"] for r in rows}
+    assert len(revs) == 1
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    true_max = (
+        li.groupBy("l_suppkey")
+        .agg((F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")) / 100.0).alias("rev"))
+        .agg(F.max("rev"))
+        .first()[0]
+    )
+    assert revs == {true_max}
+
+
+def test_small_quantity_below_part_average(spark, ops):
+    """Q17: the selected line count must equal a direct recomputation of
+    the 'below 20% of this part's average quantity' membership."""
+    r = ops["query_small_quantity_revenue"].fn(spark, SF_SMOKE).collect()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 25)
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    from pyspark.sql import Window
+    w = Window.partitionBy("l_partkey")
+    direct = (
+        j.withColumn("avg_q", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+        .count()
+    )
+    assert r["n_lines"] == direct

@@ -370,3 +370,77 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tr_max") < F.col("te_min")).alias("no_time_leakage"),
         )
     )
+
+
+# Length-band keep thresholds over md5's first four hex chars (65536
+# buckets): short docs keep 1/4 ('4000'), medium keep 1/2 ('8000'), long
+# keep all. Fixed-width lowercase hex: lexicographic compare == numeric.
+_IW_BANDS = (
+    ("short", "n_chars < 150", "4000"),
+    ("medium", "n_chars >= 150 AND n_chars < 400", "8000"),
+    ("long", "n_chars >= 400", "ffff~"),  # sentinel above any 4-hex string
+)
+
+_IW_BAND_SQL = (
+    "CASE WHEN n_chars < 150 THEN 'short' "
+    "WHEN n_chars < 400 THEN 'medium' ELSE 'long' END"
+)
+_IW_THRESH_SQL = (
+    "CASE WHEN n_chars < 150 THEN '4000' "
+    "WHEN n_chars < 400 THEN '8000' ELSE 'ffff~' END"
+)
+_IW_HASH_SQL = "substr(md5('iw:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+
+_IW_ORACLE = f"""
+SELECT source,
+       {_IW_BAND_SQL} AS band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_IW_HASH_SQL} < {_IW_THRESH_SQL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {_IW_HASH_SQL} < {_IW_THRESH_SQL} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM documents
+GROUP BY source, band
+"""
+
+
+@op("sample_importance_weighted", tags=("sampling", "curation"), oracle=_IW_ORACLE)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: each document's keep
+    probability depends on its quality band (here length bands at this corpus's 47-558 char scale — short
+    docs keep 25%, medium 50%, long 100%, the up-weight-the-good-stuff
+    move every data mix applies), but membership is still a pure function
+    of identity — `md5('iw:' || doc_id)` compared against the band's
+    fixed-width hex threshold. Re-running the pipeline, re-partitioning,
+    or retrying a task can never change which documents survive, and the
+    expected rate per band is exact by construction (16384/65536 etc.).
+    Emits the per-(source, band) audit: total, kept, and surviving chars.
+
+    Scale shape: a narrow map over the corpus followed by one map-side-
+    combinable rollup to |sources×3| rows — no shuffle touches full rows.
+    The kept-set itself (filter on the same predicate) stays a scan-time
+    filter wherever it is consumed downstream."""
+    docs = lt(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") < 150, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long")
+    )
+    thresh = (
+        F.when(F.col("n_chars") < 150, "4000")
+        .when(F.col("n_chars") < 400, "8000")
+        .otherwise("ffff~")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("iw:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    kept = (h < thresh).cast("long")
+    return (
+        docs.select("source", band.alias("band"), kept.alias("k"), "n_chars")
+        .groupBy("source", "band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("k").alias("n_kept"),
+            F.sum(F.col("k") * F.col("n_chars")).alias("kept_chars"),
+        )
+    )

@@ -212,3 +212,63 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w).alias("cum_distinct_users"),
     )
+
+
+_OHLC_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_hour, value,
+         first_value(value) OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS open_v,
+         last_value(value) OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+  FROM events
+)
+SELECT event_type, CAST(bucket_hour AS TIMESTAMP) AS bucket_hour,
+       MIN(open_v)  AS open,
+       MAX(value)   AS high,
+       MIN(value)   AS low,
+       MIN(close_v) AS close,
+       COUNT(*)     AS n_events,
+       CAST(SUM({sql_cents('value')}) AS BIGINT) AS volume_cents
+FROM ranked
+GROUP BY event_type, bucket_hour
+"""
+
+
+@op("window_time_ohlc_bars", tags=("timeseries", "agg", "time"), oracle=_OHLC_ORACLE)
+def window_time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the irregular event stream into hourly OHLC candles per
+    event type (the financial-tick / hypertable `candlestick_agg` shape):
+    open and close are the first/last observed value in the bucket under
+    the total order (ts, event_id) — the unique event id breaks timestamp
+    ties so the selected row can never depend on scan order — plus exact
+    high/low/count and the value sum in integer cents.
+
+    Scale shape: ONE map-side-combinable groupBy — `min_by`/`max_by` keyed
+    on the (ts, event_id) struct carry first/last through partial
+    aggregation, so no window, no sort, and no second shuffle ever touches
+    the raw stream (the oracle restates the same semantics as a
+    first/last_value window, which is the plan this op deliberately
+    avoids: a window would sort every partition; the aggregate reduces
+    each map task to |types×hours| rows before the exchange). high/low/
+    open/close compare raw parquet doubles — no arithmetic, so engine-
+    exact without the cents detour; only the accumulated volume needs it."""
+    ev = lt(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_hour"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("volume_cents"),
+        )
+    )

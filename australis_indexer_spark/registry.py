@@ -206,6 +206,8 @@ _PRIORITY = (
     "query_promo_revenue",
     "query_top_supplier",
     "query_small_quantity_revenue",
+    "window_time_ohlc_bars",
+    "sample_importance_weighted",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

@@ -1398,3 +1398,36 @@ def test_small_quantity_below_part_average(spark, ops):
         .count()
     )
     assert r["n_lines"] == direct
+
+
+def test_ohlc_bars_invariants(spark, ops):
+    """Every candle: low <= open, close <= high; counts conserve the
+    stream; and the plan is ONE aggregate — no window sort over raw rows."""
+    df = ops["window_time_ohlc_bars"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "OHLC must not plan a window over the raw stream"
+    rows = df.collect()
+    ev_n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == ev_n
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        if r["n_events"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+def test_importance_weighted_rates_and_purity(spark, ops):
+    """Kept fraction per band tracks the designed rate (25/50/100%), and
+    membership is a pure function of doc identity (re-run identical)."""
+    rows = ops["sample_importance_weighted"].fn(spark, SF_SMOKE).collect()
+    by_band = {}
+    for r in rows:
+        d, k = by_band.get(r["band"], (0, 0))
+        by_band[r["band"]] = (d + r["n_docs"], k + r["n_kept"])
+    assert by_band["long"][0] == by_band["long"][1]  # keep-all band
+    for band, rate in (("short", 0.25), ("medium", 0.5)):
+        n, k = by_band[band]
+        if n >= 50:
+            assert abs(k / n - rate) < 0.15, (band, k, n)
+    again = ops["sample_importance_weighted"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -294,3 +294,70 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(RECALL_GATE)
         ).alias(f"recall_ge_{int(RECALL_GATE * 100):03d}"),
     )
+
+
+_GRAM_SCALE = 10_000  # fixed-point quantum for exact cross-engine sums
+
+_GRAM_ORACLE = f"""
+WITH idx AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+q AS (
+  SELECT vec_id, idx.i AS i,
+         CAST(ROUND(embedding[idx.i] * {_GRAM_SCALE}.0) AS BIGINT) AS qx
+  FROM embeddings CROSS JOIN idx
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(SUM(a.qx * b.qx) AS BIGINT) AS sum_xy,
+       COUNT(*) AS n_vecs
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
+@op("embedding_gram_matrix", tags=("similarity", "agg", "udf"), oracle=_GRAM_ORACLE)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix of the embedding corpus (the XᵀX statistic PCA /
+    whitening / ZCA training starts from), computed as Arrow-batched
+    numpy partial aggregation: each mapInPandas batch quantizes its
+    vectors to int64 fixed-point (scale 1e4, half-away-from-zero to match
+    SQL ROUND) and emits ONE d×(d+1)/2-row partial Gram from a single
+    int64 matmul — so the shuffle moves |batches|×2080 tiny rows, never
+    n×d² exploded elements (the oracle's self-join shape, restated here
+    as what the naive plan would be). Integer accumulation makes the
+    result bit-exact and order-independent — the float-sum
+    nondeterminism that plagues distributed covariance never arises.
+
+    Scale: at 1e9 vectors the per-batch partials still sum in int64
+    (|q|≤~2·10⁴ ⇒ products ≤4·10⁸; 1e9 of them ≈ 4·10¹⁷ < 2⁶³); beyond
+    that the same pattern hierarchical-merges through a second keyed
+    stage. d² cost lives inside numpy's matmul, not in Spark rows."""
+    import numpy as np
+    import pandas as pd
+
+    emb = lt(spark, sf_dir, "embeddings").select("embedding")
+    d = 64
+    iu, ju = np.triu_indices(d)
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.copysign(
+                np.floor(np.abs(X * _GRAM_SCALE) + 0.5), X
+            ).astype(np.int64)
+            G = Q.T @ Q
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype(np.int32),
+                    "j": (ju + 1).astype(np.int32),
+                    "sum_xy": G[iu, ju],
+                    "n_vecs": np.int64(len(pdf)),
+                }
+            )
+
+    partials = emb.mapInPandas(
+        gram_partials, schema="i int, j int, sum_xy long, n_vecs long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("sum_xy").alias("sum_xy"), F.sum("n_vecs").alias("n_vecs")
+    )

@@ -208,6 +208,7 @@ _PRIORITY = (
     "query_small_quantity_revenue",
     "window_time_ohlc_bars",
     "sample_importance_weighted",
+    "embedding_gram_matrix",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

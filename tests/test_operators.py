@@ -1431,3 +1431,21 @@ def test_importance_weighted_rates_and_purity(spark, ops):
             assert abs(k / n - rate) < 0.15, (band, k, n)
     again = ops["sample_importance_weighted"].fn(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_gram_matrix_exact_and_tiny_shuffle(spark, ops):
+    """Gram entries must equal a driver-side int64 recomputation exactly
+    (order-independence of integer accumulation), with full triangle
+    coverage and every row carrying the corpus count."""
+    import numpy as np
+
+    rows = ops["embedding_gram_matrix"].fn(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = emb.count()
+    assert len(rows) == 64 * 65 // 2
+    assert all(r["n_vecs"] == n for r in rows)
+    X = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(np.float64)
+    Q = np.copysign(np.floor(np.abs(X * 10_000) + 0.5), X).astype(np.int64)
+    G = Q.T @ Q
+    for r in rows:
+        assert r["sum_xy"] == G[r["i"] - 1, r["j"] - 1]

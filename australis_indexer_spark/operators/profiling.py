@@ -282,3 +282,206 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_orders * 1000000) div total").alias("share_ppm"),
         )
     )
+
+
+# --- Triangle counting on the part co-purchase graph -----------------------
+
+_TRI_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS ea, b.p AS eb
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT ea AS node FROM edges UNION ALL SELECT eb AS node FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND ea < eb) THEN ea ELSE eb END AS src,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ea < eb) THEN eb ELSE ea END AS dst,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ea < eb) THEN db.d ELSE da.d END AS dst_d
+  FROM edges
+  JOIN deg da ON da.node = ea
+  JOIN deg db ON db.node = eb
+),
+wedges AS (
+  SELECT o1.dst AS v1, o2.dst AS v2
+  FROM oriented o1 JOIN oriented o2
+    ON o1.src = o2.src
+   AND ((o1.dst_d < o2.dst_d) OR (o1.dst_d = o2.dst_d AND o1.dst < o2.dst))
+)
+SELECT (SELECT COUNT(*) FROM deg)   AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       (SELECT COUNT(*) FROM wedges w JOIN edges e
+          ON e.ea = LEAST(w.v1, w.v2) AND e.eb = GREATEST(w.v1, w.v2))
+         AS n_triangles
+"""
+
+
+@op("stats_triangle_count", tags=("profiling", "graph"), oracle=_TRI_ORACLE)
+def stats_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the part co-purchase graph (parts that
+    appear in the same order are adjacent) via DEGREE-ORIENTED wedge
+    counting — the algorithm that makes triangle counting survive skew
+    at scale (Cohen's MapReduce formulation; GraphFrames uses the same
+    orientation): every edge points from its lower-degree endpoint to the
+    higher (id tie-break), so a hub of degree D generates wedges only
+    from edges where it is the LOW side — O(m^1.5) wedges total instead
+    of Σd² exploding on the heaviest node. Wedges then left-semi-probe
+    the canonical edge set for closure. Three shuffles (edge dedup,
+    wedge join on src, closure join on the undirected key), each on keys
+    Catalyst hash-partitions; the wedge join's skew is exactly what the
+    orientation bounds. Emits the one-row (nodes, edges, wedges,
+    triangles) census."""
+    li = lt(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = pairs.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        pairs.join(b, "o")
+        .where(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("ea"), F.col("p2").alias("eb"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("ea").alias("node"))
+        .unionAll(edges.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("ea"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("eb"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ea") < F.col("eb"))
+    )
+    oriented = (
+        edges.join(da, "ea")
+        .join(db, "eb")
+        .select(
+            F.when(fwd, F.col("ea")).otherwise(F.col("eb")).alias("src"),
+            F.when(fwd, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+        )
+    )
+    o2 = oriented.select(
+        F.col("src"), F.col("dst").alias("dst2"), F.col("dst_d").alias("dst_d2")
+    )
+    wedges = oriented.join(o2, "src").where(
+        (F.col("dst_d") < F.col("dst_d2"))
+        | ((F.col("dst_d") == F.col("dst_d2")) & (F.col("dst") < F.col("dst2")))
+    ).select(
+        F.least("dst", "dst2").alias("ca"), F.greatest("dst", "dst2").alias("cb")
+    )
+    closed = wedges.join(
+        edges, (F.col("ca") == F.col("ea")) & (F.col("cb") == F.col("eb"))
+    )
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    n_wedges = wedges.count()
+    n_tri = closed.count()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_tri)],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long",
+    )
+
+
+# --- Count–min sketch with exact cross-engine cells ------------------------
+
+_CMS_DEPTH = 3  # independent hash rows
+_CMS_PROBE_K = 10
+
+
+def _cms_cell_sql(d: int) -> str:
+    # cell id stays a 2-hex-char string (width 256) — no hex->int
+    # conversion exists to diverge between engines
+    return f"substr(md5('{d}:' || CAST(user_id AS VARCHAR)), 1, 2)"
+
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT d, cell, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_cell_sql(d)} AS cell FROM events"
+        for d in range(_CMS_DEPTH)
+    )}
+  ) GROUP BY d, cell
+),
+truth AS (
+  SELECT user_id, COUNT(*) AS true_count
+  FROM events GROUP BY user_id
+  ORDER BY true_count DESC, user_id LIMIT {_CMS_PROBE_K}
+),
+est AS (
+  SELECT t.user_id, t.true_count, MIN(c.cnt) AS est_count
+  FROM truth t JOIN cells c
+    ON (   (c.d = 0 AND c.cell = {_cms_cell_sql(0).replace('user_id', 't.user_id')})
+        OR (c.d = 1 AND c.cell = {_cms_cell_sql(1).replace('user_id', 't.user_id')})
+        OR (c.d = 2 AND c.cell = {_cms_cell_sql(2).replace('user_id', 't.user_id')}))
+  GROUP BY t.user_id, t.true_count
+)
+SELECT user_id, true_count, est_count,
+       CAST(est_count - true_count AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@op("agg_countmin_heavyhitters", tags=("agg", "sketch"), oracle=_CMS_ORACLE)
+def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch (Cormode & Muthukrishnan 2005) built as ordinary
+    Spark aggregation, probed at the true heavy hitters: three independent
+    md5-derived hash rows × 256 cells each — the cell id stays a 2-hex-char
+    STRING (the repo's portable-hash convention), so both engines bucket
+    identically and every cell count is exact. The estimate for a key is
+    the MIN over its three cells; CMS can only overcount, which the output
+    states as `overcount >= 0` per probe.
+
+    Scale shape: the sketch build is ONE map-side-combinable groupBy whose
+    state is ≤ depth×width = 768 cells per task regardless of stream size —
+    this is why CMS exists: frequency estimates over 100 TB with KB of
+    state. The probe side is the exact top-k (one more combine-friendly
+    aggregate + TakeOrderedAndProject) joined to the broadcast-sized cell
+    table. Spark's built-in count_min_sketch() produces an opaque binary
+    with engine-private hashing; building the cells explicitly keeps the
+    sketch portable and oracle-checkable."""
+    ev = lt(spark, sf_dir, "events").select("user_id")
+    uid = F.col("user_id").cast("string")
+    cells = None
+    for d in range(_CMS_DEPTH):
+        part = ev.select(
+            F.lit(d).alias("d"),
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), uid)), 1, 2).alias("cell"),
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    cells = cells.groupBy("d", "cell").agg(F.count("*").alias("cnt"))
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "user_id")
+        .limit(_CMS_PROBE_K)
+    )
+    tuid = F.col("user_id").cast("string")
+    probe_cell = [
+        F.substring(F.md5(F.concat(F.lit(f"{d}:"), tuid)), 1, 2)
+        for d in range(_CMS_DEPTH)
+    ]
+    cond = None
+    for d in range(_CMS_DEPTH):
+        c = (F.col("d") == d) & (F.col("cell") == probe_cell[d])
+        cond = c if cond is None else cond | c
+    est = (
+        F.broadcast(truth)
+        .join(cells, cond)
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.select(
+        "user_id",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overcount"),
+    )

@@ -209,6 +209,8 @@ _PRIORITY = (
     "window_time_ohlc_bars",
     "sample_importance_weighted",
     "embedding_gram_matrix",
+    "stats_triangle_count",
+    "agg_countmin_heavyhitters",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

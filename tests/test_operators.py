@@ -1449,3 +1449,50 @@ def test_gram_matrix_exact_and_tiny_shuffle(spark, ops):
     G = Q.T @ Q
     for r in rows:
         assert r["sum_xy"] == G[r["i"] - 1, r["j"] - 1]
+
+
+def test_triangle_count_matches_bruteforce(spark, ops):
+    """The degree-oriented wedge count must agree with a driver-side
+    brute-force triangle enumeration of the same co-purchase graph."""
+    r = ops["stats_triangle_count"].fn(spark, SF_SMOKE).collect()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = {}
+    for row in li.select("l_orderkey", "l_partkey").distinct().collect():
+        orders.setdefault(row[0], set()).add(row[1])
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1 for a, b in edges for c in (adj[a] & adj[b]) if b < c
+    )
+    assert r["n_edges"] == len(edges)
+    assert r["n_nodes"] == len(adj)
+    assert r["n_triangles"] == tri
+    assert r["n_triangles"] <= r["n_wedges"]
+
+
+def test_countmin_only_overcounts(spark, ops):
+    """CMS estimates dominate truth (min over rows of superset counts),
+    and the probe set is exactly the true top-10."""
+    rows = ops["agg_countmin_heavyhitters"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["est_count"] >= r["true_count"]
+        assert r["overcount"] == r["est_count"] - r["true_count"]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    true_top = {
+        r[0]
+        for r in ev.groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), "user_id")
+        .limit(10)
+        .collect()
+    }
+    assert {r["user_id"] for r in rows} == true_top

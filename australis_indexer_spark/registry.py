@@ -211,6 +211,7 @@ _PRIORITY = (
     "embedding_gram_matrix",
     "stats_triangle_count",
     "agg_countmin_heavyhitters",
+    "stream_windowed_topk",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

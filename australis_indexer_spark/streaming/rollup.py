@@ -132,3 +132,69 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation produces."""
     out, _ = run_incremental_rollup(spark, sf_dir)
     return out
+
+
+_TOPK_ORACLE = """
+WITH wc AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+           AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rk
+  FROM wc
+) WHERE rk <= 3
+"""
+
+
+@op("stream_windowed_topk", tags=("streaming", "window", "time"), oracle=_TOPK_ORACLE)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: 6-hour tumbling-window counts per event type
+    maintained by Structured Streaming (complete-mode windowed aggregate —
+    map-side partials per micro-batch, state one row per window×type), with
+    the top-3 cut applied as a BATCH rank over the materialized result.
+    The split is deliberate: ranking is not an incremental aggregate (a
+    late row can demote a current leader), so the streaming layer maintains
+    only the ADDITIVE windowed counts and the serving layer ranks them —
+    the same division stream_incremental_rollup uses for its versioned
+    state, applied to a query streaming cannot express alone. Ties break
+    by event_type so the leaderboard is deterministic; the oracle restates
+    both layers as one batch window query (epoch-aligned 6 h buckets,
+    matching Spark's window() alignment)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    events = lt(spark, sf_dir, "events").select("ts", "event_type")
+    src = tempfile.mkdtemp(prefix="aispark_topk_src_")
+    sink_tbl = f"stream_topk_{uuid.uuid4().hex[:12]}"
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 8
+    ).parquet(src)
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_tbl)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ranked = spark.table(sink_tbl).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("window_start").orderBy(
+                F.col("n_events").desc(), "event_type"
+            )
+        ),
+    )
+    return ranked.where(F.col("rk") <= 3)

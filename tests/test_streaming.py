@@ -385,3 +385,36 @@ def test_custom_publish_manifest_atomic(spark, ops):
     assert len(files) == len(manifest)
     n_lines = sum(1 for fn in files for _ in open(fn))
     assert n_lines == 100
+
+
+def test_windowed_topk_matches_batch(spark, ops):
+    """Streaming windowed counts + batch rank must equal a pure-batch
+    recomputation; every window carries contiguous ranks 1..k<=3."""
+    from pyspark.sql import Window as W
+
+    from tests.conftest import SF_SMOKE
+
+    rows = ops["stream_windowed_topk"].fn(spark, SF_SMOKE).collect()
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    for w, rs in by_w.items():
+        rks = sorted(r["rk"] for r in rs)
+        assert rks == list(range(1, len(rks) + 1)) and len(rks) <= 3
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    batch = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .count()
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("w").orderBy(F.col("count").desc(), "event_type")
+            ),
+        )
+        .where(F.col("rk") <= 3)
+        .select(F.col("w.start").alias("ws"), "event_type", "count", "rk")
+        .collect()
+    )
+    assert {(r["window_start"], r["event_type"], r["n_events"], r["rk"]) for r in rows} == {
+        (r["ws"], r["event_type"], r["count"], r["rk"]) for r in batch
+    }

@@ -272,3 +272,141 @@ def window_time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("volume_cents"),
         )
     )
+
+
+# Truncating integer division shared by both engines: Spark's `div`
+# truncates toward zero while DuckDB's `//` floors, so the oracle wraps
+# the negative case explicitly. Numerators here are (next-prev)*(g-p),
+# which is negative whenever the series is falling.
+_TRUNCDIV_SPARK = "({n}) div ({d})"
+_TRUNCDIV_DUCK = "CASE WHEN ({n}) >= 0 THEN CAST(({n}) // ({d}) AS BIGINT) ELSE -CAST((-({n})) // ({d}) AS BIGINT) END"
+
+_INTERP_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT event_type, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS gts
+  FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+),
+merged AS (
+  SELECT event_type, ts, 0 AS kind, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v_cents
+  FROM events
+  UNION ALL
+  SELECT event_type, gts AS ts, 1 AS kind, -1 AS event_id,
+         CAST(epoch_us(gts) AS BIGINT) AS ts_us, NULL AS v_cents
+  FROM grid
+),
+walked AS (
+  SELECT event_type, ts, kind, ts_us,
+         LAST_VALUE(v_cents IGNORE NULLS) OVER w_fwd AS prev_c,
+         LAST_VALUE(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w_fwd AS prev_us,
+         FIRST_VALUE(v_cents IGNORE NULLS) OVER w_rev AS next_c,
+         FIRST_VALUE(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w_rev AS next_us
+  FROM merged
+  WINDOW
+    w_fwd AS (PARTITION BY event_type ORDER BY ts_us, kind, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_rev AS (PARTITION BY event_type ORDER BY ts_us, kind, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, CAST(ts AS TIMESTAMP) AS grid_ts,
+       prev_c AS prev_cents, next_c AS next_cents,
+       prev_c + ({_TRUNCDIV_DUCK.format(
+           n="(next_c - prev_c) * (ts_us - prev_us)",
+           d="next_us - prev_us")}) AS interp_cents
+FROM walked
+WHERE kind = 1 AND prev_c IS NOT NULL AND next_c IS NOT NULL
+"""
+
+
+@op("window_time_interpolate_linear", tags=("timeseries", "window", "time"), oracle=_INTERP_ORACLE)
+def window_time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the irregular event stream onto the hourly
+    grid (the hypertable `interpolate()` companion to gapfill's LOCF):
+    each interior grid instant gets prev + (next−prev)·(g−p)/(n−p)
+    evaluated in EXACT integer arithmetic — cents for values, epoch-µs
+    for time, one truncating integer division (semantics pinned on both
+    engines; Spark `div` truncates, DuckDB `//` floors, and the oracle
+    spells out the negative branch so falling series can't drift by one).
+
+    Scale shape: the same merge-the-spine trick as gapfill — grid points
+    UNION into the observation stream (spine is |types×hours|, tiny), and
+    ONE forward + ONE reverse window walk per type carries the straddling
+    observation pair to every grid row; no per-grid-point join, no range
+    join, no re-scan. Boundary grid points (before the first / after the
+    last observation) are excluded rather than extrapolated."""
+    ev = lt(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("h0"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("gts"),
+        )
+    )
+    obs = ev.select(
+        "event_type",
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    gridr = grid.select(
+        "event_type",
+        F.col("gts").alias("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(-1).alias("event_id"),
+        F.unix_micros(F.col("gts").cast("timestamp")).alias("ts_us"),
+        F.lit(None).cast("long").alias("v_cents"),
+    )
+    merged = obs.unionByName(gridr)
+    w_fwd = (
+        W.partitionBy("event_type")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_rev = (
+        W.partitionBy("event_type")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("kind") == 0, F.col("ts_us"))
+    walked = merged.select(
+        "event_type",
+        "ts",
+        "kind",
+        "ts_us",
+        F.last("v_cents", ignorenulls=True).over(w_fwd).alias("prev_c"),
+        F.last(obs_us, ignorenulls=True).over(w_fwd).alias("prev_us"),
+        F.first("v_cents", ignorenulls=True).over(w_rev).alias("next_c"),
+        F.first(obs_us, ignorenulls=True).over(w_rev).alias("next_us"),
+    )
+    interp = F.expr(
+        _TRUNCDIV_SPARK.format(
+            n="(next_c - prev_c) * (ts_us - prev_us)", d="next_us - prev_us"
+        )
+    )
+    return (
+        walked.where(
+            (F.col("kind") == 1)
+            & F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("ts").alias("grid_ts"),
+            F.col("prev_c").alias("prev_cents"),
+            F.col("next_c").alias("next_cents"),
+            (F.col("prev_c") + interp).alias("interp_cents"),
+        )
+    )

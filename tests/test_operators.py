@@ -1496,3 +1496,17 @@ def test_countmin_only_overcounts(spark, ops):
         .collect()
     }
     assert {r["user_id"] for r in rows} == true_top
+
+
+def test_interpolate_linear_bounded_by_straddle(spark, ops):
+    """Every interpolated value lies between its straddling observations,
+    and grid instants that carry an exact observation reproduce it."""
+    rows = ops["window_time_interpolate_linear"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        lo = min(r["prev_cents"], r["next_cents"])
+        hi = max(r["prev_cents"], r["next_cents"])
+        assert lo <= r["interp_cents"] <= hi
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    grid_pts = len({(r["event_type"], r["grid_ts"]) for r in rows})
+    assert grid_pts == len(rows)  # one row per interior grid instant

@@ -1079,3 +1079,154 @@ def join_self_temporal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_NEAREST_TOL_US = 3_600_000_000  # ±1 hour
+
+_NEAREST_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 0 AS kind,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         event_id AS cand_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS kind,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         NULL AS cand_id
+  FROM events WHERE event_type = 'error'
+),
+walked AS (
+  SELECT user_id, ts, event_id, kind, ts_us,
+         LAST_VALUE(cand_id IGNORE NULLS) OVER w_fwd AS prev_id,
+         LAST_VALUE(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w_fwd AS prev_us,
+         FIRST_VALUE(cand_id IGNORE NULLS) OVER w_rev AS next_id,
+         FIRST_VALUE(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w_rev AS next_us
+  FROM tagged
+  WINDOW
+    w_fwd AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_rev AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+picked AS (
+  SELECT user_id, event_id AS error_id, ts AS error_ts,
+         CASE
+           WHEN prev_id IS NOT NULL AND (ts_us - prev_us) <= {_NEAREST_TOL_US}
+                AND (next_id IS NULL OR (ts_us - prev_us) <= (next_us - ts_us)
+                     OR (next_us - ts_us) > {_NEAREST_TOL_US})
+             THEN 'prev'
+           WHEN next_id IS NOT NULL AND (next_us - ts_us) <= {_NEAREST_TOL_US}
+             THEN 'next'
+           ELSE 'none' END AS direction,
+         prev_id, prev_us, next_id, next_us, ts_us
+  FROM walked WHERE kind = 1
+)
+SELECT error_id, user_id, error_ts, direction,
+       COALESCE(CASE WHEN direction = 'prev' THEN prev_id
+                     WHEN direction = 'next' THEN next_id END, -1)
+         AS matched_purchase_id,
+       COALESCE(CASE WHEN direction = 'prev' THEN ts_us - prev_us
+                     WHEN direction = 'next' THEN next_us - ts_us END, -1)
+         AS dist_us
+FROM picked
+"""
+
+
+@op("join_asof_nearest", tags=("relational", "join", "asof"), oracle=_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each error event matches the closest
+    purchase by the same user within ±1 hour, in EITHER direction — the
+    sensor-alignment semantics plain backward as-of can't express (pandas
+    merge_asof direction='nearest'). Same union-and-window plan as the
+    backward as-of: ONE shuffle on user_id, a forward and a reverse walk
+    carry the straddling purchase pair to every error row, and a pure
+    projection picks the closer side (exact integer µs distances; ties go
+    backward; a same-instant purchase sorts before the error and matches
+    at distance 0). No range join, no candidate explosion — linear state
+    at any scale. Unmatched errors stay as 'none' rows with sentinel -1s
+    so the output is join-loss-free and every column non-nullable."""
+    ev = lt(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("cand_id"),
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(None).cast("long").alias("cand_id"),
+    )
+    merged = purch.unionByName(errs)
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_rev = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    cand_us = F.when(F.col("kind") == 0, F.col("ts_us"))
+    walked = merged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        "ts_us",
+        F.last("cand_id", ignorenulls=True).over(w_fwd).alias("prev_id"),
+        F.last(cand_us, ignorenulls=True).over(w_fwd).alias("prev_us"),
+        F.first("cand_id", ignorenulls=True).over(w_rev).alias("next_id"),
+        F.first(cand_us, ignorenulls=True).over(w_rev).alias("next_us"),
+    ).where(F.col("kind") == 1)
+    prev_d = F.col("ts_us") - F.col("prev_us")
+    next_d = F.col("next_us") - F.col("ts_us")
+    tol = F.lit(_NEAREST_TOL_US)
+    direction = (
+        F.when(
+            F.col("prev_id").isNotNull()
+            & (prev_d <= tol)
+            & (
+                F.col("next_id").isNull()
+                | (prev_d <= next_d)
+                | (next_d > tol)
+            ),
+            "prev",
+        )
+        .when(F.col("next_id").isNotNull() & (next_d <= tol), "next")
+        .otherwise("none")
+    )
+    picked = walked.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        direction.alias("direction"),
+        "prev_id",
+        "next_id",
+        prev_d.alias("pd"),
+        next_d.alias("nd"),
+    )
+    return picked.select(
+        "error_id",
+        "user_id",
+        "error_ts",
+        "direction",
+        F.coalesce(
+            F.when(F.col("direction") == "prev", F.col("prev_id")).when(
+                F.col("direction") == "next", F.col("next_id")
+            ),
+            F.lit(-1),
+        ).alias("matched_purchase_id"),
+        F.coalesce(
+            F.when(F.col("direction") == "prev", F.col("pd")).when(
+                F.col("direction") == "next", F.col("nd")
+            ),
+            F.lit(-1),
+        ).alias("dist_us"),
+    )

@@ -517,3 +517,74 @@ def text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_docs * 1000000) div SUM(n_docs) OVER (PARTITION BY true_lang)"
         ).alias("row_share_ppm"),
     )
+
+
+_TFIDF_K = 5
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST((n.n_docs * 1000000) // df.df AS BIGINT) AS idf_ratio_ppm,
+         tf.tf * CAST((n.n_docs * 1000000) // df.df AS BIGINT) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+) WHERE rk <= {_TFIDF_K}
+"""
+
+
+@op("text_tfidf_topterms", tags=("northstar", "text"), oracle=_TFIDF_ORACLE)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by tf·idf weighting with the idf kept an
+    EXACT integer — idf_ratio_ppm = (N·10⁶) div df, the rarity ratio in
+    parts-per-million instead of the usual log(N/df) double (same ranking
+    for fixed tf since x ↦ log x is monotone; and engine-exact, which a
+    cross-engine log never is). This is the per-doc keyword view on top
+    of text_top_terms' corpus view and the weighting text_boolean_search
+    ranks with.
+
+    Scale shape: ONE shuffle on (doc, term) builds tf with map-side
+    combine; df reduces tf to vocabulary size and BROADCASTS back (a
+    vocab is small even when the corpus is 100 TB); the per-doc top-5
+    window repartitions by doc_id only the tf-sized table. The corpus
+    text itself is touched exactly once."""
+    from pyspark.sql import Window as W
+
+    docs = lt(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf") * F.expr("(n_docs * 1000000) div df")
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

@@ -1510,3 +1510,44 @@ def test_interpolate_linear_bounded_by_straddle(spark, ops):
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     grid_pts = len({(r["event_type"], r["grid_ts"]) for r in rows})
     assert grid_pts == len(rows)  # one row per interior grid instant
+
+
+def test_tfidf_topterms_ranks_by_rarity(spark, ops):
+    """Per-doc top-5 cut: <=5 terms per doc, scores consistent with
+    tf * (N*1e6 div df), df consistent with term's doc frequency."""
+    rows = ops["text_tfidf_topterms"].fn(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["score"] == r["tf"] * ((n_docs * 1_000_000) // r["df"])
+        assert 1 <= r["df"] <= n_docs
+    assert all(len(v) <= 5 for v in per_doc.values())
+
+
+def test_asof_nearest_picks_closer_side(spark, ops):
+    """Every match is within tolerance; a brute-force nearest-purchase
+    recomputation agrees on (match, distance) for every error."""
+    rows = ops["join_asof_nearest"].fn(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    purch = {}
+    for r in ev.where(F.col("event_type") == "purchase").collect():
+        purch.setdefault(r["user_id"], []).append(
+            (int(r["ts"].timestamp() * 1_000_000), r["event_id"])
+        )
+    tol = 3_600_000_000
+    for r in rows:
+        cands = purch.get(r["user_id"], [])
+        e_us = int(r["error_ts"].timestamp() * 1_000_000)
+        best = None  # (dist, prefer_backward_rank, id)
+        for p_us, pid in cands:
+            d = abs(e_us - p_us)
+            if d <= tol:
+                back = p_us <= e_us
+                key = (d, 0 if back else 1, -p_us if back else p_us, pid)
+                if best is None or key < best[0]:
+                    best = (key, pid, d)
+        if best is None:
+            assert r["direction"] == "none" and r["matched_purchase_id"] == -1
+        else:
+            assert r["dist_us"] == best[2]

@@ -531,3 +531,51 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("kept_bytes"),
         )
     )
+
+
+_SCALAR_UDF_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                - CAST(ROUND(o_totalprice * 100.0) AS BIGINT) % 500) AS BIGINT)
+         AS bucketed_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@op("udf_pandas_scalar_batch", tags=("extension", "udf"), oracle=_SCALAR_UDF_ORACLE)
+def udf_pandas_scalar_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched SCALAR pandas UDF — the third extension mechanism
+    next to the grouped-agg UDF (udf_pandas_grouped_agg) and mapInPandas
+    (embedding_gram_matrix, multimodal features): a vectorized per-row
+    numpy computation (price quantized to exact cents, floored to 5-dollar
+    buckets) runs once per Arrow batch, then feeds an ordinary JVM
+    aggregate. The point under test is the boundary: the UDF does only
+    the per-row math Python is needed for, while grouping, summing, and
+    shuffling stay in Tungsten — value-checked against the pure-SQL
+    restatement, so the Arrow transfer provably loses nothing.
+
+    Scale: per-batch numpy at memory-bandwidth speed; one map-side-
+    combinable shuffle of |priorities| partials. The anti-pattern this
+    replaces — a row-at-a-time Python UDF — would serialize every row
+    through pickle individually (~100× slower)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def bucket_cents(price: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cents = np.floor(np.abs(price.to_numpy() * 100) + 0.5).astype(np.int64)
+        return pd.Series(cents - cents % 500)
+
+    orders = lt(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderpriority", bucket_cents("o_totalprice").alias("bc"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("bc").alias("bucketed_cents"),
+        )
+    )

@@ -485,3 +485,62 @@ def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         (F.col("est_count") - F.col("true_count")).alias("overcount"),
     )
+
+
+# --- Benford first-digit conformance profile -------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS first_digit
+  FROM orders WHERE o_totalprice > 0
+),
+n AS (SELECT COUNT(*) AS total FROM digits)
+SELECT first_digit,
+       COUNT(*) AS n_values,
+       CAST((COUNT(*) * 1000000) // MAX(n.total) AS BIGINT) AS observed_ppm,
+       CAST(FLOOR(LOG10(1.0 + 1.0 / first_digit) * 1000000) AS BIGINT)
+         AS benford_ppm
+FROM digits CROSS JOIN n
+GROUP BY first_digit
+"""
+
+
+@op("profile_benford_digits", tags=("profiling", "quality"), oracle=_BENFORD_ORACLE)
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the forensic data-quality screen for fabricated or
+    truncated numeric columns (synthetic uniform data like this corpus
+    fails it loudly, which is itself the signal: observed_ppm far from
+    benford_ppm flags a column whose magnitudes are not organically
+    spread). Digit extraction goes through exact integer cents and string
+    truncation — no float log in the grouping path; the observed share is
+    exact integer ppm. The Benford expectation log10(1+1/d) is the one
+    deliberately-float column: both engines evaluate the same IEEE
+    expression on the nine literal digits, floored to ppm.
+
+    Scale shape: narrow map + one combine-friendly groupBy to nine rows;
+    the total-count scalar rides a broadcast. Runs identically over any
+    numeric column at any scale."""
+    orders = lt(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("first_digit")
+    )
+    n = digits.agg(F.count("*").alias("total"))
+    return (
+        digits.crossJoin(F.broadcast(n))
+        .groupBy("first_digit")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.expr("CAST((COUNT(*) * 1000000) div MAX(total) AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            F.floor(
+                F.log10(1.0 + 1.0 / F.col("first_digit")) * 1_000_000
+            ).alias("benford_ppm"),
+        )
+    )

@@ -215,6 +215,8 @@ _PRIORITY = (
     "window_time_interpolate_linear",
     "text_tfidf_topterms",
     "join_asof_nearest",
+    "udf_pandas_scalar_batch",
+    "profile_benford_digits",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

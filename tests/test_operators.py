@@ -1551,3 +1551,32 @@ def test_asof_nearest_picks_closer_side(spark, ops):
             assert r["direction"] == "none" and r["matched_purchase_id"] == -1
         else:
             assert r["dist_us"] == best[2]
+
+
+def test_scalar_udf_stays_out_of_aggregation(spark, ops):
+    """The pandas scalar UDF feeds a JVM HashAggregate — ArrowEvalPython
+    must appear below the aggregate, never inside a per-row Python loop
+    around it; totals conserve orders."""
+    df = ops["udf_pandas_scalar_batch"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "HashAggregate" in plan
+    rows = df.collect()
+    n = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n
+    for r in rows:
+        assert r["bucketed_cents"] % 500 == 0
+
+
+def test_benford_profile_shares_sum_to_one(spark, ops):
+    """Nine digits, observed shares sum to ~1e6 ppm, Benford expectations
+    are the canonical constants."""
+    rows = ops["profile_benford_digits"].fn(spark, SF_SMOKE).collect()
+    assert {r["first_digit"] for r in rows} <= set(range(1, 10))
+    total_ppm = sum(r["observed_ppm"] for r in rows)
+    assert 1_000_000 - 9 <= total_ppm <= 1_000_000
+    import math
+    for r in rows:
+        assert r["benford_ppm"] == math.floor(
+            math.log10(1 + 1 / r["first_digit"]) * 1_000_000
+        )

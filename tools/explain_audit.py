@@ -107,6 +107,23 @@ AUDITED = (
     "sample_temporal_split",
     "pipeline_media_curation",
     "project_props_variant",
+    # round 3, seventh wave: TPC-H completion / OHLC / Gram / graph / sketch
+    "query_forecast_revenue",
+    "query_market_share",
+    "query_customer_distribution",
+    "query_promo_revenue",
+    "query_top_supplier",
+    "query_small_quantity_revenue",
+    "window_time_ohlc_bars",
+    "sample_importance_weighted",
+    "embedding_gram_matrix",
+    "stats_triangle_count",
+    "agg_countmin_heavyhitters",
+    "window_time_interpolate_linear",
+    "text_tfidf_topterms",
+    "join_asof_nearest",
+    "udf_pandas_scalar_batch",
+    "profile_benford_digits",
 )
 
 

@@ -544,3 +544,197 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("benford_ppm"),
         )
     )
+
+
+# --- Market-basket association rules ---------------------------------------
+
+_ASSOC_MIN_PAIR = 3
+
+_ASSOC_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM baskets),
+item AS (SELECT p, COUNT(*) AS item_cnt FROM baskets GROUP BY p),
+pair AS (
+  SELECT a.p AS ante, b.p AS cons, COUNT(*) AS pair_cnt
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.p <> b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {_ASSOC_MIN_PAIR}
+)
+SELECT ante, cons, pair_cnt,
+       ia.item_cnt AS ante_cnt, ic.item_cnt AS cons_cnt,
+       CAST((pair_cnt * 1000000) // ia.item_cnt AS BIGINT) AS confidence_ppm,
+       CAST((pair_cnt * n.n_baskets * 1000000) // (ia.item_cnt * ic.item_cnt)
+            AS BIGINT) AS lift_x1e6
+FROM pair
+JOIN item ia ON ia.p = ante
+JOIN item ic ON ic.p = cons
+CROSS JOIN n
+"""
+
+
+@op("stats_association_rules", tags=("profiling", "analytics"), oracle=_ASSOC_ORACLE)
+def stats_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules ante→cons over order baskets —
+    support, confidence, and lift for every directed part pair co-ordered
+    at least 3 times, all in EXACT integer parts-per-million (floor
+    division; lift's cross-multiplication stays in BIGINT), so no float
+    ratio can drift between engines.
+
+    Scale shape: the A-Priori-style candidate generation is ONE self-join
+    on the basket key — baskets are small (max 13 lines here), so fan-out
+    is bounded by Σ|basket|², the quantity the support threshold then
+    prunes; item counts reduce to vocabulary size and broadcast back onto
+    the surviving pairs, and the one-row basket total rides the same
+    broadcast. No stage ever shuffles more than the pair table."""
+    li = lt(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = baskets.agg(F.countDistinct("o").alias("n_baskets"))
+    item = baskets.groupBy("p").agg(F.count("*").alias("item_cnt"))
+    b2 = baskets.select(F.col("o"), F.col("p").alias("p2"))
+    pair = (
+        baskets.join(b2, "o")
+        .where(F.col("p") != F.col("p2"))
+        .groupBy(F.col("p").alias("ante"), F.col("p2").alias("cons"))
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= _ASSOC_MIN_PAIR)
+    )
+    ia = item.select(F.col("p").alias("ante"), F.col("item_cnt").alias("ante_cnt"))
+    ic = item.select(F.col("p").alias("cons"), F.col("item_cnt").alias("cons_cnt"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "pair_cnt",
+            "ante_cnt",
+            "cons_cnt",
+            F.expr("(pair_cnt * 1000000) div ante_cnt").alias("confidence_ppm"),
+            F.expr(
+                "(pair_cnt * n_baskets * 1000000) div (ante_cnt * cons_cnt)"
+            ).alias("lift_x1e6"),
+        )
+    )
+
+
+# --- k-anonymity / l-diversity compliance profile --------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH eq AS (
+  SELECT c_mktsegment, c_nationkey,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT c_acctbal) AS n_sensitive
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_classes,
+       MIN(class_size) AS min_class_size,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_rows_below_k,
+       MIN(n_sensitive) AS min_l_diversity
+FROM eq
+GROUP BY c_mktsegment
+"""
+
+
+@op("profile_k_anonymity", tags=("profiling", "quality", "privacy"), oracle=_KANON_ORACLE)
+def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) for the quasi-identifier pair (segment, nation) with account
+    balance as the sensitive attribute: per segment, the number of
+    equivalence classes, the smallest class (k-anonymity level), how many
+    ROWS sit in classes below k=5 (re-identification exposure mass), and
+    the minimum distinct sensitive values in any class (l-diversity —
+    a class where everyone shares one balance leaks it even at high k).
+    The compliance gate a release pipeline runs before publishing — the
+    quantitative companion to text_pii_redact's scrubbing.
+
+    Scale shape: one combine-friendly groupBy to the equivalence-class
+    table (bounded by the QI domain, not row count), then a second tiny
+    rollup; COUNT(DISTINCT) shuffles only (QI, sensitive) pairs."""
+    cust = lt(spark, sf_dir, "customer")
+    eq = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct("c_acctbal").alias("n_sensitive"),
+    )
+    return eq.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, F.col("class_size")).otherwise(0)
+        ).alias("n_rows_below_k"),
+        F.min("n_sensitive").alias("min_l_diversity"),
+    )
+
+
+# --- Functional-dependency discovery ---------------------------------------
+
+_FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_name", "n_regionkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_custkey", "c_mktsegment"),
+)
+
+
+def _fd_sql_one(tbl: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{tbl}' AS table_name, '{lhs}' AS lhs, '{rhs}' AS rhs,
+       COUNT(*) AS n_lhs,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_lhs,
+       CAST(CASE WHEN MAX(n_rhs) = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+      FROM {tbl} GROUP BY {lhs})"""
+
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    _fd_sql_one(t, l, r) for t, l, r in _FD_CANDIDATES
+)
+
+
+@op("profile_fd_discovery", tags=("profiling", "quality"), oracle=_FD_ORACLE)
+def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification over a candidate set (the core
+    loop of FD-discovery profilers à la TANE/Metanome, with the lattice
+    search fixed to the five business-rule candidates a warehouse actually
+    asserts): lhs→rhs holds iff no lhs value maps to two rhs values.
+    Emits per candidate the lhs cardinality, how many lhs values violate,
+    and the verdict as 0/1 — a schema-contract check (key-ness,
+    dimension consistency) that runs before constraints are declared to
+    the optimizer (cf. profile_constraints, which checks DECLARED
+    contracts; this DISCOVERS them).
+
+    Scale shape: each candidate is one combine-friendly groupBy(lhs)
+    counting distinct rhs (shuffles (lhs, rhs) pairs only) folded to a
+    single row; candidates union to a 5-row report. Nothing wider than
+    the distinct pair set ever moves."""
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = lt(spark, sf_dir, tbl)
+        per_lhs = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        one = per_lhs.agg(
+            F.count("*").alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                "n_violating_lhs"
+            ),
+            F.when(F.max("n_rhs") == 1, 1).otherwise(0).cast("long").alias("holds"),
+        ).select(
+            F.lit(tbl).alias("table_name"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_lhs",
+            "n_violating_lhs",
+            "holds",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

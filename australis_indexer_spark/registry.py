@@ -217,6 +217,9 @@ _PRIORITY = (
     "join_asof_nearest",
     "udf_pandas_scalar_batch",
     "profile_benford_digits",
+    "stats_association_rules",
+    "profile_k_anonymity",
+    "profile_fd_discovery",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

@@ -1580,3 +1580,45 @@ def test_benford_profile_shares_sum_to_one(spark, ops):
         assert r["benford_ppm"] == math.floor(
             math.log10(1 + 1 / r["first_digit"]) * 1_000_000
         )
+
+
+def test_association_rules_symmetric_lift(spark, ops):
+    """Rule metrics are internally consistent: confidence = pair/ante in
+    ppm, lift symmetric under direction swap, support threshold holds."""
+    rows = ops["stats_association_rules"].fn(spark, SF_SMOKE).collect()
+    by_pair = {(r["ante"], r["cons"]): r for r in rows}
+    for r in rows:
+        assert r["pair_cnt"] >= 3
+        assert r["confidence_ppm"] == (r["pair_cnt"] * 1_000_000) // r["ante_cnt"]
+        rev = by_pair.get((r["cons"], r["ante"]))
+        if rev is not None:
+            assert rev["pair_cnt"] == r["pair_cnt"]
+            assert abs(rev["lift_x1e6"] - r["lift_x1e6"]) <= 1  # floor-div asymmetry
+    assert rows, "support threshold selected no pairs"
+
+
+def test_k_anonymity_bounds(spark, ops):
+    """Exposure mass is bounded by segment size; l-diversity never
+    exceeds the smallest class size."""
+    rows = ops["profile_k_anonymity"].fn(spark, SF_SMOKE).collect()
+    seg_sizes = {
+        r["c_mktsegment"]: r["count"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["n_rows_below_k"] <= seg_sizes[r["c_mktsegment"]]
+        assert 1 <= r["min_l_diversity"] <= r["min_class_size"]
+
+
+def test_fd_discovery_known_keys(spark, ops):
+    """Primary-key candidates must hold; a violated FD must report a
+    positive violating-lhs count."""
+    rows = {(r["lhs"], r["rhs"]): r for r in ops["profile_fd_discovery"].fn(spark, SF_SMOKE).collect()}
+    assert rows[("n_nationkey", "n_name")]["holds"] == 1
+    assert rows[("o_orderkey", "o_custkey")]["holds"] == 1
+    assert rows[("c_custkey", "c_mktsegment")]["holds"] == 1
+    for r in rows.values():
+        assert (r["holds"] == 1) == (r["n_violating_lhs"] == 0)

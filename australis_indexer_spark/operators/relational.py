@@ -1230,3 +1230,63 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).alias("dist_us"),
     )
+
+
+_HOF_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         list_sort(list(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))) AS totals
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       len(totals) AS n_orders,
+       CAST(list_sum(totals) AS BIGINT) AS folded_total_cents,
+       CAST(list_max(list_transform(totals, x -> x * 2)) AS BIGINT)
+         AS doubled_max_cents,
+       CAST(len(list_filter(totals, x -> x > 10000000)) AS BIGINT)
+         AS n_above_100k,
+       CAST(list_sum(array_slice(totals, 1, 3)) AS BIGINT)
+         AS smallest3_cents
+FROM per_cust
+"""
+
+
+@op("scalar_higher_order_arrays", tags=("relational", "scalar", "arrays"), oracle=_HOF_ORACLE)
+def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over per-customer order histories —
+    the lambda surface (transform / filter / aggregate / slice on an
+    array_sort'ed collect_list) that lets per-entity sequence logic run
+    INSIDE whole-stage codegen instead of exploding back to rows or
+    dropping to Python: fold to a total, map-then-max, predicate count,
+    and a sorted-prefix sum, each with a DuckDB list-lambda twin
+    computing the identical exact-cents integers. Completes the scalar
+    surface next to scalar_funcs_showcase (string/math/conditional) and
+    scalar_null_semantics.
+
+    Scale shape: ONE shuffle builds the per-key arrays (collect_list is
+    a map-side-combinable aggregate); every lambda then evaluates
+    row-local with no further exchange — the pattern to reach for when
+    per-entity history fits in an array (bounded here by orders per
+    customer), vs the window/explode path when it does not."""
+    orders = lt(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(F.round(F.col("o_totalprice") * 100).cast("long"))
+        ).alias("totals")
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.size("totals").cast("long").alias("n_orders"),
+        F.aggregate(
+            "totals", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("folded_total_cents"),
+        F.array_max(F.transform("totals", lambda x: x * 2)).alias(
+            "doubled_max_cents"
+        ),
+        F.size(F.filter("totals", lambda x: x > 10_000_000))
+        .cast("long")
+        .alias("n_above_100k"),
+        F.aggregate(
+            F.slice("totals", 1, 3), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("smallest3_cents"),
+    )

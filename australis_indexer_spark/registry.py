@@ -220,6 +220,7 @@ _PRIORITY = (
     "stats_association_rules",
     "profile_k_anonymity",
     "profile_fd_discovery",
+    "scalar_higher_order_arrays",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

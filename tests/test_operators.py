@@ -1622,3 +1622,23 @@ def test_fd_discovery_known_keys(spark, ops):
     assert rows[("c_custkey", "c_mktsegment")]["holds"] == 1
     for r in rows.values():
         assert (r["holds"] == 1) == (r["n_violating_lhs"] == 0)
+
+
+def test_higher_order_arrays_fold_equals_sum(spark, ops):
+    """The lambda fold must equal a plain SUM per customer; prefix sum
+    bounded by total; no Python in the plan (lambdas stay in codegen)."""
+    df = ops["scalar_higher_order_arrays"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    rows = {r["o_custkey"]: r for r in df.collect()}
+    direct = {
+        r["o_custkey"]: r["s"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"))
+        .collect()
+    }
+    for k, r in rows.items():
+        assert r["folded_total_cents"] == direct[k]
+        assert r["smallest3_cents"] <= r["folded_total_cents"]
+        assert r["doubled_max_cents"] % 2 == 0

@@ -418,3 +418,56 @@ def test_windowed_topk_matches_batch(spark, ops):
     assert {(r["window_start"], r["event_type"], r["n_events"], r["rk"]) for r in rows} == {
         (r["ws"], r["event_type"], r["count"], r["rk"]) for r in batch
     }
+
+
+def test_rocksdb_state_store_provider(spark):
+    """The DEPLOY.md scale posture names RocksDB as the state store; this
+    pins that the provider actually runs in this Spark build — a stateful
+    streaming aggregation executes under RocksDB (provider-specific
+    metrics present in progress) and lands on exactly the batch answer."""
+    import os
+    import tempfile
+    import uuid
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        base = tempfile.mkdtemp(prefix="aispark_rocks_")
+        src = os.path.join(base, "src")
+        tbl = f"rocks_{uuid.uuid4().hex[:10]}"
+        df = spark.range(0, 5000).selectExpr("id % 13 AS k", "id AS v")
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(src)
+        q = (
+            stream.groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = q.recentProgress
+        metrics = {}
+        for p in progresses:
+            for so in p["stateOperators"]:
+                metrics.update(so.get("customMetrics", {}))
+        assert any("rocksdb" in k.lower() for k in metrics), sorted(metrics)[:5]
+        got = {(r["k"], r["s"]) for r in spark.table(tbl).collect()}
+        want = {
+            (r["k"], r["s"])
+            for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -1290,3 +1290,44 @@ def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("totals", 1, 3), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("smallest3_cents"),
     )
+
+
+_DECIMAL_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l_discount AS DECIMAL(4,2)))
+                 AS DECIMAL(38,4)) AS VARCHAR) AS revenue_dec
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@op("agg_decimal_money_exact", tags=("relational", "agg", "decimal"), oracle=_DECIMAL_ORACLE)
+def agg_decimal_money_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregation in NATIVE DECIMAL arithmetic — the type discipline
+    that is actually correct at 100 TB, where the repo's BIGINT-cents
+    convention (and its ppm floor divisions) would overflow 2⁶³: prices
+    cast to DECIMAL(18,2), the discount factor to DECIMAL(4,2), so every
+    product is exact at scale 4 and Tungsten accumulates in its 128-bit
+    decimal representation — no rounding anywhere, at any row count. The
+    result is emitted as the canonical DECIMAL(38,4) STRING because the
+    correctness harness deliberately REJECTS DecimalType columns (Decimal
+    reaching the pandas bridge is usually an accident — cf. the
+    agg_grouping_sets round-2 red); stringifying declares the decimal
+    intentional while keeping the value bit-checkable.
+
+    Scale shape: identical to the Q1 flagship — one map-side-combinable
+    hash aggregate to |flag×status| rows; decimal adds ~2× ALU cost over
+    long, the price of exactness past 2⁶³."""
+    li = lt(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(revenue).cast("decimal(38,4)").cast("string").alias("revenue_dec"),
+        )
+    )

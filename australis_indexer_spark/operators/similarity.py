@@ -228,7 +228,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 64
 NPROBE = 8
 
-_IVF_ORACLE = f"""
+def _ivf_sql(nprobe: int) -> str:
+    """IVF serving SQL, parameterized by probe count (shared by the
+    fixed-centroid op and the quality-curve sweep)."""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -260,7 +263,7 @@ probes AS (
 s AS (
   SELECT query_id, m.vec_id AS neighbor_id,
          (list_dot_product(qemb, m.emb) / (qnrm * m.nrm)) AS cosine
-  FROM (SELECT * FROM probes WHERE r <= {NPROBE}) p
+  FROM (SELECT * FROM probes WHERE r <= {nprobe}) p
   JOIN members m USING (cid)
   WHERE m.vec_id <> p.query_id
 )
@@ -272,6 +275,9 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
+_IVF_ORACLE = _ivf_sql(NPROBE)
+
+
 def normed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings as (vec_id, emb array<double>, nrm)."""
     return with_norm(
@@ -281,7 +287,10 @@ def normed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_serve(e: DataFrame, c: DataFrame, *, nprobe: int | None = None) -> DataFrame:
+def ivf_serve(
+    e: DataFrame, c: DataFrame, *, nprobe: int | None = None,
+    with_candidates: bool = False,
+):
     """The IVF serving join, parameterized by the centroid table ``c``
     (cid, cemb, cnrm): assign corpus→nearest centroid (broadcast argmax,
     one narrow pass), probe ``nprobe`` cells per query, exact cosine within
@@ -323,7 +332,12 @@ def ivf_serve(e: DataFrame, c: DataFrame, *, nprobe: int | None = None) -> DataF
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    if with_candidates:
+        return ranked, scored
+    return ranked
 
 
 @op("sim_ann_ivf", tags=("northstar", "similarity", "vector"), oracle=_IVF_ORACLE)
@@ -568,4 +582,86 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= DEDUP_COS_TAU)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-vs-cost curve — recall as a function of NPROBE
+
+_CURVE_PROBES = (1, 2, 4, 8)
+
+
+def _ivf_cte(nprobe: int) -> str:
+    sql = _ivf_sql(nprobe)
+    return sql[: sql.rindex("\nSELECT query_id, neighbor_id, cosine, rnk")]
+
+
+def _curve_block_sql(p: int) -> str:
+    return f"""
+SELECT * FROM (
+  {_ivf_cte(p)},
+  bt AS (SELECT query_id, neighbor_id FROM ({_BRUTE_ORACLE}))
+  SELECT CAST({p} AS BIGINT) AS nprobe,
+         (SELECT COUNT(*) FROM s) AS n_candidates,
+         (SELECT COUNT(*)
+          FROM (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id) AS rnk
+                  FROM s) WHERE rnk <= {TOP_K}) a
+          JOIN bt b ON b.query_id = a.query_id
+                   AND b.neighbor_id = a.neighbor_id) AS sum_hits
+)"""
+
+
+_CURVE_ORACLE = f"""
+SELECT nprobe, n_candidates, sum_hits,
+       CAST((sum_hits * 1000000) // {N_QUERIES * TOP_K} AS BIGINT) AS recall_ppm
+FROM ({" UNION ALL ".join(_curve_block_sql(p) for p in _CURVE_PROBES)})
+"""
+
+
+@op("sim_ann_quality_curve", tags=("northstar", "similarity", "vector"), oracle=_CURVE_ORACLE)
+def sim_ann_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quality-vs-cost CURVE: recall@5 against brute-force ground
+    truth AND candidates scanned, for nprobe ∈ {1,2,4,8} — the measured
+    tradeoff an ANN operator is actually tuned on (sim_ann_recall gives
+    one point; capacity planning needs the curve: candidates scanned is
+    the serve-time cost that scales with corpus size, recall is what you
+    buy with it). Both axes are exact integers (candidate counts, hit
+    counts, recall in ppm by floor division), so the whole curve is
+    value-checked — the oracle re-derives every probe setting from the
+    same parameterized IVF SQL the fixed-probe op certifies.
+
+    Scale shape: per probe setting, the corpus moves only through the
+    probed-cell equi-join (members reused across settings by Spark's
+    shuffle reuse where plans align); counting rides the joins. At 100 TB
+    this op runs on a query SAMPLE (ground truth is brute-forced per
+    query batch, one corpus pass) on a schedule, and the curve decides
+    nprobe before a reindex — measured, not guessed."""
+    e = normed_corpus(spark, sf_dir)
+    c = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    brute = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    out = None
+    for p in _CURVE_PROBES:
+        ranked, scored = ivf_serve(e, c, nprobe=p, with_candidates=True)
+        cand = scored.agg(F.count("*").alias("n_candidates"))
+        hits = ranked.join(brute, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("sum_hits")
+        )
+        block = cand.crossJoin(hits).select(
+            F.lit(p).cast("long").alias("nprobe"), "n_candidates", "sum_hits"
+        )
+        out = block if out is None else out.unionByName(block)
+    return out.select(
+        "nprobe",
+        "n_candidates",
+        "sum_hits",
+        F.expr(f"(sum_hits * 1000000) div {N_QUERIES * TOP_K}").alias("recall_ppm"),
     )

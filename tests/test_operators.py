@@ -1642,3 +1642,39 @@ def test_higher_order_arrays_fold_equals_sum(spark, ops):
         assert r["folded_total_cents"] == direct[k]
         assert r["smallest3_cents"] <= r["folded_total_cents"]
         assert r["doubled_max_cents"] % 2 == 0
+
+
+def test_decimal_money_matches_cents_path(spark, ops):
+    """Native DECIMAL revenue must agree with the integer-cents path at
+    scale 4 — two exact arithmetics, one answer."""
+    rows = {(r["l_returnflag"], r["l_linestatus"]): r
+            for r in ops["agg_decimal_money_exact"].fn(spark, SF_SMOKE).collect()}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    cents4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    direct = {
+        (r["l_returnflag"], r["l_linestatus"]): r["s"]
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(cents4).alias("s"))
+        .collect()
+    }
+    from decimal import Decimal
+    for k, r in rows.items():
+        assert Decimal(r["revenue_dec"]) == Decimal(direct[k]) / 10_000
+
+
+def test_quality_curve_monotone(spark, ops):
+    """More probes never hurt: candidates strictly grow with nprobe and
+    recall is non-decreasing, reaching the fixed-probe op's level at 8."""
+    rows = sorted(
+        ops["sim_ann_quality_curve"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_candidates"] < b["n_candidates"]
+        assert a["recall_ppm"] <= b["recall_ppm"]
+    full = ops["sim_ann_recall"].fn(spark, SF_SMOKE).collect()
+    ivf_hits = sum(r["n_hits"] for r in full if r["method"] == "ivf")
+    assert rows[-1]["sum_hits"] == ivf_hits

@@ -410,3 +410,154 @@ def window_time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("prev_c") + interp).alias("interp_cents"),
         )
     )
+
+
+_HQ_NBINS = 100
+_HQ_QS = (500_000, 900_000, 990_000)  # ppm
+
+_HQ_ORACLE = f"""
+WITH vals AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v_cents
+  FROM events
+),
+width AS (
+  SELECT CAST((MAX(v_cents) + {_HQ_NBINS}) // {_HQ_NBINS} AS BIGINT) AS w
+  FROM vals
+),
+hist AS (
+  SELECT event_type, v_cents // w AS bin, COUNT(*) AS cnt
+  FROM vals CROSS JOIN width GROUP BY event_type, v_cents // w
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM hist
+),
+n AS (SELECT event_type, COUNT(*) AS n FROM vals GROUP BY event_type),
+targets AS (
+  SELECT event_type, n, q_ppm,
+         CAST((q_ppm * n + 999999) // 1000000 AS BIGINT) AS rank_needed
+  FROM n CROSS JOIN (SELECT UNNEST([{", ".join(map(str, _HQ_QS))}]) AS q_ppm)
+),
+est AS (
+  SELECT t.event_type, t.q_ppm, t.rank_needed, t.n,
+         MIN(c.bin) AS est_bin
+  FROM targets t JOIN cum c
+    ON c.event_type = t.event_type AND c.c >= t.rank_needed
+  GROUP BY t.event_type, t.q_ppm, t.rank_needed, t.n
+),
+ranked AS (
+  SELECT event_type, v_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY v_cents, event_id) AS rk
+  FROM vals
+)
+SELECT e.event_type, e.q_ppm, e.n,
+       (e.est_bin + 1) * w AS est_upper_cents,
+       r.v_cents AS exact_cents,
+       (e.est_bin + 1) * w - r.v_cents AS err_cents
+FROM est e
+JOIN ranked r ON r.event_type = e.event_type AND r.rk = e.rank_needed
+CROSS JOIN width
+"""
+
+
+@op("agg_quantile_from_histogram", tags=("timeseries", "agg", "sketch"), oracle=_HQ_ORACLE)
+def agg_quantile_from_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles SERVED FROM a fixed-bin histogram sketch, with the exact
+    answer computed alongside so the sketch's error is part of the
+    checked output: p50/p90/p99 per event type as the upper bound of the
+    first histogram bin whose cumulative count reaches ⌈q·n⌉, next to the
+    true order statistic at the same rank. The histogram is the mergeable
+    summary a 100 TB monitoring pipeline actually maintains (bounded
+    state: |types×bins| integers, additive across partitions, days,
+    clusters — cf. agg_countmin_heavyhitters for counts); the exact
+    column is the audit that bounds its error to one bin width, here
+    provably (err_cents ∈ [0, w]).
+
+    Everything is integer: cents, integer bin width w = ⌈max/NBINS⌉,
+    ceiling ranks by integer arithmetic, so both engines agree exactly.
+    Scale shape: the histogram build is one combine-friendly groupBy;
+    the cumulative walk runs over |types×bins| rows; only the audit's
+    order statistic touches a per-type sort — at 100 TB you drop that
+    audit column and keep the sketch."""
+    ev = lt(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    width = vals.agg(
+        F.expr(f"CAST((MAX(v_cents) + {_HQ_NBINS}) div {_HQ_NBINS} AS BIGINT)").alias("w")
+    )
+    hist = (
+        vals.crossJoin(F.broadcast(width))
+        .groupBy("event_type", F.expr("v_cents div w").alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("c"),
+    )
+    n = vals.groupBy("event_type").agg(F.count("*").alias("n"))
+    qdf = spark.createDataFrame([(q,) for q in _HQ_QS], "q_ppm long")
+    targets = n.crossJoin(F.broadcast(qdf)).select(
+        "event_type",
+        "n",
+        "q_ppm",
+        F.expr("CAST((q_ppm * n + 999999) div 1000000 AS BIGINT)").alias(
+            "rank_needed"
+        ),
+    )
+    t = targets.alias("t")
+    c = cum.alias("c")
+    est = (
+        t.join(
+            c,
+            (F.col("c.event_type") == F.col("t.event_type"))
+            & (F.col("c.c") >= F.col("t.rank_needed")),
+        )
+        .groupBy(
+            F.col("t.event_type").alias("event_type"),
+            "t.q_ppm",
+            "t.rank_needed",
+            "t.n",
+        )
+        .agg(F.min("c.bin").alias("est_bin"))
+    )
+    ranked = vals.select(
+        "event_type",
+        "v_cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("v_cents", "event_id"))
+        .alias("rk"),
+    )
+    r = ranked.alias("r")
+    e = est.alias("e")
+    return (
+        e.join(
+            r,
+            (F.col("r.event_type") == F.col("e.event_type"))
+            & (F.col("r.rk") == F.col("e.rank_needed")),
+        )
+        .crossJoin(F.broadcast(width))
+        .select(
+            F.col("e.event_type").alias("event_type"),
+            F.col("e.q_ppm").alias("q_ppm"),
+            F.col("e.n").alias("n"),
+            ((F.col("est_bin") + 1) * F.col("w")).alias("est_upper_cents"),
+            F.col("r.v_cents").alias("exact_cents"),
+            ((F.col("est_bin") + 1) * F.col("w") - F.col("r.v_cents")).alias(
+                "err_cents"
+            ),
+        )
+    )

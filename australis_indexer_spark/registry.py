@@ -223,6 +223,8 @@ _PRIORITY = (
     "scalar_higher_order_arrays",
     "agg_decimal_money_exact",
     "sim_ann_quality_curve",
+    "stream_ivm_join_view",
+    "agg_quantile_from_histogram",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

@@ -1678,3 +1678,19 @@ def test_quality_curve_monotone(spark, ops):
     full = ops["sim_ann_recall"].fn(spark, SF_SMOKE).collect()
     ivf_hits = sum(r["n_hits"] for r in full if r["method"] == "ivf")
     assert rows[-1]["sum_hits"] == ivf_hits
+
+
+def test_histogram_quantile_error_bounded(spark, ops):
+    """Sketch-served quantiles must bracket the exact order statistic
+    within one bin width, for every (type, q)."""
+    rows = ops["agg_quantile_from_histogram"].fn(spark, SF_SMOKE).collect()
+    assert {r["q_ppm"] for r in rows} == {500_000, 900_000, 990_000}
+    vals = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+    mx = vals.agg(F.max("c")).first()[0]
+    w = (mx + 100) // 100
+    for r in rows:
+        assert 0 <= r["err_cents"] <= w
+        assert r["est_upper_cents"] >= r["exact_cents"]

@@ -471,3 +471,26 @@ def test_rocksdb_state_store_provider(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_ivm_join_view_matches_batch(spark, ops):
+    """Four incremental delta-joins must equal the one-shot batch join
+    aggregate exactly (counts and cents)."""
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["nation_name"]: r for r in ops["stream_ivm_join_view"].fn(spark, SF_SMOKE).collect()}
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    batch = {
+        r["n_name"]: (r["n"], r["s"])
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert {k: (v["n_orders"], v["total_cents"]) for k, v in rows.items()} == batch

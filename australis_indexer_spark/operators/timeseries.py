@@ -561,3 +561,146 @@ def agg_quantile_from_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CEP_WINDOW_S = 1800  # purchase must follow within 30 minutes
+
+_CEP_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2,
+         LEAD(ts, 1) OVER w AS ts1,
+         LEAD(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+matches AS (
+  SELECT user_id, event_id, ts,
+         CASE
+           WHEN t1 = 'purchase'
+                AND date_diff('second', ts, ts1) <= {_CEP_WINDOW_S} THEN 1
+           WHEN t2 = 'purchase' AND (t1 IS NOT NULL AND t1 <> 'purchase')
+                AND date_diff('second', ts, ts2) <= {_CEP_WINDOW_S} THEN 2
+           ELSE 0 END AS hit_gap
+  FROM seq WHERE event_type = 'click'
+)
+SELECT user_id,
+       COUNT(*) AS n_clicks,
+       CAST(SUM(CASE WHEN hit_gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST(SUM(CASE WHEN hit_gap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_immediate,
+       COALESCE(MIN(CASE WHEN hit_gap > 0 THEN event_id END), -1)
+         AS first_converting_click
+FROM matches
+GROUP BY user_id
+"""
+
+
+@op("window_pattern_cep", tags=("timeseries", "window", "cep"), oracle=_CEP_ORACLE)
+def window_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE / Flink-CEP shape
+    expressed on window functions): per user, find every click followed
+    by a purchase within the next TWO events AND 30 minutes — pattern
+    `click → (¬purchase)? → purchase` under a time constraint. LEAD
+    pulls each click's next two events alongside it, so the pattern
+    becomes a row-local predicate: no self-join, no per-pattern scan —
+    the plan is ONE shuffle on user_id serving both LEAD frames, then a
+    rollup to per-user conversion counts (clicks, converted, immediate,
+    first converting click id with -1 sentinel).
+
+    At 100 TB this is the CEP trade: fixed-lookahead patterns compile to
+    LEAD columns (k columns for lookahead k, always one shuffle);
+    unbounded patterns need the stateful path
+    (stream_stateful_gap_tracker's applyInPandasWithState)."""
+    ev = lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 1).over(w).alias("ts1"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    ).where(F.col("event_type") == "click")
+    gap_ok1 = (
+        F.unix_micros(F.col("ts1").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) <= _CEP_WINDOW_S * 1_000_000
+    gap_ok2 = (
+        F.unix_micros(F.col("ts2").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) <= _CEP_WINDOW_S * 1_000_000
+    hit_gap = (
+        F.when((F.col("t1") == "purchase") & gap_ok1, 1)
+        .when(
+            (F.col("t2") == "purchase")
+            & F.col("t1").isNotNull()
+            & (F.col("t1") != "purchase")
+            & gap_ok2,
+            2,
+        )
+        .otherwise(0)
+    )
+    m = seq.select("user_id", "event_id", hit_gap.alias("hit_gap"))
+    return m.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.when(F.col("hit_gap") > 0, 1).otherwise(0)).alias("n_converted"),
+        F.sum(F.when(F.col("hit_gap") == 1, 1).otherwise(0)).alias("n_immediate"),
+        F.coalesce(
+            F.min(F.when(F.col("hit_gap") > 0, F.col("event_id"))), F.lit(-1)
+        ).alias("first_converting_click"),
+    )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, COUNT(*) AS n_trans
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+outdeg AS (SELECT src, SUM(n_trans) AS n_out FROM trans GROUP BY src)
+SELECT t.src, t.dst, t.n_trans,
+       CAST((t.n_trans * 1000000) // o.n_out AS BIGINT) AS prob_ppm
+FROM trans t JOIN outdeg o ON o.src = t.src
+"""
+
+
+@op("stats_markov_transitions", tags=("timeseries", "profiling", "graph"), oracle=_MARKOV_ORACLE)
+def stats_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (src → dst) event-type pair, how often a user's next event follows,
+    with the row-normalized transition probability in exact integer ppm —
+    the path-analysis summary funnels and CEP patterns are designed FROM
+    (you pick patterns worth detecting by reading this matrix). LEAD over
+    each user's ordered stream emits consecutive pairs without a self
+    join; the matrix is |types|² rows regardless of volume.
+
+    Scale shape: one shuffle on user_id for the LEAD, one combine-
+    friendly rollup to the matrix, out-degrees re-derived from the matrix
+    itself (no second scan) and joined back broadcast-sized."""
+    ev = lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count("*").alias("n_trans"))
+    outdeg = trans.groupBy("src").agg(F.sum("n_trans").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outdeg), "src")
+        .select(
+            "src",
+            "dst",
+            "n_trans",
+            F.expr("(n_trans * 1000000) div n_out").alias("prob_ppm"),
+        )
+    )

@@ -225,6 +225,8 @@ _PRIORITY = (
     "sim_ann_quality_curve",
     "stream_ivm_join_view",
     "agg_quantile_from_histogram",
+    "window_pattern_cep",
+    "stats_markov_transitions",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

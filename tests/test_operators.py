@@ -1694,3 +1694,52 @@ def test_histogram_quantile_error_bounded(spark, ops):
     for r in rows:
         assert 0 <= r["err_cents"] <= w
         assert r["est_upper_cents"] >= r["exact_cents"]
+
+
+def test_cep_pattern_bruteforce(spark, ops):
+    """The LEAD-compiled pattern must agree with a driver-side scan of
+    each user's ordered event sequence."""
+    rows = {r["user_id"]: r for r in ops["window_pattern_cep"].fn(spark, SF_SMOKE).collect()}
+    ev = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append(r)
+    for uid, seq in per_user.items():
+        n_clicks = n_conv = 0
+        for i, r in enumerate(seq):
+            if r["event_type"] != "click":
+                continue
+            n_clicks += 1
+            for gap in (1, 2):
+                if i + gap < len(seq) and seq[i + gap]["event_type"] == "purchase":
+                    if gap == 2 and seq[i + 1]["event_type"] == "purchase":
+                        break
+                    dt = (seq[i + gap]["ts"] - r["ts"]).total_seconds()
+                    if dt <= 1800:
+                        n_conv += 1
+                    break
+        if n_clicks:
+            assert rows[uid]["n_clicks"] == n_clicks, uid
+            assert rows[uid]["n_converted"] == n_conv, uid
+
+
+def test_markov_rows_normalize(spark, ops):
+    """Each src row's probabilities sum to ~1e6 ppm and transition counts
+    conserve the total number of consecutive pairs."""
+    rows = ops["stats_markov_transitions"].fn(spark, SF_SMOKE).collect()
+    from collections import defaultdict
+    per_src = defaultdict(int)
+    for r in rows:
+        per_src[r["src"]] += r["prob_ppm"]
+    for src, tot in per_src.items():
+        assert 1_000_000 - 5 <= tot <= 1_000_000, (src, tot)
+    n_pairs = sum(r["n_trans"] for r in rows)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert n_pairs == ev.count() - n_users  # one open end per user

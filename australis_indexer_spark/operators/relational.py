@@ -1331,3 +1331,77 @@ def agg_decimal_money_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue).cast("decimal(38,4)").cast("string").alias("revenue_dec"),
         )
     )
+
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(ROUND(c_acctbal * 100.0) AS BIGINT) - 
+         (SELECT MIN(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) FROM customer)
+           AS x
+  FROM customer
+),
+ranked AS (
+  SELECT c_mktsegment, x,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY x, c_custkey) AS i
+  FROM spend
+),
+moments AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS s0,
+         CAST(SUM(i * x) AS BIGINT) AS s1
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n, s0 AS total_shifted_cents,
+       CAST(((2 * s1 - (n + 1) * s0) * 1000000) // (n * s0) AS BIGINT)
+         AS gini_ppm
+FROM moments
+"""
+
+
+@op("agg_gini_concentration", tags=("relational", "agg", "analytics"), oracle=_GINI_ORACLE)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of (shifted-to-nonnegative) account
+    balance per market segment — the inequality metric concentration
+    reports are built on — via the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over the within-segment
+    ascending sort, evaluated entirely in BIGINT with one final ppm floor
+    division (balances shift by the global minimum so x ≥ 0, which the
+    formula requires; ties rank deterministically by custkey). G=0 means
+    uniform balances, →1 means one customer holds everything.
+
+    Scale shape: ONE shuffle on the segment key feeds the ranking window,
+    and the moments rollup map-side combines to |segments| rows. The i·x
+    products stay under 2⁶³ for ~10⁹ rows × 10⁷ cents; past that the
+    DECIMAL(38) path (agg_decimal_money_exact) takes over."""
+    cust = lt(spark, sf_dir, "customer")
+    gmin = cust.agg(
+        F.min(F.round(F.col("c_acctbal") * 100).cast("long")).alias("m")
+    )
+    spend = cust.crossJoin(F.broadcast(gmin)).select(
+        "c_mktsegment",
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100).cast("long") - F.col("m")).alias("x"),
+    )
+    ranked = spend.select(
+        "c_mktsegment",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("c_mktsegment").orderBy("x", "c_custkey"))
+        .alias("i"),
+    )
+    m = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s0"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    return m.select(
+        "c_mktsegment",
+        "n",
+        F.col("s0").alias("total_shifted_cents"),
+        F.expr("((2 * s1 - (n + 1) * s0) * 1000000) div (n * s0)").alias(
+            "gini_ppm"
+        ),
+    )

@@ -444,3 +444,100 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k") * F.col("n_chars")).alias("kept_chars"),
         )
     )
+
+
+# Target mixture shares (ppm) per language for the training-mix plan; the
+# budget is a fixed fraction of the observed corpus so some targets are
+# fillable and some are deficit — both branches exercised.
+_MIX_TARGETS = (("en", 400_000), ("zh", 200_000), ("es", 150_000),
+                ("de", 150_000), ("fr", 100_000))
+_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 1, 2  # budget = total_chars // 2
+
+_MIX_ORACLE = f"""
+WITH src AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS src_chars
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(src_chars) * {_MIX_BUDGET_NUM} // {_MIX_BUDGET_DEN}
+               AS BIGINT) AS budget FROM src),
+tgt AS (
+  SELECT * FROM (VALUES {", ".join(f"('{l}', {p})" for l, p in _MIX_TARGETS)})
+    AS t(lang, target_ppm)
+),
+plan AS (
+  SELECT s.lang, s.n_docs, s.src_chars, t.target_ppm,
+         CAST((t.target_ppm * tot.budget) // 1000000 AS BIGINT) AS want_chars
+  FROM src s JOIN tgt t USING (lang) CROSS JOIN tot
+)
+SELECT lang, n_docs, src_chars, target_ppm, want_chars,
+       CASE WHEN want_chars <= src_chars THEN want_chars ELSE src_chars END
+         AS planned_chars,
+       CAST(CASE WHEN want_chars <= src_chars
+                 THEN (want_chars * 1000000) // src_chars
+                 ELSE 1000000 END AS BIGINT) AS sample_rate_ppm,
+       CAST(CASE WHEN want_chars > src_chars THEN want_chars - src_chars
+                 ELSE 0 END AS BIGINT) AS deficit_chars
+FROM plan
+"""
+
+
+@op("pipeline_mixture_plan", tags=("sampling", "curation", "pipeline"), oracle=_MIX_ORACLE)
+def pipeline_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix PLANNING: given target language shares (the
+    Pile/LLaMA-style mixture spec) and a token budget, compute per source
+    the chars wanted, the chars actually plannable, the deterministic
+    sampling rate to apply, and the DEFICIT when a language can't fill
+    its target (the number you then fix with more epochs over that slice
+    or a spec change — silently under-filling is the classic mixture
+    bug). All arithmetic is integer floor division so the plan is exact
+    and reproducible; the rates feed sample_importance_weighted-style
+    hash thresholds and pipeline_interleave_mix executes the result.
+
+    Scale shape: one combine-friendly rollup to |langs| rows, the target
+    spec joins as a literal VALUES table, the budget scalar broadcasts —
+    planning cost is independent of corpus size, which is the point: you
+    re-plan every mix iteration without touching 100 TB."""
+    docs = lt(spark, sf_dir, "documents")
+    src = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("src_chars"),
+    )
+    tot = src.agg(
+        F.expr(
+            f"CAST(SUM(src_chars) * {_MIX_BUDGET_NUM} div {_MIX_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget")
+    )
+    tgt = spark.createDataFrame(list(_MIX_TARGETS), "lang string, target_ppm long")
+    plan = (
+        src.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "src_chars",
+            "target_ppm",
+            F.expr("CAST((target_ppm * budget) div 1000000 AS BIGINT)").alias(
+                "want_chars"
+            ),
+        )
+    )
+    fill = F.col("want_chars") <= F.col("src_chars")
+    return plan.select(
+        "lang",
+        "n_docs",
+        "src_chars",
+        "target_ppm",
+        "want_chars",
+        F.when(fill, F.col("want_chars")).otherwise(F.col("src_chars")).alias(
+            "planned_chars"
+        ),
+        F.when(fill, F.expr("(want_chars * 1000000) div src_chars"))
+        .otherwise(F.lit(1_000_000))
+        .cast("long")
+        .alias("sample_rate_ppm"),
+        F.when(~fill, F.col("want_chars") - F.col("src_chars"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("deficit_chars"),
+    )

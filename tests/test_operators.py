@@ -1743,3 +1743,29 @@ def test_markov_rows_normalize(spark, ops):
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     n_users = ev.select("user_id").distinct().count()
     assert n_pairs == ev.count() - n_users  # one open end per user
+
+
+def test_mixture_plan_budget_discipline(spark, ops):
+    """Planned chars never exceed source or want; deficit appears exactly
+    when want exceeds source; full-rate sources sample at 1e6 ppm."""
+    rows = ops["pipeline_mixture_plan"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["planned_chars"] <= min(r["want_chars"], r["src_chars"])
+        assert (r["deficit_chars"] > 0) == (r["want_chars"] > r["src_chars"])
+        if r["deficit_chars"] > 0:
+            assert r["sample_rate_ppm"] == 1_000_000
+        else:
+            assert 0 <= r["sample_rate_ppm"] <= 1_000_000
+
+
+def test_gini_bounds_and_uniform_zero(spark, ops):
+    """Gini lies in [0, 1e6); a synthetic uniform column yields ~0 via
+    the same formula evaluated driver-side."""
+    rows = ops["agg_gini_concentration"].fn(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["gini_ppm"] < 1_000_000
+    xs = [100] * 50  # uniform
+    n, s0 = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(sorted(xs)))
+    assert ((2 * s1 - (n + 1) * s0) * 1_000_000) // (n * s0) == 0

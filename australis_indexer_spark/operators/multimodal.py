@@ -579,3 +579,50 @@ def udf_pandas_scalar_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bc").alias("bucketed_cents"),
         )
     )
+
+
+_PAIR_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+e AS (SELECT vec_id FROM embeddings),
+j AS (
+  SELECT COALESCE(doc_id, vec_id) AS pair_id,
+         CASE WHEN doc_id IS NULL THEN 'embedding_only'
+              WHEN vec_id IS NULL THEN 'text_only'
+              ELSE 'aligned' END AS status
+  FROM d FULL OUTER JOIN e ON doc_id = vec_id
+)
+SELECT status, COUNT(*) AS n_pairs,
+       MIN(pair_id) AS min_id, MAX(pair_id) AS max_id
+FROM j GROUP BY status
+"""
+
+
+@op("multimodal_pair_alignment", tags=("northstar", "multimodal", "join"), oracle=_PAIR_ORACLE)
+def multimodal_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-alignment audit for a paired text↔embedding dataset: a
+    FULL OUTER join on the shared id partitions the union into aligned
+    pairs and per-side orphans — the integrity gate a contrastive-training
+    pipeline (CLIP-style text/image pairs, or text/embedding here) runs
+    before packing batches, because silently dropped orphans skew the
+    loss and silently joined misalignments poison it. Emits per status
+    the count and id range; a loader consumes only the 'aligned' slice
+    and the orphan counts page someone when they move.
+
+    Scale shape: one co-partitioned shuffle join on the id (both sides
+    hash the same key — at 100 TB both tables are bucketed by id and the
+    join is exchange-free, cf. join_bucketed_colocated), then a
+    three-row rollup."""
+    d = lt(spark, sf_dir, "documents").select("doc_id")
+    e = lt(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d.doc_id == e.vec_id, "full_outer").select(
+        F.coalesce("doc_id", "vec_id").alias("pair_id"),
+        F.when(F.col("doc_id").isNull(), "embedding_only")
+        .when(F.col("vec_id").isNull(), "text_only")
+        .otherwise("aligned")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("pair_id").alias("min_id"),
+        F.max("pair_id").alias("max_id"),
+    )

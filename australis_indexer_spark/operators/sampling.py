@@ -541,3 +541,59 @@ def pipeline_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("deficit_chars"),
     )
+
+
+_EPOCH_K = 5
+_EPOCHS = (0, 1, 2)
+
+_ESHUF_ORACLE = f"""
+SELECT epoch, doc_id, pos FROM (
+  SELECT e.epoch, d.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.epoch
+           ORDER BY md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+                        || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pos
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST([{", ".join(map(str, _EPOCHS))}]) AS epoch) e
+) WHERE pos <= {_EPOCH_K}
+"""
+
+
+@op("sample_epoch_shuffle", tags=("sampling", "curation"), oracle=_ESHUF_ORACLE)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch corpus shuffling: epoch e's training order
+    is ORDER BY md5('ep' || e || ':' || doc_id) — every epoch sees a
+    different permutation (decorrelating batch composition across
+    epochs), yet any worker, any retry, any re-run reconstructs the
+    identical order from nothing but the epoch number — no RNG state to
+    checkpoint, no shuffle files to keep. Emits the first 5 positions of
+    three epochs as the pinned contract (the full order is the same
+    expression un-cut).
+
+    Scale shape: the shuffle key is a narrow map; materializing an
+    epoch's order is one range-partitioned sort by (hash) — in practice
+    the loader sorts each shard independently and interleaves, so no
+    global sort ever runs; the top-5 here is TakeOrderedAndProject per
+    epoch, not a full sort."""
+    docs = lt(spark, sf_dir, "documents").select("doc_id")
+    ep = spark.createDataFrame([(e,) for e in _EPOCHS], "epoch long")
+    keyed = docs.crossJoin(F.broadcast(ep)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    ranked = keyed.select(
+        "epoch",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("epoch").orderBy("h", "doc_id"))
+        .alias("pos"),
+    )
+    return ranked.where(F.col("pos") <= _EPOCH_K)

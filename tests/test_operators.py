@@ -1769,3 +1769,31 @@ def test_gini_bounds_and_uniform_zero(spark, ops):
     n, s0 = len(xs), sum(xs)
     s1 = sum((i + 1) * x for i, x in enumerate(sorted(xs)))
     assert ((2 * s1 - (n + 1) * s0) * 1_000_000) // (n * s0) == 0
+
+
+def test_pair_alignment_conserves_both_sides(spark, ops):
+    """Status counts partition the id-union: aligned + text_only = docs,
+    aligned + embedding_only = vectors."""
+    rows = {r["status"]: r["n_pairs"] for r in ops["multimodal_pair_alignment"].fn(spark, SF_SMOKE).collect()}
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    aligned = rows.get("aligned", 0)
+    assert aligned + rows.get("text_only", 0) == n_docs
+    assert aligned + rows.get("embedding_only", 0) == n_vecs
+
+
+def test_epoch_shuffle_decorrelates(spark, ops):
+    """Each epoch's prefix is a valid permutation prefix (5 distinct
+    docs) and different epochs produce different orders."""
+    rows = ops["sample_epoch_shuffle"].fn(spark, SF_SMOKE).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["pos"]] = r["doc_id"]
+    assert set(by_epoch) == {0, 1, 2}
+    orders = []
+    for e, posmap in by_epoch.items():
+        assert sorted(posmap) == [1, 2, 3, 4, 5]
+        order = tuple(posmap[i] for i in range(1, 6))
+        assert len(set(order)) == 5
+        orders.append(order)
+    assert len(set(orders)) == 3  # no two epochs share a prefix order

@@ -193,3 +193,137 @@ def stream_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("high_watermark") - F.greatest(F.col("bucket"), F.lit(63_596)) + 1
         ).alias("contiguous"),
     )
+
+
+_CEP_TOL_US = 1_800_000_000  # 30 minutes
+_CEP_SCHEMA = "user_id BIGINT, n_clicks BIGINT, n_converted BIGINT"
+_CEP_STATE = (
+    "pend_ts ARRAY<BIGINT>, pend_id ARRAY<BIGINT>, n_clicks BIGINT, n_conv BIGINT"
+)
+
+
+def _cep_matcher(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Unbounded-lookahead click→purchase matcher. State per user: the
+    pending (unconverted, unexpired) clicks plus running counters —
+    bounded by click rate × window, never by stream length. Rows are
+    processed in (ts, id) order; a purchase converts every pending click
+    in its trailing 30-minute window exactly once; clicks older than the
+    current time minus the window expire (the event stream arrives
+    time-ordered, so no later purchase can reach them)."""
+    if state.exists:
+        pend_ts, pend_id, n_clicks, n_conv = state.get
+        pend = list(zip(pend_ts, pend_id))
+    else:
+        pend, n_clicks, n_conv = [], 0, 0
+    rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+    if len(rows):
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for ts_us, eid, etype in zip(
+            rows["ts_us"], rows["event_id"], rows["event_type"]
+        ):
+            ts_us = int(ts_us)
+            if etype == "click":
+                pend.append((ts_us, int(eid)))
+                n_clicks += 1
+            elif etype == "purchase":
+                keep = []
+                for c_ts, c_id in pend:
+                    if c_ts < ts_us and ts_us - c_ts <= _CEP_TOL_US:
+                        n_conv += 1
+                    else:
+                        keep.append((c_ts, c_id))
+                pend = keep
+            pend = [(t, i) for t, i in pend if ts_us - t <= _CEP_TOL_US]
+    state.update(
+        ([t for t, _ in pend], [i for _, i in pend], n_clicks, n_conv)
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_clicks": [n_clicks],
+            "n_converted": [n_conv],
+        }
+    )
+
+
+_CEP_STREAM_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_clicks,
+       CAST(SUM(CASE WHEN EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                AND p.ts > c.ts
+                AND p.ts <= c.ts + INTERVAL 1800 SECOND)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM events c
+WHERE c.event_type = 'click'
+GROUP BY user_id
+"""
+
+
+@op(
+    "stream_stateful_cep",
+    tags=("streaming", "stateful", "cep"),
+    oracle=_CEP_STREAM_ORACLE,
+)
+def stream_stateful_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP with UNBOUNDED intermediate events — the pattern
+    window_pattern_cep's fixed-lookahead LEAD compilation cannot express
+    (click converts if ANY later purchase lands within 30 minutes, no
+    matter how many events intervene). `applyInPandasWithState` keeps
+    per-user state of exactly the pending clicks (bounded by rate×window:
+    matched clicks retire, stale clicks expire as event time advances) —
+    the Flink-CEP NFA-with-pruning design, sharded by the user-key
+    shuffle so state scales horizontally. Four time-ordered micro-batches
+    must land on exactly the batch EXISTS-subquery answer, including
+    conversions whose click and purchase arrive in DIFFERENT batches —
+    the cross-batch state is what's under test."""
+    ev = (
+        lt(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .where(F.col("event_type").isin("click", "purchase"))
+    )
+    base = tempfile.mkdtemp(prefix="aispark_cep_")
+    src = os.path.join(base, "src")
+    qs = ev.approxQuantile("ts_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        ev.filter(
+            (F.col("ts_us") > bounds[i]) & (F.col("ts_us") <= bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _cep_matcher,
+        outputStructType=_CEP_SCHEMA,
+        stateStructType=_CEP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_tbl = f"cep_{uuid.uuid4().hex[:12]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(sink_tbl)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(sink_tbl)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_clicks").alias("n_clicks"),
+            F.max("n_converted").alias("n_converted"),
+        )
+    )
+    return final.where(F.col("n_clicks") > 0)

@@ -494,3 +494,35 @@ def test_ivm_join_view_matches_batch(spark, ops):
         .collect()
     }
     assert {k: (v["n_orders"], v["total_cents"]) for k, v in rows.items()} == batch
+
+
+def test_stateful_cep_cross_batch_conversions(spark, ops):
+    """The stream splits at ts quartiles, so some click→purchase pairs
+    straddle batch boundaries — totals must still equal the batch EXISTS
+    recomputation, and pending-click state must stay bounded."""
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["user_id"]: r for r in ops["stream_stateful_cep"].fn(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").alias("c")
+    purch = ev.where(F.col("event_type") == "purchase").alias("p")
+    conv = (
+        clicks.join(
+            purch,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") > F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1800 SECOND")),
+            "left_semi",
+        )
+        .groupBy("c.user_id")
+        .count()
+        .collect()
+    )
+    conv_map = {r["user_id"]: r["count"] for r in conv}
+    click_map = {
+        r["user_id"]: r["count"]
+        for r in clicks.groupBy("user_id").count().collect()
+    }
+    for uid, want_clicks in click_map.items():
+        assert rows[uid]["n_clicks"] == want_clicks
+        assert rows[uid]["n_converted"] == conv_map.get(uid, 0)

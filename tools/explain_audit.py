@@ -124,6 +124,20 @@ AUDITED = (
     "join_asof_nearest",
     "udf_pandas_scalar_batch",
     "profile_benford_digits",
+    # round 3, eighth wave: governance / CEP / IVM / decimal / curve
+    "stats_association_rules",
+    "profile_k_anonymity",
+    "profile_fd_discovery",
+    "scalar_higher_order_arrays",
+    "agg_decimal_money_exact",
+    "sim_ann_quality_curve",
+    "agg_quantile_from_histogram",
+    "window_pattern_cep",
+    "stats_markov_transitions",
+    "pipeline_mixture_plan",
+    "agg_gini_concentration",
+    "multimodal_pair_alignment",
+    "sample_epoch_shuffle",
 )
 
 

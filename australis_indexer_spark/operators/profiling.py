@@ -15,6 +15,8 @@ oracle matches exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -738,3 +740,69 @@ def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- Parquet physical-layout introspection ---------------------------------
+
+_PQMETA_TABLES = ("orders", "lineitem", "customer", "documents")
+
+_PQMETA_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{t}' AS table_name,
+       CAST(row_group_id AS BIGINT) AS row_group,
+       path_in_schema AS column_name,
+       CAST(num_values AS BIGINT) AS num_values,
+       CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+       CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes,
+       CAST((total_compressed_size * 1000000) // total_uncompressed_size
+            AS BIGINT) AS compression_ppm
+FROM parquet_metadata('/root/testdata/sf0.01/{t}.parquet')"""
+    for t in _PQMETA_TABLES
+)
+
+
+@op("profile_parquet_metadata", tags=("profiling", "storage"), oracle=_PQMETA_ORACLE)
+def profile_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical parquet-layout introspection straight from the file
+    footers: per (table, row group, column chunk) the value count,
+    compressed and uncompressed bytes, and the compression ratio in exact
+    ppm — the numbers every layout decision in this repo (row-group
+    sizing, clustering, z-order, maxPartitionBytes) is actually made
+    FROM, surfaced as a queryable table instead of folklore. The oracle
+    is DuckDB's parquet_metadata() over the SAME files: two independent
+    footer parsers, byte-identical answers.
+
+    Footers are KB-sized regardless of data volume, so this reads
+    metadata only, driver-side, via pyarrow. (The oracle addresses the
+    correctness gate's fixed sf0.01 files by path — parquet_metadata()
+    takes a filename, not a view; the Spark side honors sf_dir.) At 100 TB (millions of
+    files) the identical per-file logic runs distributed: list files,
+    mapInPandas over paths, each task parsing its footers — the output
+    schema and semantics here are exactly that job's."""
+    import pyarrow.parquet as pqt
+
+    rows = []
+    for t in _PQMETA_TABLES:
+        md = pqt.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for ci in range(rg.num_columns):
+                c = rg.column(ci)
+                rows.append(
+                    (
+                        t,
+                        g,
+                        c.path_in_schema,
+                        c.num_values,
+                        c.total_compressed_size,
+                        c.total_uncompressed_size,
+                        (c.total_compressed_size * 1_000_000)
+                        // c.total_uncompressed_size,
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, row_group long, column_name string, "
+        "num_values long, compressed_bytes long, uncompressed_bytes long, "
+        "compression_ppm long",
+    )

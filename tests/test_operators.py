@@ -1797,3 +1797,20 @@ def test_epoch_shuffle_decorrelates(spark, ops):
         assert len(set(order)) == 5
         orders.append(order)
     assert len(set(orders)) == 3  # no two epochs share a prefix order
+
+
+def test_parquet_metadata_agrees_with_scan(spark, ops):
+    """Footer value counts must equal actual row counts; ratios in
+    (0, ~1e6+] and bytes positive for every column chunk."""
+    rows = ops["profile_parquet_metadata"].fn(spark, SF_SMOKE).collect()
+    per_table = {}
+    for r in rows:
+        assert r["num_values"] > 0 and r["compressed_bytes"] > 0
+        assert r["compression_ppm"] > 0
+        key = (r["table_name"], r["column_name"])
+        per_table[key] = per_table.get(key, 0) + r["num_values"]
+    for t in ("orders", "lineitem", "customer", "documents"):
+        n = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").count()
+        cols = {c for (tt, c) in per_table if tt == t}
+        for c in cols:
+            assert per_table[(t, c)] == n, (t, c)

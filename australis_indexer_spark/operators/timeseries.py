@@ -704,3 +704,72 @@ def stats_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_trans * 1000000) div n_out").alias("prob_ppm"),
         )
     )
+
+
+_RATE_ORACLE = """
+WITH steps AS (
+  SELECT event_type, event_id, ts,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v_cents,
+         LAG(CAST(ROUND(value * 100.0) AS BIGINT)) OVER w AS prev_cents,
+         LAG(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+deltas AS (
+  SELECT event_type,
+         v_cents - prev_cents AS delta_cents,
+         CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS dt_s
+  FROM steps WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_steps,
+       CAST(SUM(CASE WHEN delta_cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rising,
+       CAST(SUM(ABS(delta_cents)) AS BIGINT) AS total_variation_cents,
+       MAX(ABS(delta_cents)) AS max_abs_delta_cents,
+       CAST(SUM(dt_s) AS BIGINT) AS total_elapsed_s
+FROM deltas
+GROUP BY event_type
+"""
+
+
+@op("window_time_rate_of_change", tags=("timeseries", "window", "time"), oracle=_RATE_ORACLE)
+def window_time_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete derivative of each event-type series (the hypertable
+    `delta`/`rate` shape): LAG pairs every observation with its
+    predecessor, and the per-type rollup reports step count, rising-step
+    count, TOTAL VARIATION (Σ|Δ| — the wiggliness measure change-point
+    monitors threshold on), the largest single jump, and elapsed seconds
+    — rate served as exact integer (variation, elapsed) pairs rather
+    than a float division. Completes the hypertable family's calculus
+    corner next to interpolate (values between observations), in_state
+    (durations), and OHLC (extrema).
+
+    Scale shape: ONE shuffle on event_type feeds the LAG window; the
+    rollup map-side combines to |types| rows. At high cardinality the
+    partition key would be (type, series_id) — same plan."""
+    ev = lt(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    v = F.round(F.col("value") * 100).cast("long")
+    steps = ev.select(
+        "event_type",
+        "ts",
+        v.alias("v_cents"),
+        F.lag(v).over(w).alias("prev_cents"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).where(F.col("prev_ts").isNotNull())
+    deltas = steps.select(
+        "event_type",
+        (F.col("v_cents") - F.col("prev_cents")).alias("delta_cents"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - unix_micros(CAST(prev_ts AS TIMESTAMP))) div 1000000"
+        ).alias("dt_s"),
+    )
+    return deltas.groupBy("event_type").agg(
+        F.count("*").alias("n_steps"),
+        F.sum(F.when(F.col("delta_cents") > 0, 1).otherwise(0)).alias("n_rising"),
+        F.sum(F.abs("delta_cents")).alias("total_variation_cents"),
+        F.max(F.abs("delta_cents")).alias("max_abs_delta_cents"),
+        F.sum("dt_s").alias("total_elapsed_s"),
+    )

@@ -233,6 +233,7 @@ _PRIORITY = (
     "sample_epoch_shuffle",
     "stream_stateful_cep",
     "profile_parquet_metadata",
+    "window_time_rate_of_change",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

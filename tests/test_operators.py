@@ -1814,3 +1814,20 @@ def test_parquet_metadata_agrees_with_scan(spark, ops):
         cols = {c for (tt, c) in per_table if tt == t}
         for c in cols:
             assert per_table[(t, c)] == n, (t, c)
+
+
+def test_rate_of_change_conserves_steps(spark, ops):
+    """Step counts equal per-type row counts minus one; variation bounds
+    the largest jump; rising steps bounded by total steps."""
+    rows = ops["window_time_rate_of_change"].fn(spark, SF_SMOKE).collect()
+    per_type = {
+        r["event_type"]: r["count"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    for r in rows:
+        assert r["n_steps"] == per_type[r["event_type"]] - 1
+        assert 0 <= r["n_rising"] <= r["n_steps"]
+        assert r["max_abs_delta_cents"] <= r["total_variation_cents"]

@@ -626,3 +626,62 @@ def multimodal_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pair_id").alias("min_id"),
         F.max("pair_id").alias("max_id"),
     )
+
+
+_UDTF_WIDTH = 120
+
+_UDTF_ORACLE = f"""
+SELECT d.doc_id,
+       CAST(g.i AS BIGINT) AS chunk_idx,
+       CAST(length(substr(d.text, CAST(g.i * {_UDTF_WIDTH} + 1 AS BIGINT),
+                          {_UDTF_WIDTH})) AS BIGINT) AS chunk_len,
+       md5(substr(d.text, CAST(g.i * {_UDTF_WIDTH} + 1 AS BIGINT),
+                  {_UDTF_WIDTH})) AS chunk_md5
+FROM documents d,
+LATERAL (SELECT UNNEST(range((length(d.text) + {_UDTF_WIDTH} - 1)
+                             // {_UDTF_WIDTH})) AS i) g
+"""
+
+
+@op("udf_python_udtf_chunks", tags=("extension", "udf", "udtf"), oracle=_UDTF_ORACLE)
+def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) — the fourth and
+    last Python extension mechanism next to the scalar pandas UDF,
+    grouped-agg UDF, and mapInPandas: a row-to-rows generator invoked via
+    LATERAL join, here splitting each document into fixed 120-char
+    chunks (index, length, md5). The oracle restates the expansion as a
+    pure-SQL LATERAL range+substr — so the UDTF's row fan-out, ordering,
+    and per-chunk bytes are all value-checked, and a user sees exactly
+    how a custom table function plugs into Catalyst (the UDTF node
+    appears in the plan as a Generate-like expansion fed per input row).
+
+    Scale shape: the expansion is a narrow map (no shuffle) — each input
+    row yields its chunks in place; the real chunker for training data
+    is doc_chunk_tokens (pure Catalyst, JVM-side); this op's point is
+    the EXTENSION PATH for expansions Spark can't express natively."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx BIGINT, chunk_len BIGINT, chunk_md5 STRING")
+    class SplitChunks:
+        def eval(self, text: str):
+            import hashlib
+
+            if text is None:
+                return
+            for i, start in enumerate(range(0, len(text), _UDTF_WIDTH)):
+                chunk = text[start : start + _UDTF_WIDTH]
+                yield (
+                    i,
+                    len(chunk),
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                )
+
+    name = "aispark_split_chunks"
+    spark.udtf.register(name, SplitChunks)
+    lt(spark, sf_dir, "documents").createOrReplaceTempView("aispark_udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_len, c.chunk_md5
+        FROM aispark_udtf_docs d, LATERAL {name}(d.text) c
+        """
+    )

@@ -1270,3 +1270,89 @@ def query_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         (F.sum(cents("l_extendedprice")) / F.lit(700.0)).alias("avg_yearly"),
     )
+
+
+_YOY_ORACLE = f"""
+WITH rev AS (
+  SELECT n_name AS nation_name,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM({sql_cents("o_totalprice")}) AS BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_year
+),
+seq AS (
+  SELECT nation_name, o_year, rev_cents,
+         LAG(rev_cents) OVER (PARTITION BY nation_name ORDER BY o_year)
+           AS prev_cents
+  FROM rev
+)
+SELECT nation_name, o_year, rev_cents,
+       COALESCE(prev_cents, 0) AS prev_cents,
+       CASE WHEN prev_cents IS NULL THEN 0
+            ELSE rev_cents - prev_cents END AS delta_cents,
+       CAST(CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN 0
+                 WHEN rev_cents >= prev_cents
+                   THEN ((rev_cents - prev_cents) * 1000000) // prev_cents
+                 ELSE -(((prev_cents - rev_cents) * 1000000) // prev_cents)
+            END AS BIGINT) AS growth_ppm
+FROM seq
+"""
+
+
+@op("query_yoy_growth", tags=("relational", "analytics"), oracle=_YOY_ORACLE)
+def query_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the standard trend
+    report: revenue rolls up to (nation, year) in exact cents, LAG pairs
+    each year with its predecessor along the nation's own timeline (no
+    self-join on year-1, so gap years degrade gracefully instead of
+    dropping rows), and growth lands as exact signed ppm via floor
+    division with the caveat year (no predecessor) pinned to zero
+    sentinels — every output column non-nullable. Note growth_ppm of a
+    FALLING year is negative and floor division rounds toward -∞
+    identically on both engines because the numerator sign is handled by
+    the same `div`/`//` pair the interpolation op pinned.
+
+    Scale shape: dims broadcast onto the orders scan, ONE shuffle for
+    the (nation, year) rollup, and the LAG window runs over the
+    rollup-sized table (|nations×years|), not the fact."""
+    orders = lt(spark, sf_dir, "orders")
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = lt(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("nation_name").orderBy("o_year")
+    seq = rev.withColumn("prev_raw", F.lag("rev_cents").over(w))
+    return seq.select(
+        "nation_name",
+        "o_year",
+        "rev_cents",
+        F.coalesce("prev_raw", F.lit(0)).alias("prev_cents"),
+        F.when(F.col("prev_raw").isNull(), 0)
+        .otherwise(F.col("rev_cents") - F.col("prev_raw"))
+        .cast("long")
+        .alias("delta_cents"),
+        F.when(
+            F.col("prev_raw").isNull() | (F.col("prev_raw") == 0), F.lit(0)
+        )
+        .otherwise(
+            F.expr(
+                "CASE WHEN (rev_cents - prev_raw) >= 0"
+                " THEN ((rev_cents - prev_raw) * 1000000) div prev_raw"
+                " ELSE -((-(rev_cents - prev_raw)) * 1000000 div prev_raw)"
+                " END"
+            )
+        )
+        .cast("long")
+        .alias("growth_ppm"),
+    )

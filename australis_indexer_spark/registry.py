@@ -234,6 +234,8 @@ _PRIORITY = (
     "stream_stateful_cep",
     "profile_parquet_metadata",
     "window_time_rate_of_change",
+    "query_yoy_growth",
+    "udf_python_udtf_chunks",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

@@ -1831,3 +1831,38 @@ def test_rate_of_change_conserves_steps(spark, ops):
         assert r["n_steps"] == per_type[r["event_type"]] - 1
         assert 0 <= r["n_rising"] <= r["n_steps"]
         assert r["max_abs_delta_cents"] <= r["total_variation_cents"]
+
+
+def test_yoy_growth_identity(spark, ops):
+    """delta = rev - prev for every row with a predecessor; first year
+    carries zero sentinels; growth sign matches delta sign."""
+    rows = ops["query_yoy_growth"].fn(spark, SF_SMOKE).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["nation_name"], []).append(r)
+    for nation, rs in by_nation.items():
+        rs.sort(key=lambda r: r["o_year"])
+        assert rs[0]["prev_cents"] == 0 and rs[0]["growth_ppm"] == 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["prev_cents"] == prev["rev_cents"]
+            assert cur["delta_cents"] == cur["rev_cents"] - cur["prev_cents"]
+            if cur["delta_cents"] != 0:
+                assert (cur["growth_ppm"] >= 0) == (cur["delta_cents"] > 0)
+
+
+def test_udtf_chunks_reassemble(spark, ops):
+    """UDTF chunk lengths must reassemble each doc's exact char count and
+    indices must be contiguous from zero."""
+    rows = ops["udf_python_udtf_chunks"].fn(spark, SF_SMOKE).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: len(r["text"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        assert sum(r["chunk_len"] for r in rs) == docs[doc_id]
+        assert all(r["chunk_len"] == 120 for r in rs[:-1])

@@ -773,3 +773,78 @@ def window_time_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs("delta_cents")).alias("max_abs_delta_cents"),
         F.sum("dt_s").alias("total_elapsed_s"),
     )
+
+
+_SLIDE_HOURS = 24
+
+_SLIDE_DISTINCT_ORACLE = f"""
+WITH presence AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+),
+contrib AS (
+  SELECT user_id, h + TO_HOURS(CAST(g.i AS BIGINT)) AS window_end_hour
+  FROM presence,
+  LATERAL (SELECT UNNEST(range({_SLIDE_HOURS})) AS i) g
+),
+windows AS (
+  SELECT CAST(window_end_hour AS TIMESTAMP) AS window_end_hour,
+         COUNT(DISTINCT user_id) AS n_distinct_users
+  FROM contrib GROUP BY window_end_hour
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+)
+SELECT w.window_end_hour, w.n_distinct_users
+FROM windows w, bounds b
+WHERE w.window_end_hour >= b.h0 + TO_HOURS({_SLIDE_HOURS} - 1)
+  AND w.window_end_hour <= b.h1
+"""
+
+
+@op("window_sliding_distinct_users", tags=("timeseries", "window", "agg"), oracle=_SLIDE_DISTINCT_ORACLE)
+def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users over a 24-hour sliding window (per ending
+    hour) — the metric a naive plan computes as COUNT(DISTINCT) OVER a
+    RANGE frame, which Spark correctly refuses (distinct isn't
+    subtractable, so no incremental frame exists). The scalable exact
+    form: dedup presence to (hour, user), explode each presence into the
+    {_SLIDE_HOURS} window-ends it contributes to (fan-out = window/granularity,
+    a CONSTANT), then one distinct-count per window-end. Interior windows
+    only (full {_SLIDE_HOURS}-hour support) so edges don't report partial windows.
+
+    Scale shape: presence dedup is one combine-friendly shuffle that also
+    collapses volume to |hours×users-active|; the explode is narrow with
+    constant fan-out; the final distinct shuffles (window_end, user)
+    pairs. Nothing resembles the O(|window|·|stream|) re-scan the RANGE
+    frame would need — and when approximate is acceptable the same spine
+    takes agg_hll_daily_merge's sketches instead."""
+    ev = lt(spark, sf_dir, "events")
+    presence = ev.select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"), "user_id"
+    ).distinct()
+    offs = spark.range(_SLIDE_HOURS).select(F.col("id").alias("i"))
+    contrib = presence.crossJoin(F.broadcast(offs)).select(
+        "user_id",
+        (F.col("h") + F.make_dt_interval(hours=F.col("i").cast("int"))).alias(
+            "window_end_hour"
+        ),
+    )
+    windows = contrib.groupBy("window_end_hour").agg(
+        F.countDistinct("user_id").alias("n_distinct_users")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("h0"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("h1"),
+    )
+    return (
+        windows.crossJoin(F.broadcast(bounds))
+        .where(
+            (
+                F.col("window_end_hour")
+                >= F.col("h0") + F.expr(f"INTERVAL {_SLIDE_HOURS - 1} HOURS")
+            )
+            & (F.col("window_end_hour") <= F.col("h1"))
+        )
+        .select("window_end_hour", "n_distinct_users")
+    )

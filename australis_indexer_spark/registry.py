@@ -236,6 +236,7 @@ _PRIORITY = (
     "window_time_rate_of_change",
     "query_yoy_growth",
     "udf_python_udtf_chunks",
+    "window_sliding_distinct_users",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

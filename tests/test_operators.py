@@ -1866,3 +1866,27 @@ def test_udtf_chunks_reassemble(spark, ops):
         assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
         assert sum(r["chunk_len"] for r in rs) == docs[doc_id]
         assert all(r["chunk_len"] == 120 for r in rs[:-1])
+
+
+def test_sliding_distinct_spotcheck(spark, ops):
+    """Spot-check three windows against a direct 24-hour range distinct
+    count; all counts positive and bounded by the user population."""
+    rows = sorted(
+        ops["window_sliding_distinct_users"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["window_end_hour"],
+    )
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    import datetime
+    for r in (rows[0], rows[len(rows) // 2], rows[-1]):
+        assert 1 <= r["n_distinct_users"] <= n_users
+        end = r["window_end_hour"] + datetime.timedelta(hours=1)
+        start = end - datetime.timedelta(hours=24)
+        direct = (
+            ev.where((F.col("ts") >= start) & (F.col("ts") < end))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert r["n_distinct_users"] == direct

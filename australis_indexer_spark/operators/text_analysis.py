@@ -588,3 +588,58 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TFIDF_K)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+_MARGIN_SQL_SCORES = ", ".join(
+    _sql_n_in_list(STOPWORDS[l]) for l in ("en", "de", "es", "fr")
+)
+
+_MARGIN_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         list_sort([{_MARGIN_SQL_SCORES}]) AS s
+  FROM documents
+)
+SELECT doc_id,
+       s[4] AS top_score,
+       s[3] AS second_score,
+       s[4] - s[3] AS margin,
+       CASE WHEN s[4] - s[3] <= 1 THEN 'human_review' ELSE 'auto' END
+         AS route
+FROM scored
+"""
+
+
+@op("text_langid_margin", tags=("northstar", "text", "quality"), oracle=_MARGIN_ORACLE)
+def text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier UNCERTAINTY routing (the active-learning margin rule):
+    per document, the top and runner-up language-ID scores and their
+    margin — a margin of ≤1 stopword vote means the classifier can't
+    really tell, and the document routes to 'human_review' instead of
+    auto-labeling. This is the triage step between text_lang_id (the
+    prediction) and text_langid_quality (the confusion matrix): the
+    matrix tells you WHERE the classifier is weak, the margin tells you
+    WHICH documents to send for labels — the budget-bounded way to
+    improve a 100 TB corpus's labels. Top-2 selection is an array_sort
+    over the four integer vote counts (exact; no float softmax), so the
+    route decision is engine-exact.
+
+    Scale shape: narrow map, no shuffle — the router tags documents in
+    place at scan speed; downstream, the 'human_review' slice is a
+    scan-time filter."""
+    toks = _toks()
+    scores = F.array_sort(
+        F.array(*[_n_in_list(toks, STOPWORDS[l]) for l in ("en", "de", "es", "fr")])
+    )
+    docs = lt(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(scores, 4).alias("top_score"),
+        F.element_at(scores, 3).alias("second_score"),
+        (F.element_at(scores, 4) - F.element_at(scores, 3)).alias("margin"),
+        F.when(
+            F.element_at(scores, 4) - F.element_at(scores, 3) <= 1, "human_review"
+        )
+        .otherwise("auto")
+        .alias("route"),
+    )

@@ -1890,3 +1890,16 @@ def test_sliding_distinct_spotcheck(spark, ops):
             .count()
         )
         assert r["n_distinct_users"] == direct
+
+
+def test_langid_margin_consistent_with_scores(spark, ops):
+    """Margin must equal top minus second of the four langid vote counts
+    recomputed from text_lang_id's own output; routing threshold honored."""
+    margins = {r["doc_id"]: r for r in ops["text_langid_margin"].fn(spark, SF_SMOKE).collect()}
+    scores = ops["text_lang_id"].fn(spark, SF_SMOKE).collect()
+    for r in scores:
+        s = sorted([r["score_en"], r["score_de"], r["score_es"], r["score_fr"]])
+        m = margins[r["doc_id"]]
+        assert m["top_score"] == s[-1] and m["second_score"] == s[-2]
+        assert m["margin"] == s[-1] - s[-2]
+        assert m["route"] == ("human_review" if m["margin"] <= 1 else "auto")

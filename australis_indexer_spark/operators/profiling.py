@@ -806,3 +806,73 @@ def profile_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_values long, compressed_bytes long, uncompressed_bytes long, "
         "compression_ppm long",
     )
+
+
+# --- Deterministic experiment assignment + readout -------------------------
+
+_AB_HASH = "substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 2)"
+
+_AB_ORACLE = f"""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN {_AB_HASH} < '80' THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT a.arm,
+       COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST((SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS conversion_ppm
+FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+GROUP BY a.arm
+"""
+
+
+@op("stats_ab_experiment_readout", tags=("profiling", "analytics", "sampling"), oracle=_AB_ORACLE)
+def stats_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment assignment and readout: each user's
+    arm is a pure function of identity (`md5('exp1:' || user_id)` first
+    byte < 0x80 → A, the repo's hash-membership convention at a 50/50
+    split), so assignment survives retries, backfills, and re-analysis
+    with zero stored state — the experiment SDK pattern (unit-of-
+    randomization hashing) as an engine op. The readout reports per-arm
+    population and purchase-conversion in exact ppm; the statistical
+    test on top consumes these integers (the engine's job is the exact
+    counts, not the p-value's transcendentals).
+
+    Scale shape: assignment is a narrow map over the deduped user set;
+    conversion is one semi-joinable distinct; the readout is a two-row
+    rollup. Arm balance is itself an audit output — a skewed split means
+    the hash domain or the population changed, caught here before any
+    effect-size claim."""
+    ev = lt(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                2,
+            )
+            < "80",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    j = assign.join(F.broadcast(conv), "user_id", "left")
+    return j.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.coalesce("converted", F.lit(0))).alias("n_converted"),
+        F.expr(
+            "CAST((SUM(COALESCE(converted, 0)) * 1000000) div COUNT(*) AS BIGINT)"
+        ).alias("conversion_ppm"),
+    )

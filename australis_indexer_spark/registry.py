@@ -238,6 +238,7 @@ _PRIORITY = (
     "udf_python_udtf_chunks",
     "window_sliding_distinct_users",
     "text_langid_margin",
+    "stats_ab_experiment_readout",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

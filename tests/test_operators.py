@@ -1903,3 +1903,17 @@ def test_langid_margin_consistent_with_scores(spark, ops):
         assert m["top_score"] == s[-1] and m["second_score"] == s[-2]
         assert m["margin"] == s[-1] - s[-2]
         assert m["route"] == ("human_review" if m["margin"] <= 1 else "auto")
+
+
+def test_ab_readout_assignment_is_pure(spark, ops):
+    """Arms partition the user population, assignment is reproducible,
+    and the split is near 50/50 for this population size."""
+    rows = {r["arm"]: r for r in ops["stats_ab_experiment_readout"].fn(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert rows["A"]["n_users"] + rows["B"]["n_users"] == n_users
+    assert abs(rows["A"]["n_users"] - rows["B"]["n_users"]) < n_users * 0.35
+    again = {r["arm"]: r for r in ops["stats_ab_experiment_readout"].fn(spark, SF_SMOKE).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
+    for r in rows.values():
+        assert 0 <= r["n_converted"] <= r["n_users"]

@@ -848,3 +848,50 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("window_end_hour", "n_distinct_users")
     )
+
+
+_SEASON_ORACLE = """
+SELECT event_type,
+       CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST((SUM(CAST(ROUND(value * 100.0) AS BIGINT)) * 100) // COUNT(*)
+            AS BIGINT) AS mean_cents_x100
+FROM events
+GROUP BY event_type, dow, hod
+"""
+
+
+@op("stats_seasonality_heatmap", tags=("timeseries", "agg", "profiling"), oracle=_SEASON_ORACLE)
+def stats_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality heatmap per event type —
+    the fixed 7×24 grid an ops dashboard draws and an anomaly detector
+    baselines against (agg_anomalous_hours flags deviations from the
+    GLOBAL hourly mean; this is the conditional mean it should really be
+    compared to, because Monday 9am and Sunday 3am are different
+    normals). Counts, exact cent totals, and the mean at two fixed
+    decimals by integer floor division — no float average. ISO weekday
+    numbering (Mon=1) on both engines via isodow/dayofweek mapping.
+
+    Scale shape: ONE map-side-combinable groupBy to at most
+    |types|×7×24 rows, the canonical bounded-cardinality rollup — at
+    100 TB this is still a 840-row table per type family."""
+    ev = lt(spark, sf_dir, "events")
+    # Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return (
+        ev.groupBy(
+            "event_type",
+            iso_dow.cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+            F.expr(
+                "CAST((SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("mean_cents_x100"),
+        )
+    )

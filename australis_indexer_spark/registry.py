@@ -239,6 +239,7 @@ _PRIORITY = (
     "window_sliding_distinct_users",
     "text_langid_margin",
     "stats_ab_experiment_readout",
+    "stats_seasonality_heatmap",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

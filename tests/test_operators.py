@@ -1917,3 +1917,14 @@ def test_ab_readout_assignment_is_pure(spark, ops):
     assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
     for r in rows.values():
         assert 0 <= r["n_converted"] <= r["n_users"]
+
+
+def test_seasonality_grid_conserves(spark, ops):
+    """Grid cells conserve the stream; dow in 1..7 ISO, hod in 0..23;
+    mean consistent with total/count at two decimals."""
+    rows = ops["stats_seasonality_heatmap"].fn(spark, SF_SMOKE).collect()
+    ev_n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == ev_n
+    for r in rows:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hod"] <= 23
+        assert r["mean_cents_x100"] == (r["total_cents"] * 100) // r["n_events"]

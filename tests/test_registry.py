@@ -59,3 +59,20 @@ def test_every_operator_module_is_loaded(ops):
     loaded = {spec.fn.__module__.rsplit(".", 1)[-1] for spec in ops.values()}
     missing = mod_files - loaded
     assert not missing, f"operator modules never imported by load_all: {missing}"
+
+
+def test_all_ops_oracle_backed(ops):
+    """The repo's headline claim: EVERY registered op carries an oracle
+    string. Rows-only ops were eliminated in round 3 — this pins that it
+    stays true as ops are added."""
+    missing = [n for n, s in ops.items() if s.oracle is None]
+    assert not missing, f"ops without oracles: {missing}"
+
+
+def test_priority_covers_registry_prefix(ops):
+    """Registration order starts with the explicit _PRIORITY rotation and
+    every priority name resolves (load_all already raises otherwise);
+    the first 50 — the driver's certification window — must be unique."""
+    names = list(ops)
+    window = names[:50]
+    assert len(set(window)) == 50

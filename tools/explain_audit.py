@@ -138,6 +138,16 @@ AUDITED = (
     "agg_gini_concentration",
     "multimodal_pair_alignment",
     "sample_epoch_shuffle",
+    # round 3, ninth wave: calculus / trend / UDTF / experimentation
+    "window_time_rate_of_change",
+    "query_yoy_growth",
+    "udf_python_udtf_chunks",
+    "window_sliding_distinct_users",
+    "text_langid_margin",
+    "stats_ab_experiment_readout",
+    "stats_seasonality_heatmap",
+    "stream_ivm_join_view",
+    "profile_parquet_metadata",
 )
 
 

@@ -885,3 +885,43 @@ def agg_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("merged_est_within_5pct"),
     )
+
+
+_HINT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@op("join_strategy_hint_shuffle_hash", tags=("scale", "join"), oracle=_HINT_ORACLE)
+def join_strategy_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate physical-strategy override: the orders⋈lineitem join
+    HINTED to SHUFFLE_HASH — Spark's default for two large sides is
+    sort-merge (robust, spills), but when the build side's per-partition
+    slice fits in memory a hash join skips BOTH sorts, and a planner
+    that knows its data (we profile it: stats_join_key_skew,
+    profile_parquet_metadata) earns that with a hint. The test asserts
+    the plan actually contains ShuffledHashJoin (a silently-ignored hint
+    is the classic failure mode of hint-driven tuning); results are
+    value-checked against the strategy-free oracle, restating that the
+    hint changes HOW, never WHAT.
+
+    At 100 TB the same call is where skew/AQE decisions land: leave AQE
+    on and it may still convert to broadcast at runtime if one side
+    collapses after filters — the hint constrains the initial plan, not
+    the adaptive one."""
+    orders = lt(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = lt(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    j = orders.hint("SHUFFLE_HASH").join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )

@@ -240,6 +240,7 @@ _PRIORITY = (
     "text_langid_margin",
     "stats_ab_experiment_readout",
     "stats_seasonality_heatmap",
+    "join_strategy_hint_shuffle_hash",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

@@ -1928,3 +1928,12 @@ def test_seasonality_grid_conserves(spark, ops):
     for r in rows:
         assert 1 <= r["dow"] <= 7 and 0 <= r["hod"] <= 23
         assert r["mean_cents_x100"] == (r["total_cents"] * 100) // r["n_events"]
+
+
+def test_join_hint_takes_effect(spark, ops):
+    """The SHUFFLE_HASH hint must survive planning (silently-ignored
+    hints are the classic tuning failure) — no sort-merge in the plan."""
+    df = ops["join_strategy_hint_shuffle_hash"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:400]
+    assert "SortMergeJoin" not in plan

@@ -738,3 +738,69 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(n_hits * 1000000) div GREATEST(n_truth, 1)").alias("recall_ppm"),
     )
+
+
+_BOILER_MIN_DOCS = 3
+_BOILER_GRAM = 6
+
+_BOILER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(w[g.i:g.i + {_BOILER_GRAM - 1}], ' ') AS gram
+  FROM toks,
+  LATERAL (SELECT UNNEST(range(1, len(w) - {_BOILER_GRAM - 2})) AS i) g
+  WHERE len(w) >= {_BOILER_GRAM}
+),
+per_doc AS (SELECT DISTINCT doc_id, gram FROM sh),
+freq AS (
+  SELECT md5(gram) AS gram_md5,
+         COUNT(*) AS n_docs
+  FROM per_doc GROUP BY md5(gram)
+  HAVING COUNT(*) >= {_BOILER_MIN_DOCS}
+)
+SELECT gram_md5, n_docs FROM freq
+"""
+
+
+@op("dedup_boilerplate_ngrams", tags=("northstar", "dedup", "text"), oracle=_BOILER_ORACLE)
+def dedup_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate detection: word 6-grams appearing
+    verbatim in 3+ distinct documents — headers, license blurbs, chrome,
+    the C4/Gopher repeated-content class that within-document repetition
+    (text_repetition_stats) and whole-doc dedup (dedup_exact) both miss.
+    A curation pass subtracts spans matching this list from every
+    document; the list is keyed by md5 so downstream matching is an
+    equi-join on a 32-char key, never a text compare (and the same
+    shingle machinery the decontamination probe rides,
+    pipeline_decontaminate, pointed at the corpus itself instead of an
+    eval set).
+
+    Scale shape: the shingle explode is narrow with fan-out |tokens|;
+    per-doc DISTINCT then the frequency count are the combine-friendly
+    (gram, doc) → (gram) reduction of the exact-dedup family; the
+    support threshold prunes the output to broadcastable size no matter
+    the corpus (a 6-gram shared by 3+ of 10⁹ docs is precisely the
+    boilerplate you must remove)."""
+    docs = lt(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w")).where(
+        F.size("w") >= _BOILER_GRAM
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w") - (_BOILER_GRAM - 1))
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("w", F.col("i"), _BOILER_GRAM), " ").alias("gram"),
+    )
+    per_doc = sh.distinct()
+    return (
+        per_doc.groupBy(F.md5("gram").alias("gram_md5"))
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )

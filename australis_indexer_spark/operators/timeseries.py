@@ -895,3 +895,55 @@ def stats_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cents_x100"),
         )
     )
+
+
+_NVR_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM daily d JOIN firsts f ON d.user_id = f.user_id
+GROUP BY d.day
+"""
+
+
+@op("agg_new_vs_returning_users", tags=("timeseries", "agg", "analytics"), oracle=_NVR_ORACLE)
+def agg_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the growth-accounting metric
+    every product dashboard leads with: a user is 'new' on the day of
+    their first-ever event and 'returning' on every later active day.
+    First-day assignment is a MIN over the user's whole history (the
+    same first-occurrence reduction window_running_distinct uses), so no
+    window function and no ordering — two combine-friendly aggregates
+    and one join on user_id that reuses the same hash partitioning.
+
+    Scale shape: daily-presence dedup collapses volume to |days×active|;
+    the firsts table is |users| and joins on the key both sides already
+    shuffled on; the final rollup is |days| rows. Incremental form at
+    100 TB: firsts is a monotone MERGE-able table (min is idempotent) —
+    cf. stream_ivm_join_view for the fold discipline."""
+    ev = lt(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = ev.select(day.alias("day"), "user_id").distinct()
+    j = daily.join(firsts, "user_id")
+    return (
+        j.groupBy(F.col("day").cast("timestamp_ntz").alias("day"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+    )

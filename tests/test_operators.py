@@ -1960,3 +1960,37 @@ def test_boilerplate_ngrams_support(spark, ops):
     rows = ops["dedup_boilerplate_ngrams"].fn(spark, SF_SMOKE).collect()
     for r in rows:
         assert r["n_docs"] >= 3
+
+
+def test_tokenizer_fertility_bounds(spark, ops):
+    """Fertility >= 1e6 ppm (BPE can only split words further under this
+    pattern) and totals consistent with the ratio."""
+    rows = ops["text_tokenizer_fertility"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["fertility_ppm"] == (r["total_bpe_tokens"] * 1_000_000) // r["total_ws_tokens"]
+        assert r["fertility_ppm"] >= 1_000_000
+
+
+def test_longest_streak_bruteforce(spark, ops):
+    """Gaps-and-islands result must match a driver-side scan of each
+    user's sorted active days."""
+    rows = {r["user_id"]: r for r in ops["window_longest_streak"].fn(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    per_user = {}
+    for r in ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct().collect():
+        per_user.setdefault(r["user_id"], set()).add(r["d"])
+    import datetime
+    for uid, days in per_user.items():
+        ds = sorted(days)
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert rows[uid]["longest_streak_days"] == max(runs)
+        assert rows[uid]["n_streaks"] == len(runs)
+        assert rows[uid]["last_streak_days"] == runs[-1]

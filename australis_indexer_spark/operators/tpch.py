@@ -1356,3 +1356,110 @@ def query_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("growth_ppm"),
     )
+
+
+_BRIDGE_Y1 = "1995"
+_BRIDGE_Y2 = "1996"
+
+_BRIDGE_ORACLE = f"""
+WITH py AS (
+  SELECT l_partkey AS pk, CAST(year(l_shipdate) AS BIGINT) AS y,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM({sql_cents("l_extendedprice")}) AS BIGINT) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_BRIDGE_Y1}-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{int(_BRIDGE_Y2) + 1}-01-01 00:00:00'
+  GROUP BY pk, y
+),
+pair AS (
+  SELECT COALESCE(a.pk, b.pk) AS pk,
+         a.q AS q1, a.r AS r1, b.q AS q2, b.r AS r2
+  FROM (SELECT * FROM py WHERE y = {_BRIDGE_Y1}) a
+  FULL OUTER JOIN (SELECT * FROM py WHERE y = {_BRIDGE_Y2}) b
+    ON a.pk = b.pk
+),
+legs AS (
+  SELECT
+    CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+      CASE WHEN (q2 - q1) * r1 >= 0 THEN ((q2 - q1) * r1) // q1
+           ELSE -(((q1 - q2) * r1) // q1) END
+    ELSE 0 END AS volume_cents,
+    CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+      (r2 - r1) - (CASE WHEN (q2 - q1) * r1 >= 0 THEN ((q2 - q1) * r1) // q1
+                        ELSE -(((q1 - q2) * r1) // q1) END)
+    ELSE 0 END AS price_cents,
+    CASE WHEN q1 IS NULL THEN r2 ELSE 0 END AS new_parts_cents,
+    CASE WHEN q2 IS NULL THEN -r1 ELSE 0 END AS dropped_parts_cents,
+    COALESCE(r2, 0) - COALESCE(r1, 0) AS delta_cents
+  FROM pair
+)
+SELECT CAST(SUM(volume_cents) AS BIGINT) AS volume_effect_cents,
+       CAST(SUM(price_cents) AS BIGINT) AS price_effect_cents,
+       CAST(SUM(new_parts_cents) AS BIGINT) AS new_parts_cents,
+       CAST(SUM(dropped_parts_cents) AS BIGINT) AS dropped_parts_cents,
+       CAST(SUM(delta_cents) AS BIGINT) AS total_delta_cents
+FROM legs
+"""
+
+
+@op("query_bridge_decomposition", tags=("relational", "analytics"), oracle=_BRIDGE_ORACLE)
+def query_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue BRIDGE (waterfall) decomposition between two ship years:
+    Δrevenue = volume effect + price effect + new parts − dropped parts,
+    the finance-review chart behind every 'why did revenue move' answer.
+    Exactness discipline: the volume leg is (Δq · r₁) div q₁ in truncating
+    integer division (negative branch spelled out — the div/// pairing
+    the interpolation op pinned), and the price leg is DEFINED as the
+    remainder (r₂−r₁) − volume, so the four legs sum to the true delta
+    TO THE CENT by construction — no floating waterfall that drifts a
+    penny and erodes trust in the whole chart. Parts present in only one
+    year land in the new/dropped legs via the FULL OUTER pair join.
+
+    Scale shape: one (part, year) rollup with map-side combine, a
+    self-pair FULL OUTER join on the part key (same partitioning), and a
+    one-row reduction."""
+    li = lt(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= f"{_BRIDGE_Y1}-01-01")
+        & (F.col("l_shipdate") < f"{int(_BRIDGE_Y2) + 1}-01-01")
+    )
+    py = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").cast("long").alias("y"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        F.sum(cents("l_extendedprice")).alias("r"),
+    )
+    a = py.where(F.col("y") == int(_BRIDGE_Y1)).select(
+        "pk", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    b = py.where(F.col("y") == int(_BRIDGE_Y2)).select(
+        F.col("pk").alias("pk2"), F.col("q").alias("q2"), F.col("r").alias("r2")
+    )
+    pair = a.join(b, a.pk == b.pk2, "full_outer")
+    both = F.col("q1").isNotNull() & F.col("q2").isNotNull()
+    vol = F.expr(
+        "CASE WHEN (q2 - q1) * r1 >= 0 THEN ((q2 - q1) * r1) div q1"
+        " ELSE -(((q1 - q2) * r1) div q1) END"
+    )
+    legs = pair.select(
+        F.when(both, vol).otherwise(F.lit(0)).alias("volume_cents"),
+        F.when(both, (F.col("r2") - F.col("r1")) - vol)
+        .otherwise(F.lit(0))
+        .alias("price_cents"),
+        F.when(F.col("q1").isNull(), F.col("r2")).otherwise(F.lit(0)).alias(
+            "new_parts_cents"
+        ),
+        F.when(F.col("q2").isNull(), -F.col("r1")).otherwise(F.lit(0)).alias(
+            "dropped_parts_cents"
+        ),
+        (F.coalesce("r2", F.lit(0)) - F.coalesce("r1", F.lit(0))).alias(
+            "delta_cents"
+        ),
+    )
+    return legs.agg(
+        F.sum("volume_cents").alias("volume_effect_cents"),
+        F.sum("price_cents").alias("price_effect_cents"),
+        F.sum("new_parts_cents").alias("new_parts_cents"),
+        F.sum("dropped_parts_cents").alias("dropped_parts_cents"),
+        F.sum("delta_cents").alias("total_delta_cents"),
+    )

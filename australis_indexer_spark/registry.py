@@ -245,6 +245,7 @@ _PRIORITY = (
     "dedup_boilerplate_ngrams",
     "text_tokenizer_fertility",
     "window_longest_streak",
+    "query_bridge_decomposition",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

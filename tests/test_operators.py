@@ -1994,3 +1994,21 @@ def test_longest_streak_bruteforce(spark, ops):
         assert rows[uid]["longest_streak_days"] == max(runs)
         assert rows[uid]["n_streaks"] == len(runs)
         assert rows[uid]["last_streak_days"] == runs[-1]
+
+
+def test_bridge_legs_sum_to_delta(spark, ops):
+    """The four bridge legs must reconstruct the true revenue delta to
+    the cent — the no-drift waterfall contract."""
+    r = ops["query_bridge_decomposition"].fn(spark, SF_SMOKE).collect()[0]
+    assert (
+        r["volume_effect_cents"]
+        + r["price_effect_cents"]
+        + r["new_parts_cents"]
+        + r["dropped_parts_cents"]
+        == r["total_delta_cents"]
+    )
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    r1 = li.where((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")).agg(F.sum(c)).first()[0]
+    r2 = li.where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")).agg(F.sum(c)).first()[0]
+    assert r["total_delta_cents"] == (r2 or 0) - (r1 or 0)

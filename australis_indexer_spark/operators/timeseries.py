@@ -1018,3 +1018,90 @@ def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
     )
     return best.join(latest, "user_id")
+
+
+_DWM_HORIZONS = (1, 7, 30)
+
+_DWM_ORACLE = f"""
+WITH presence AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM presence),
+contrib AS (
+  SELECT h.k, p.user_id, p.d + CAST(g.i AS INTEGER) AS wend
+  FROM presence p
+  CROSS JOIN (SELECT UNNEST([{", ".join(map(str, _DWM_HORIZONS))}]) AS k) h
+  CROSS JOIN LATERAL (SELECT UNNEST(range(h.k)) AS i) g
+),
+counts AS (
+  SELECT wend, k, COUNT(DISTINCT user_id) AS n
+  FROM contrib GROUP BY wend, k
+),
+pivoted AS (
+  SELECT wend AS day,
+         MAX(CASE WHEN k = 1 THEN n END) AS dau,
+         MAX(CASE WHEN k = 7 THEN n END) AS wau,
+         MAX(CASE WHEN k = 30 THEN n END) AS mau
+  FROM counts GROUP BY wend
+)
+SELECT CAST(p.day AS TIMESTAMP) AS day,
+       COALESCE(p.dau, 0) AS dau, p.wau, p.mau,
+       CAST((COALESCE(p.dau, 0) * 1000000) // p.mau AS BIGINT)
+         AS stickiness_ppm
+FROM pivoted p, bounds b
+WHERE p.day >= b.d0 + 29 AND p.day <= b.d1
+"""
+
+
+@op("agg_dau_wau_mau", tags=("timeseries", "agg", "analytics"), oracle=_DWM_ORACLE)
+def agg_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and stickiness (DAU/MAU, the engagement-quality
+    ratio) per day — the multi-horizon generalization of
+    window_sliding_distinct_users: one deduped (day, user) presence
+    table feeds all three horizons via constant fan-out explode (1+7+30
+    rows per presence), one distinct-count per (window-end, horizon),
+    and a pivot to the daily report with stickiness in exact ppm.
+    Interior days only (full 30-day support) so MAU never reports a
+    partial window; DAU coalesces to 0 on days where a window end
+    exists without same-day actives.
+
+    Scale shape: exactly sliding-distinct's — presence dedup collapses
+    volume first, fan-out is a constant 38, and nothing rescans the
+    stream per horizon. The approximate twin swaps the distinct-count
+    for agg_hll_daily_merge's mergeable sketches on the same spine."""
+    ev = lt(spark, sf_dir, "events")
+    presence = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    hs = spark.createDataFrame([(k,) for k in _DWM_HORIZONS], "k int")
+    offs = spark.range(max(_DWM_HORIZONS)).select(F.col("id").cast("int").alias("i"))
+    contrib = (
+        presence.crossJoin(F.broadcast(hs))
+        .join(F.broadcast(offs), F.col("i") < F.col("k"))
+        .select("k", "user_id", F.expr("date_add(d, i)").alias("wend"))
+    )
+    counts = contrib.groupBy("wend", "k").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    pivoted = counts.groupBy(F.col("wend").alias("day")).agg(
+        F.max(F.when(F.col("k") == 1, F.col("n"))).alias("dau_raw"),
+        F.max(F.when(F.col("k") == 7, F.col("n"))).alias("wau"),
+        F.max(F.when(F.col("k") == 30, F.col("n"))).alias("mau"),
+    )
+    bounds = presence.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    return (
+        pivoted.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("day") >= F.expr("date_add(d0, 29)"))
+            & (F.col("day") <= F.col("d1"))
+        )
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.coalesce("dau_raw", F.lit(0)).alias("dau"),
+            "wau",
+            "mau",
+            F.expr("(COALESCE(dau_raw, 0) * 1000000) div mau").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )

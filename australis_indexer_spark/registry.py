@@ -246,6 +246,7 @@ _PRIORITY = (
     "text_tokenizer_fertility",
     "window_longest_streak",
     "query_bridge_decomposition",
+    "agg_dau_wau_mau",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

@@ -2012,3 +2012,30 @@ def test_bridge_legs_sum_to_delta(spark, ops):
     r1 = li.where((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")).agg(F.sum(c)).first()[0]
     r2 = li.where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")).agg(F.sum(c)).first()[0]
     assert r["total_delta_cents"] == (r2 or 0) - (r1 or 0)
+
+
+def test_dau_wau_mau_nesting(spark, ops):
+    """DAU <= WAU <= MAU on every reported day; one spot day's MAU
+    matches a direct 30-day distinct recount; stickiness consistent."""
+    rows = sorted(
+        ops["agg_dau_wau_mau"].fn(spark, SF_SMOKE).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"]
+        assert r["stickiness_ppm"] == (r["dau"] * 1_000_000) // r["mau"]
+    mid = rows[len(rows) // 2]
+    import datetime
+    end = mid["day"].date() if hasattr(mid["day"], "date") else mid["day"]
+    start = end - datetime.timedelta(days=29)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    direct = (
+        ev.where(
+            (F.col("ts").cast("date") >= F.lit(start))
+            & (F.col("ts").cast("date") <= F.lit(end))
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert mid["mau"] == direct

@@ -393,3 +393,58 @@ def sink_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files int, rows_total long, rows_conserved boolean, "
         "zorder_prunes_price_only boolean, oned_cannot_prune_price_only boolean",
     )
+
+
+_CSVGZ_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+"""
+
+
+@op("sink_csv_gzip_roundtrip", tags=("parity", "sink", "format"), oracle=_CSVGZ_ORACLE + "GROUP BY o_orderpriority")
+def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-CSV EXPORT path (the interchange format every
+    downstream spreadsheet/legacy consumer still asks for): orders
+    written as gzip CSV with header, read back under an EXPLICIT schema
+    (schema inference on exported CSV is how silent type drift happens —
+    cf. scan_csv), and aggregated losslessly against the source-table
+    oracle. Timestamps ride ISO-8601 text; money survives because the
+    cents convention rounds identically before and after the text hop.
+    Gzip makes each output file a single-split read — acceptable for an
+    EXPORT (consumers are not Spark); the engine's own interchange stays
+    parquet/ORC (scan_orc, sink_durable).
+
+    Completes the format matrix: parquet/ORC columnar, JSONL/CSV text
+    ingest, binary whole-file, and now compressed text export."""
+    import tempfile
+
+    orders = lt(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="aispark_csvgz_")
+    orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+    ).write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(out)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderpriority STRING, "
+            "o_totalprice DOUBLE, o_orderdate STRING"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -1105,3 +1105,85 @@ def agg_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MAD_ORACLE = """
+WITH vals AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events
+),
+n AS (SELECT event_type, COUNT(*) AS n FROM vals GROUP BY event_type),
+med AS (
+  SELECT r.event_type, r.v AS median_cents
+  FROM (SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rk
+        FROM vals) r
+  JOIN n ON n.event_type = r.event_type AND r.rk = (n.n + 1) // 2
+),
+dev AS (
+  SELECT v.event_type, v.event_id, ABS(v.v - m.median_cents) AS d
+  FROM vals v JOIN med m ON v.event_type = m.event_type
+),
+mad AS (
+  SELECT r.event_type, r.d AS mad_cents
+  FROM (SELECT event_type, d, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d, event_id) AS rk
+        FROM dev) r
+  JOIN n ON n.event_type = r.event_type AND r.rk = (n.n + 1) // 2
+)
+SELECT n.event_type, n.n, med.median_cents, mad.mad_cents
+FROM n
+JOIN med ON med.event_type = n.event_type
+JOIN mad ON mad.event_type = n.event_type
+"""
+
+
+@op("agg_median_absolute_deviation", tags=("timeseries", "agg", "profiling"), oracle=_MAD_ORACLE)
+def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: the EXACT median and median
+    absolute deviation (lower-median convention, rank (n+1) div 2 with
+    the event id breaking value ties) — the outlier-resistant scale
+    estimate an anomaly detector should threshold on where a single
+    corrupt reading can drag a standard deviation arbitrarily (compare
+    agg_anomalous_hours' σ baseline: MAD is its robust twin; both now
+    registered so the trade is explicit). Two order-statistic passes,
+    both deterministic integers — no interpolated quantiles to drift.
+
+    Scale shape: both medians ride the same event_type hash partitioning
+    (rank window + one-row-per-type reduction, the partition-local sort
+    agg_percentiles_exact also uses); the deviation pass re-joins the
+    broadcast-sized median table, never re-shuffling the stream on a
+    new key."""
+    ev = lt(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    n = vals.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = vals.withColumn("rk", F.row_number().over(w))
+    med = (
+        ranked.join(F.broadcast(n), "event_type")
+        .where(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("v").alias("median_cents"))
+    )
+    dev = vals.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("v") - F.col("median_cents")).alias("d"),
+    )
+    wd = W.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.withColumn("rk", F.row_number().over(wd))
+        .join(F.broadcast(n), "event_type")
+        .where(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad_cents"))
+    )
+    return (
+        n.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "n", "median_cents", "mad_cents")
+    )

@@ -247,6 +247,8 @@ _PRIORITY = (
     "window_longest_streak",
     "query_bridge_decomposition",
     "agg_dau_wau_mau",
+    "sink_csv_gzip_roundtrip",
+    "agg_median_absolute_deviation",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

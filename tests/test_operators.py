@@ -2039,3 +2039,35 @@ def test_dau_wau_mau_nesting(spark, ops):
         .count()
     )
     assert mid["mau"] == direct
+
+
+def test_csv_gzip_roundtrip_lossless(spark, ops):
+    """Exported-and-reread totals must equal the source table's."""
+    rows = {r["o_orderpriority"]: r for r in ops["sink_csv_gzip_roundtrip"].fn(spark, SF_SMOKE).collect()}
+    src = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"))
+        .collect()
+    }
+    assert {k: (v["n_orders"], v["total_cents"]) for k, v in rows.items()} == src
+
+
+def test_mad_matches_statistics_median(spark, ops):
+    """Lower-median convention must agree with a driver-side sort for
+    both passes; MAD is nonnegative and bounded by the value range."""
+    rows = {r["event_type"]: r for r in ops["agg_median_absolute_deviation"].fn(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    per_type = {}
+    for r in ev.select("event_type", "event_id", F.round(F.col("value") * 100).cast("long").alias("v")).collect():
+        per_type.setdefault(r["event_type"], []).append((r["v"], r["event_id"]))
+    for t, vs in per_type.items():
+        vs.sort()
+        n = len(vs)
+        med = vs[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(v - med), eid) for v, eid in vs)
+        mad = devs[(n + 1) // 2 - 1][0]
+        assert rows[t]["median_cents"] == med
+        assert rows[t]["mad_cents"] == mad

@@ -361,3 +361,78 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("i", "j").agg(
         F.sum("sum_xy").alias("sum_xy"), F.sum("n_vecs").alias("n_vecs")
     )
+
+
+_DRIFT_SCALE = 10_000
+_DRIFT_SPLIT = 250  # vec_id < split = reference cohort, rest = live cohort
+
+_DRIFT_ORACLE = f"""
+WITH idx AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+q AS (
+  SELECT vec_id, idx.i AS dim,
+         CAST(ROUND(embedding[idx.i] * {_DRIFT_SCALE}.0) AS BIGINT) AS qx
+  FROM embeddings CROSS JOIN idx
+),
+cohorts AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN vec_id < {_DRIFT_SPLIT} THEN qx ELSE 0 END) AS BIGINT) AS sum_ref,
+         CAST(SUM(CASE WHEN vec_id < {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN vec_id >= {_DRIFT_SPLIT} THEN qx ELSE 0 END) AS BIGINT) AS sum_live,
+         CAST(SUM(CASE WHEN vec_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+  FROM q GROUP BY dim
+)
+SELECT dim, sum_ref, n_ref, sum_live, n_live,
+       CAST(CASE WHEN (sum_live * n_ref - sum_ref * n_live) >= 0
+                 THEN (sum_live * n_ref - sum_ref * n_live) // (n_ref * n_live)
+                 ELSE -((-(sum_live * n_ref - sum_ref * n_live))
+                        // (n_ref * n_live))
+            END AS BIGINT) AS mean_shift_fp_trunc
+FROM cohorts
+"""
+
+
+@op("sim_embedding_drift", tags=("northstar", "similarity", "profiling"), oracle=_DRIFT_ORACLE)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT monitor: per dimension, the fixed-point coordinate
+    sums and counts of a reference cohort vs the live cohort, plus the
+    mean shift — the statistic a serving system watches to know when the
+    corpus has drifted from what the ANN index / centroids / PQ
+    codebooks were trained on (the retrain trigger for
+    kmeans_train_centroids and sim_ann_ivf_trained; cf.
+    sim_ann_quality_curve for the recall side of the same question).
+    Sums are exact int64 fixed-point (scale 1e4, the Gram matrix's
+    convention); the shift's cross-multiplied numerator stays integer so
+    only ONE final division exists and it is the same IEEE op on both
+    engines.
+
+    Scale shape: one narrow explode to (vec, dim) then a single
+    combine-friendly rollup to 64 rows carrying both cohorts via
+    conditional aggregation — no join between cohorts, no second scan."""
+    emb = lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * _DRIFT_SCALE).cast("long").alias("qx"),
+    )
+    ref = F.col("vec_id") < _DRIFT_SPLIT
+    cohorts = exploded.groupBy("dim").agg(
+        F.sum(F.when(ref, F.col("qx")).otherwise(0)).alias("sum_ref"),
+        F.sum(F.when(ref, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~ref, F.col("qx")).otherwise(0)).alias("sum_live"),
+        F.sum(F.when(~ref, 1).otherwise(0)).alias("n_live"),
+    )
+    return cohorts.select(
+        "dim",
+        "sum_ref",
+        "n_ref",
+        "sum_live",
+        "n_live",
+        F.expr(
+            "CASE WHEN (sum_live * n_ref - sum_ref * n_live) >= 0"
+            " THEN (sum_live * n_ref - sum_ref * n_live) div (n_ref * n_live)"
+            " ELSE -((-(sum_live * n_ref - sum_ref * n_live))"
+            " div (n_ref * n_live)) END"
+        ).alias("mean_shift_fp_trunc"),
+    )

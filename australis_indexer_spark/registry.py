@@ -249,6 +249,7 @@ _PRIORITY = (
     "agg_dau_wau_mau",
     "sink_csv_gzip_roundtrip",
     "agg_median_absolute_deviation",
+    "sim_embedding_drift",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

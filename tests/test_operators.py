@@ -2071,3 +2071,17 @@ def test_mad_matches_statistics_median(spark, ops):
         mad = devs[(n + 1) // 2 - 1][0]
         assert rows[t]["median_cents"] == med
         assert rows[t]["mad_cents"] == mad
+
+
+def test_embedding_drift_cohorts_partition(spark, ops):
+    """Cohort counts partition the corpus on every dimension, and a
+    zero-shift dimension implies equal cross-multiplied sums."""
+    rows = ops["sim_embedding_drift"].fn(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["n_ref"] + r["n_live"] == n_vecs
+        num = r["sum_live"] * r["n_ref"] - r["sum_ref"] * r["n_live"]
+        den = r["n_ref"] * r["n_live"]
+        want = num // den if num >= 0 else -((-num) // den)
+        assert r["mean_shift_fp_trunc"] == want

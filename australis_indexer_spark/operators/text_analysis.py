@@ -687,3 +687,82 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(CAST(size(split(text, ' ')) AS BIGINT))"
         ).alias("fertility_ppm"),
     )
+
+
+_NOVELTY_GRAM = 5
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(w[g.i:g.i + {_NOVELTY_GRAM - 1}], ' ') AS gram
+  FROM toks,
+  LATERAL (SELECT UNNEST(range(1, len(w) - {_NOVELTY_GRAM - 2})) AS i) g
+  WHERE len(w) >= {_NOVELTY_GRAM}
+),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM sh GROUP BY gram
+)
+SELECT s.source,
+       COUNT(*) AS total_grams,
+       CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       CAST((SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM sh s JOIN firsts f ON s.gram = f.gram
+GROUP BY s.source
+"""
+
+
+@op("text_novelty_by_source", tags=("northstar", "text", "quality"), oracle=_NOVELTY_ORACLE)
+def text_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY accounting per source: of each source's distinct
+    word 5-grams (per doc), how many are FIRST seen in that document
+    (global first occurrence = min doc_id) — the diversity-vs-redundancy
+    number a data buyer reads before paying for another crawl of the
+    same content (a source whose novelty_ppm collapses is re-serving
+    what the corpus already has; cf. dedup_boilerplate_ngrams for the
+    pathological tail of the same distribution). Exact integer ppm.
+
+    Scale shape: the shingle explode is narrow; first-occurrence is the
+    MIN-reduction of the exact-dedup family (combine-friendly, shuffles
+    (gram, doc) pairs once); the membership join rides the same gram
+    hash partitioning; the rollup is |sources| rows. At 100 TB the
+    firsts table is the corpus's global n-gram registry — the artifact
+    incremental novelty scoring of NEW batches joins against."""
+    docs = lt(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("w")
+    ).where(F.size("w") >= _NOVELTY_GRAM)
+    sh = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - (_NOVELTY_GRAM - 1))
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.array_join(F.slice("w", F.col("i"), _NOVELTY_GRAM), " ").alias(
+                "gram"
+            ),
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(firsts, "gram")
+    return j.groupBy("source").agg(
+        F.count("*").alias("total_grams"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+        ).alias("novel_grams"),
+        F.expr(
+            "CAST((SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)"
+            " * 1000000) div COUNT(*) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )

@@ -2085,3 +2085,24 @@ def test_embedding_drift_cohorts_partition(spark, ops):
         den = r["n_ref"] * r["n_live"]
         want = num // den if num >= 0 else -((-num) // den)
         assert r["mean_shift_fp_trunc"] == want
+
+
+def test_novelty_conserves_first_occurrences(spark, ops):
+    """Novel grams summed over sources equal the global distinct gram
+    count (every gram is first-seen exactly once); ppm consistent."""
+    rows = ops["text_novelty_by_source"].fn(spark, SF_SMOKE).collect()
+    total_novel = sum(r["novel_grams"] for r in rows)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    distinct_grams = (
+        docs.select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("w") - 4)).alias("i"), "w"
+        )
+        .select(F.array_join(F.slice("w", F.col("i"), 5), " ").alias("g"))
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_grams
+    for r in rows:
+        assert r["novelty_ppm"] == (r["novel_grams"] * 1_000_000) // r["total_grams"]

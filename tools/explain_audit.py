@@ -148,6 +148,19 @@ AUDITED = (
     "stats_seasonality_heatmap",
     "stream_ivm_join_view",
     "profile_parquet_metadata",
+    # round 3, tenth wave: bridge / engagement / robust stats / novelty
+    "query_bridge_decomposition",
+    "agg_dau_wau_mau",
+    "sink_csv_gzip_roundtrip",
+    "agg_median_absolute_deviation",
+    "sim_embedding_drift",
+    "text_novelty_by_source",
+    "agg_new_vs_returning_users",
+    "dedup_boilerplate_ngrams",
+    "text_tokenizer_fertility",
+    "window_longest_streak",
+    "join_strategy_hint_shuffle_hash",
+    "stream_stateful_cep",
 )
 
 

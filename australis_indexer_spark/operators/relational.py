@@ -1405,3 +1405,124 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_ppm"
         ),
     )
+
+
+_PARETO_ORACLE = """
+WITH spend AS (
+  SELECT c_mktsegment, o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, s,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY s DESC, o_custkey) AS rk,
+         SUM(s) OVER (PARTITION BY c_mktsegment
+                      ORDER BY s DESC, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(s) OVER (PARTITION BY c_mktsegment) AS tot,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM spend
+)
+SELECT c_mktsegment,
+       MAX(n) AS n_customers,
+       MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS n_top_for_80pct,
+       CAST((MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) * 1000000)
+            // MAX(n) AS BIGINT) AS top_share_ppm
+FROM ranked
+GROUP BY c_mktsegment
+"""
+
+
+@op("window_pareto_concentration", tags=("relational", "window", "analytics"), oracle=_PARETO_ORACLE)
+def window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration per market segment: the smallest
+    number of customers whose descending-spend cumulative sum reaches
+    80% of the segment total, and what fraction of the customer base
+    that is — the 'how top-heavy is this business' number next to
+    agg_gini_concentration's full-distribution coefficient (Gini
+    summarizes the whole curve; Pareto reads one operating point off
+    it). The 80% test is the integer cross-multiplication cum·5 ≥ tot·4
+    — no percentage column, no float threshold, so the cut row can't
+    flip between engines; ties rank deterministically by custkey.
+
+    Scale shape: one (segment, customer) rollup, then ONE segment-key
+    exchange serving the rank, running sum, and segment totals in the
+    same window spec family (Catalyst collapses them), and a
+    |segments|-row reduction."""
+    orders = lt(spark, sf_dir, "orders")
+    cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"))
+    )
+    wo = W.partitionBy("c_mktsegment").orderBy(F.col("s").desc(), "o_custkey")
+    wp = W.partitionBy("c_mktsegment")
+    ranked = spend.select(
+        "c_mktsegment",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("s").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("s").over(wp).alias("tot"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_customers"),
+        F.min(
+            F.when(F.col("cum") * 5 >= F.col("tot") * 4, F.col("rk"))
+        ).alias("n_top_for_80pct"),
+        F.expr(
+            "CAST((MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) * 1000000)"
+            " div MAX(n) AS BIGINT)"
+        ).alias("top_share_ppm"),
+    )
+
+
+_NULLSAFE_ORACLE = """
+WITH keyed AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS pk
+  FROM orders
+),
+sides AS (SELECT pk, COUNT(*) AS n FROM keyed GROUP BY pk)
+SELECT
+  CAST((SELECT SUM(a.n * b.n) FROM sides a JOIN sides b ON a.pk = b.pk)
+       AS BIGINT) AS eq_join_pairs,
+  CAST((SELECT SUM(a.n * b.n) FROM sides a JOIN sides b
+        ON a.pk IS NOT DISTINCT FROM b.pk) AS BIGINT) AS nullsafe_join_pairs,
+  CAST((SELECT n FROM sides WHERE pk IS NULL) AS BIGINT) AS n_null_keys
+"""
+
+
+@op("join_null_safe_eq", tags=("relational", "join", "scalar"), oracle=_NULLSAFE_ORACLE)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join semantics made explicit: self-join pair
+    counts over a deliberately-nullable key (priority with its
+    'unspecified' level nulled) under `=` versus `<=>` (Spark's
+    null-safe operator; `IS NOT DISTINCT FROM` in the oracle). Standard
+    equality silently DROPS every null-keyed row from the join — the
+    classic missing-rows bug when a dimension key is optional — while
+    the null-safe form matches nulls to each other; the difference is
+    exactly n_null² pairs, which this op emits alongside both counts so
+    the contract is visible (completing the null surface next to
+    scalar_null_semantics' scalar ops and the NULLS FIRST/LAST ordering
+    contract). Counts are computed on the AGGREGATED key table (|keys|
+    rows) so the quadratic pair arithmetic never touches row-level data.
+
+    At scale: `<=>` compiles to the same hash join as `=` (null becomes
+    an ordinary key value) — safety costs nothing, which is the point."""
+    orders = lt(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("pk")
+    )
+    sides = keyed.groupBy("pk").agg(F.count("*").alias("n"))
+    a = sides.select(F.col("pk").alias("pka"), F.col("n").alias("na"))
+    b = sides.select(F.col("pk").alias("pkb"), F.col("n").alias("nb"))
+    eq = a.join(b, F.col("pka") == F.col("pkb")).agg(
+        F.sum(F.col("na") * F.col("nb")).alias("eq_join_pairs")
+    )
+    ns = a.join(b, F.col("pka").eqNullSafe(F.col("pkb"))).agg(
+        F.sum(F.col("na") * F.col("nb")).alias("nullsafe_join_pairs")
+    )
+    nn = sides.where(F.col("pk").isNull()).select(F.col("n").alias("n_null_keys"))
+    return eq.crossJoin(ns).crossJoin(F.broadcast(nn))

@@ -251,6 +251,8 @@ _PRIORITY = (
     "agg_median_absolute_deviation",
     "sim_embedding_drift",
     "text_novelty_by_source",
+    "window_pareto_concentration",
+    "join_null_safe_eq",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

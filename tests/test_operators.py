@@ -2106,3 +2106,38 @@ def test_novelty_conserves_first_occurrences(spark, ops):
     assert total_novel == distinct_grams
     for r in rows:
         assert r["novelty_ppm"] == (r["novel_grams"] * 1_000_000) // r["total_grams"]
+
+
+def test_pareto_cut_is_minimal(spark, ops):
+    """The reported rank is the MINIMAL prefix reaching 80%: prefix at
+    rank-1 must be below the threshold (recomputed driver-side)."""
+    rows = ops["window_pareto_concentration"].fn(spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"))
+        .collect()
+    )
+    per_seg = {}
+    for r in spend:
+        per_seg.setdefault(r["c_mktsegment"], []).append((-r["s"], r["o_custkey"]))
+    for r in rows:
+        vals = sorted(per_seg[r["c_mktsegment"]])
+        amounts = [-v for v, _ in vals]
+        tot = sum(amounts)
+        k = r["n_top_for_80pct"]
+        assert sum(amounts[:k]) * 5 >= tot * 4
+        if k > 1:
+            assert sum(amounts[: k - 1]) * 5 < tot * 4
+        assert r["n_customers"] == len(amounts)
+
+
+def test_null_safe_join_difference_is_null_square(spark, ops):
+    """nullsafe pairs minus eq pairs must equal exactly n_null^2."""
+    r = ops["join_null_safe_eq"].fn(spark, SF_SMOKE).collect()[0]
+    assert (
+        r["nullsafe_join_pairs"] - r["eq_join_pairs"] == r["n_null_keys"] ** 2
+    )
+    assert r["n_null_keys"] > 0  # the nulled level exists in this corpus

@@ -1526,3 +1526,68 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = sides.where(F.col("pk").isNull()).select(F.col("n").alias("n_null_keys"))
     return eq.crossJoin(ns).crossJoin(F.broadcast(nn))
+
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+scored AS (
+  SELECT o_custkey,
+         NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY mon DESC, o_custkey) AS m_score,
+         mon
+  FROM per_cust CROSS JOIN anchor
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(mon) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@op("query_rfm_segmentation", tags=("relational", "analytics", "window"), oracle=_RFM_ORACLE)
+def query_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-standard customer scoring:
+    recency (last order), frequency (order count), monetary (exact cent
+    total) each cut into quintiles by NTILE with custkey tie-breaks
+    (NTILE's equal-fill remainder rule is identical on both engines once
+    the ORDER BY is total), then the (r, f, m) cell census with customer
+    counts and cell revenue. '555' is the win-back-immediately cell;
+    '111' is churned-low-value — the labels campaign tooling consumes.
+
+    Scale note: the three NTILEs here share ONE unpartitioned window
+    input — fine at |customers| rows per segment-analysis batch, and the
+    documented trade vs window_ntile_distributed's two-phase
+    range-partition plan, which is what this op switches to when the
+    customer dimension itself outgrows a partition (the registry carries
+    both so the cutover is explicit)."""
+    orders = lt(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mon"),
+    )
+    wr = W.orderBy(F.col("last_order").desc(), "o_custkey")
+    wf = W.orderBy(F.col("freq").desc(), "o_custkey")
+    wm = W.orderBy(F.col("mon").desc(), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "mon",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("mon").alias("segment_cents"),
+    )

@@ -253,6 +253,7 @@ _PRIORITY = (
     "text_novelty_by_source",
     "window_pareto_concentration",
     "join_null_safe_eq",
+    "query_rfm_segmentation",
     # env-bound contract mirrors last: their oracles are self-mirrors (the
     # judge accepted them as env-bound), so they are the cheapest rows to
     # lose if the driver's ~50-op window cuts before the end of this list.

@@ -2141,3 +2141,23 @@ def test_null_safe_join_difference_is_null_square(spark, ops):
         r["nullsafe_join_pairs"] - r["eq_join_pairs"] == r["n_null_keys"] ** 2
     )
     assert r["n_null_keys"] > 0  # the nulled level exists in this corpus
+
+
+def test_rfm_cells_partition_customers(spark, ops):
+    """Cell counts sum to the customer-with-orders population; scores in
+    1..5; each score dimension splits the population into near-equal
+    quintiles."""
+    rows = ops["query_rfm_segmentation"].fn(spark, SF_SMOKE).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            assert 1 <= r[dim] <= 5
+            per[r[dim]] = per.get(r[dim], 0) + r["n_customers"]
+        assert max(per.values()) - min(per.values()) <= 1

@@ -90,12 +90,134 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 
 
 # The correctness driver walks ops in registration order with a ~50-op
-# per-round budget. Rounds 1+2 certified 96/109; these are the ops that have
-# never been inside a driver window (sampling ×4, text ×6, three relational
-# tails), the two rounds' reds re-fixed (grouping sets r2, curation r1), and
-# the formerly rows-only ops that gained oracles in round 3 — they MUST land
-# in the first 50 slots so CORRECTNESS_r3 certifies them.
+# per-round budget. Rounds 1-3 certified 136/244; round 4's window is pure
+# certification rotation (VERDICT r3 #1): zero repeats of already-green ops.
+# Slots 1-4: the four env-bound ops whose latest driver row is still the r2
+#   `no_oracle` red. Their oracles are now genuinely independent —
+#   scan_stream: fixture-pinned VALUES with payload char counts re-derived
+#   outside Spark (fixture_oracles.py:456); health_check: DuckDB
+#   information_schema column counts over the same registered views;
+#   cbor_encode: RFC 8949 head-length arithmetic restated in SQL
+#   (wire.py:218); compress_roundtrip: DuckDB octet_length + an asserted
+#   TRUE the Spark side must prove byte-exactly. They were parked last in
+#   r3 and got cut by the window; they go FIRST now.
+# Slots 5-50: the 46 highest-user-value never-certified ops — the TPC-H
+#   completion (tpch.py), the window/timeseries family, the profiling
+#   family, and the relational tail (incl. window_value_functions and
+#   join_outer_reconciliation, VERDICT r3 #8).
 _PRIORITY = (
+    "scan_stream",
+    "health_check",
+    "cbor_encode",
+    "compress_roundtrip",
+    "query_nation_pair_trade",
+    "query_disjunctive_predicates",
+    "query_lateral_topk",
+    "query_exists_late_orders",
+    "query_waiting_suppliers",
+    "query_dormant_rich_customers",
+    "query_forecast_revenue",
+    "query_market_share",
+    "query_customer_distribution",
+    "query_promo_revenue",
+    "query_top_supplier",
+    "query_small_quantity_revenue",
+    "query_yoy_growth",
+    "query_bridge_decomposition",
+    "join_outer_reconciliation",
+    "window_value_functions",
+    "window_share_of_total",
+    "window_running_distinct",
+    "window_time_gapfill_locf",
+    "window_time_in_state",
+    "window_time_ohlc_bars",
+    "window_time_interpolate_linear",
+    "window_time_rate_of_change",
+    "window_pattern_cep",
+    "window_sliding_distinct_users",
+    "window_longest_streak",
+    "window_pareto_concentration",
+    "agg_dau_wau_mau",
+    "agg_new_vs_returning_users",
+    "stats_markov_transitions",
+    "stats_seasonality_heatmap",
+    "agg_quantile_from_histogram",
+    "agg_median_absolute_deviation",
+    "profile_constraints",
+    "profile_benford_digits",
+    "profile_k_anonymity",
+    "profile_fd_discovery",
+    "profile_parquet_metadata",
+    "stats_association_rules",
+    "stats_triangle_count",
+    "agg_countmin_heavyhitters",
+    "agg_histogram_fixed_bins",
+    "query_rfm_segmentation",
+    "join_null_safe_eq",
+    "agg_decimal_money_exact",
+    "agg_gini_concentration",
+    # --- round-5 pool: the 58 remaining never-certified ops, highest
+    # value first; they are past the ~50-op window this round and queue
+    # for the next rotation.
+    "text_langid_quality",
+    "pipeline_dataset_card",
+    "udf_pandas_grouped_agg",
+    "join_self_temporal_overlap",
+    "agg_hll_daily_merge",
+    "agg_listagg_ordered",
+    "scalar_null_semantics",
+    "scan_binary_files",
+    "agg_unpivot_roundtrip",
+    "stats_degree_distribution",
+    "agg_weighted_average_exact",
+    "pipeline_index_build",
+    "text_cooccurrence_pairs",
+    "dedup_minhash_quality",
+    "agg_bitmap_set_ops",
+    "agg_argmax_latest_order",
+    "agg_bitmap_distinct",
+    "stream_late_data_policy",
+    "stats_join_fanout_estimate",
+    "text_boolean_search",
+    "sink_zorder_stats",
+    "scan_schema_evolution",
+    "join_pit_temporal_dim",
+    "scan_jsonl_corrupt_tolerant",
+    "table_snapshot_diff",
+    "pipeline_tombstone_delete",
+    "project_props_json",
+    "join_dpp_partition_pruned",
+    "agg_mode_per_group",
+    "pipeline_shard_manifest",
+    "join_bloom_prefilter",
+    "join_fuzzy_name",
+    "text_inverted_index",
+    "stream_cdc_upsert",
+    "stream_incremental_rollup",
+    "multimodal_phash_neardup",
+    "sample_importance_weighted",
+    "embedding_gram_matrix",
+    "stream_windowed_topk",
+    "text_tfidf_topterms",
+    "join_asof_nearest",
+    "udf_pandas_scalar_batch",
+    "scalar_higher_order_arrays",
+    "sim_ann_quality_curve",
+    "stream_ivm_join_view",
+    "pipeline_mixture_plan",
+    "multimodal_pair_alignment",
+    "sample_epoch_shuffle",
+    "stream_stateful_cep",
+    "udf_python_udtf_chunks",
+    "text_langid_margin",
+    "stats_ab_experiment_readout",
+    "join_strategy_hint_shuffle_hash",
+    "dedup_boilerplate_ngrams",
+    "text_tokenizer_fertility",
+    "sink_csv_gzip_roundtrip",
+    "sim_embedding_drift",
+    "text_novelty_by_source",
+    # --- already driver-green (r3 window, kept for stable ordering) ---
     "sample_split_hash",
     "sample_balanced_strata",
     "sample_reservoir_uniform",
@@ -115,8 +237,6 @@ _PRIORITY = (
     "stream_stream_join_outcomes",
     "stream_stateful_gap_tracker",
     "sink_compaction",
-    # round-3 additions (operators/curation.py, storage.py, pq.py) —
-    # never driver-seen
     "pipeline_decontaminate",
     "text_repetition_stats",
     "doc_chunk_tokens",
@@ -142,125 +262,12 @@ _PRIORITY = (
     "agg_anomalous_hours",
     "window_rolling_7day_volume",
     "agg_linear_trend",
-    # late round-3 additions, never driver-seen
     "project_props_variant",
     "pipeline_media_curation",
     "sample_temporal_split",
     "sink_custom_publish",
     "scan_custom_source",
     "scan_custom_source_stream",
-    "text_langid_quality",
-    "pipeline_dataset_card",
-    "query_nation_pair_trade",
-    "query_disjunctive_predicates",
-    "udf_pandas_grouped_agg",
-    "query_lateral_topk",
-    "join_self_temporal_overlap",
-    "agg_hll_daily_merge",
-    "agg_listagg_ordered",
-    "scalar_null_semantics",
-    "scan_binary_files",
-    "agg_unpivot_roundtrip",
-    "stats_degree_distribution",
-    "agg_weighted_average_exact",
-    "pipeline_index_build",
-    "text_cooccurrence_pairs",
-    "dedup_minhash_quality",
-    "agg_bitmap_set_ops",
-    "agg_argmax_latest_order",
-    "window_share_of_total",
-    "agg_bitmap_distinct",
-    "stream_late_data_policy",
-    "stats_join_fanout_estimate",
-    "text_boolean_search",
-    "sink_zorder_stats",
-    "scan_schema_evolution",
-    "join_pit_temporal_dim",
-    "agg_histogram_fixed_bins",
-    "scan_jsonl_corrupt_tolerant",
-    "profile_constraints",
-    "table_snapshot_diff",
-    "pipeline_tombstone_delete",
-    "project_props_json",
-    "join_dpp_partition_pruned",
-    "window_running_distinct",
-    "agg_mode_per_group",
-    "pipeline_shard_manifest",
-    "query_exists_late_orders",
-    "query_waiting_suppliers",
-    "query_dormant_rich_customers",
-    "join_bloom_prefilter",
-    "join_fuzzy_name",
-    "text_inverted_index",
-    "window_time_gapfill_locf",
-    "window_time_in_state",
-    "stream_cdc_upsert",
-    "stream_incremental_rollup",
-    "multimodal_phash_neardup",
-    "window_value_functions",
-    "join_outer_reconciliation",
-    # TPC-H surface completion (Q6/Q8/Q13/Q14/Q15/Q17)
-    "query_forecast_revenue",
-    "query_market_share",
-    "query_customer_distribution",
-    "query_promo_revenue",
-    "query_top_supplier",
-    "query_small_quantity_revenue",
-    "window_time_ohlc_bars",
-    "sample_importance_weighted",
-    "embedding_gram_matrix",
-    "stats_triangle_count",
-    "agg_countmin_heavyhitters",
-    "stream_windowed_topk",
-    "window_time_interpolate_linear",
-    "text_tfidf_topterms",
-    "join_asof_nearest",
-    "udf_pandas_scalar_batch",
-    "profile_benford_digits",
-    "stats_association_rules",
-    "profile_k_anonymity",
-    "profile_fd_discovery",
-    "scalar_higher_order_arrays",
-    "agg_decimal_money_exact",
-    "sim_ann_quality_curve",
-    "stream_ivm_join_view",
-    "agg_quantile_from_histogram",
-    "window_pattern_cep",
-    "stats_markov_transitions",
-    "pipeline_mixture_plan",
-    "agg_gini_concentration",
-    "multimodal_pair_alignment",
-    "sample_epoch_shuffle",
-    "stream_stateful_cep",
-    "profile_parquet_metadata",
-    "window_time_rate_of_change",
-    "query_yoy_growth",
-    "udf_python_udtf_chunks",
-    "window_sliding_distinct_users",
-    "text_langid_margin",
-    "stats_ab_experiment_readout",
-    "stats_seasonality_heatmap",
-    "join_strategy_hint_shuffle_hash",
-    "agg_new_vs_returning_users",
-    "dedup_boilerplate_ngrams",
-    "text_tokenizer_fertility",
-    "window_longest_streak",
-    "query_bridge_decomposition",
-    "agg_dau_wau_mau",
-    "sink_csv_gzip_roundtrip",
-    "agg_median_absolute_deviation",
-    "sim_embedding_drift",
-    "text_novelty_by_source",
-    "window_pareto_concentration",
-    "join_null_safe_eq",
-    "query_rfm_segmentation",
-    # env-bound contract mirrors last: their oracles are self-mirrors (the
-    # judge accepted them as env-bound), so they are the cheapest rows to
-    # lose if the driver's ~50-op window cuts before the end of this list.
-    "scan_stream",
-    "health_check",
-    "cbor_encode",
-    "compress_roundtrip",
 )
 
 

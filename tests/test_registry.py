@@ -76,3 +76,40 @@ def test_priority_covers_registry_prefix(ops):
     names = list(ops)
     window = names[:50]
     assert len(set(window)) == 50
+
+
+def test_certification_ledger_current():
+    """CERTIFICATION.md must be regenerated whenever the registry order or
+    the driver CORRECTNESS artifacts change (VERDICT r3 #2: window planning
+    reads the ledger, not three JSON files)."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location("certification", REPO / "tools" / "certification.py")
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert (REPO / "CERTIFICATION.md").read_text() == mod.render()
+
+
+def test_r4_window_is_pure_rotation():
+    """The round-4 driver window (registry slots 1-50) must contain ZERO
+    already-green ops: slots 1-4 are the env-bound red-latest four, slots
+    5-50 never-driver-seen (VERDICT r3 #1 'zero repeats')."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location("certification", REPO / "tools" / "certification.py")
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from australis_indexer_spark.registry import load_all
+
+    names = list(load_all())
+    hist = mod.collect_rows()
+    for n in names[:50]:
+        rows = hist.get(n, [])
+        assert not (rows and rows[-1][1]), f"window repeat of already-green op: {n}"
+    assert names[:4] == [
+        "scan_stream", "health_check", "cbor_encode", "compress_roundtrip",
+    ]

@@ -64,14 +64,22 @@ def main() -> None:
     # best-of-N per query: the suite runs on a shared VM, and a concurrent
     # load spike multiplies every wall-clock uniformly (the r02 26.8s-vs-16.2s
     # scare was exactly this). The MIN over interleaved repeats is the
-    # load-robust estimator of the plan's actual cost.
+    # load-robust estimator of the plan's actual cost — and every repeat is
+    # CACHE-COLD: `clearCache()` runs before each suite pass, so ops that
+    # `.cache()` intermediates re-compute them from the scan every time
+    # (r3's best-of-3 silently re-served CacheManager entries on repeats 2-3
+    # and reported warm re-execution; VERDICT r3 "What's wrong" #1).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     best: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for _ in range(n_runs):
+        spark.catalog.clearCache()
         for name in HEADLINE:
             t0 = time.perf_counter()
             ops[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            if name not in cold:
+                cold[name] = dt
             if name not in best or dt < best[name]:
                 best[name] = dt
     timings = {name: round(best[name], 3) for name in HEADLINE}
@@ -86,6 +94,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "methodology": (
+                    f"min over {n_runs} cache-cold suite passes "
+                    "(spark.catalog.clearCache() before each pass); "
+                    "cold_* is the first pass"
+                ),
+                "cold_total": round(sum(cold.values()), 3),
+                "cold_queries": {n: round(cold[n], 3) for n in HEADLINE},
             }
         )
     )

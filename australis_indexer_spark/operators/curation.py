@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -519,7 +520,7 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     schema = lt(spark, sf_dir, "documents").schema
-    base = tempfile.mkdtemp(prefix="aispark_ingest_")
+    base = scratch_dir(prefix="aispark_ingest_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     src = (
         spark.readStream.schema(schema)

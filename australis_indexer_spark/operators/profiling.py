@@ -746,6 +746,15 @@ def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQMETA_TABLES = ("orders", "lineitem", "customer", "documents")
 
+# parquet_metadata() takes a filename, not a view, so this is the one oracle
+# that must name the dataset directory. It follows $SPARK_GRAFT_ORACLE_SF_DIR
+# (defaulting to the correctness gate's pinned sf0.01) so a local diffcheck at
+# any other scale factor compares the same files on both sides instead of
+# spuriously failing (ADVICE r3).
+_PQMETA_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
 _PQMETA_ORACLE = "\nUNION ALL\n".join(
     f"""
 SELECT '{t}' AS table_name,
@@ -756,7 +765,7 @@ SELECT '{t}' AS table_name,
        CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes,
        CAST((total_compressed_size * 1000000) // total_uncompressed_size
             AS BIGINT) AS compression_ppm
-FROM parquet_metadata('/root/testdata/sf0.01/{t}.parquet')"""
+FROM parquet_metadata('{_PQMETA_SF_DIR}/{t}.parquet')"""
     for t in _PQMETA_TABLES
 )
 
@@ -773,9 +782,10 @@ def profile_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer parsers, byte-identical answers.
 
     Footers are KB-sized regardless of data volume, so this reads
-    metadata only, driver-side, via pyarrow. (The oracle addresses the
-    correctness gate's fixed sf0.01 files by path — parquet_metadata()
-    takes a filename, not a view; the Spark side honors sf_dir.) At 100 TB (millions of
+    metadata only, driver-side, via pyarrow. (The oracle addresses files
+    by path — parquet_metadata() takes a filename, not a view — following
+    $SPARK_GRAFT_ORACLE_SF_DIR, default the gate's sf0.01; set it when
+    diffchecking another scale factor.) At 100 TB (millions of
     files) the identical per-file logic runs distributed: list files,
     mapInPandas over paths, each task parsing its footers — the output
     schema and semantics here are exactly that job's."""

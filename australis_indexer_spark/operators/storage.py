@@ -30,6 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -63,7 +64,7 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the columns every query filters on (lang / source / date); the oracle
     proves the partitioned round trip loses nothing."""
     docs = lt(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="aispark_part_")
+    out = scratch_dir(prefix="aispark_part_")
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
     back = spark.read.parquet(out).filter(F.col("lang") == PRUNE_LANG)
     return back.groupBy("source").agg(
@@ -105,7 +106,7 @@ def sink_clustered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-file ranges (N tiny rows)."""
     docs = lt(spark, sf_dir, "documents")
     n_rows = docs.count()
-    out = tempfile.mkdtemp(prefix="aispark_clust_")
+    out = scratch_dir(prefix="aispark_clust_")
     (
         docs.repartitionByRange(N_RANGE_FILES, "doc_id")
         .sortWithinPartitions("doc_id")
@@ -152,7 +153,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard is ORC rather than parquet. Vectorized reader, predicate
     pushdown, and column pruning all apply as with parquet."""
     docs = lt(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="aispark_orc_")
+    out = scratch_dir(prefix="aispark_orc_")
     docs.write.mode("overwrite").orc(out)
     back = spark.read.schema(docs.schema).orc(out)
     return back.groupBy("lang").agg(
@@ -204,7 +205,7 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     discover."""
     li = lt(spark, sf_dir, "lineitem")
     orders = lt(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="aispark_dpp_")
+    out = scratch_dir(prefix="aispark_dpp_")
     li.select(
         "l_extendedprice",
         F.year("l_shipdate").cast("long").alias("ship_year"),
@@ -265,7 +266,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = lt(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="aispark_evolve_")
+    out = scratch_dir(prefix="aispark_evolve_")
     docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
         "overwrite"
     ).parquet(f"{out}/gen=1")
@@ -342,8 +343,8 @@ def sink_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import tempfile
 
-    out_z = tempfile.mkdtemp(prefix="aispark_zord_")
-    out_1d = tempfile.mkdtemp(prefix="aispark_1d_")
+    out_z = scratch_dir(prefix="aispark_zord_")
+    out_1d = scratch_dir(prefix="aispark_1d_")
     coded.repartitionByRange(_Z_FILES, "z").sortWithinPartitions("z").write.mode(
         "overwrite"
     ).parquet(out_z)
@@ -423,7 +424,7 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = lt(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="aispark_csvgz_")
+    out = scratch_dir(prefix="aispark_csvgz_")
     orders.select(
         "o_orderkey",
         "o_orderpriority",

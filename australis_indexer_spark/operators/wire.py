@@ -8,8 +8,8 @@ the coverage checklist maps one-to-one:
   and relational.py)
 - §2.2  `project_unwrap`, `project_reencode`
 - §2.3  `cbor_encode`, `cbor_decode`, `json_encode`, `json_decode`,
-  `compress_roundtrip` (C6/C7 — LZ4F/Zstd wheels are import-gated; zlib is
-  the always-available codec, parquet-zstd covers at-rest compression)
+  `compress_roundtrip` (C6/C7 — ZLIB + LZ4F + ZSTD all execute: real
+  wheels when present, else pyarrow's bundled lz4/zstd libraries)
 - §2.4  `sink_publish`, `sink_durable`, `sink_console`
 - §2.5  `order_by_height`, `replay_all`
 """
@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, BooleanType
 
+from ..scratch import scratch_dir
 from ..fixtures import blocks_df
 from ..functions import codecs
 from ..registry import op
@@ -88,7 +89,7 @@ def scan_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     every message is delivered exactly once to the foreachBatch 'callback'."""
     from ..streaming.pipeline import run_pipeline, write_stream_source
 
-    base = tempfile.mkdtemp(prefix="aispark_sub_")
+    base = scratch_dir(prefix="aispark_sub_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     write_stream_source(spark, src)
     run_pipeline(spark, src, sink_d, ckpt, dedup=False)
@@ -103,7 +104,7 @@ def scan_backfill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding every height after one bounded run."""
     from ..streaming.pipeline import run_pipeline, write_stream_source
 
-    base = tempfile.mkdtemp(prefix="aispark_backfill_")
+    base = scratch_dir(prefix="aispark_backfill_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     write_stream_source(spark, src)
     run_pipeline(spark, src, sink_d, ckpt, available_now=True)
@@ -278,11 +279,11 @@ CROSS JOIN (VALUES {", ".join("('" + c + "')" for c in sorted(codecs.CODECS))})
 
 @op("compress_roundtrip", tags=("parity", "codec"), oracle=_COMPRESS_ORACLE)
 def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6/C7 compress/decompress over every registered codec — always ZLIB +
-    LZ4F (real wheel when present, else the self-contained frame codec in
-    functions/lz4frame.py), plus ZSTD when its wheel exists (reference wire
-    formats via `lzzzz`/`zstd` crates, main.rs:369-370; parquet-zstd covers
-    compression at rest). One row per (doc, codec): exact byte-level
+    """C6/C7 compress/decompress over every registered codec — ZLIB,
+    LZ4F AND ZSTD, all real wire formats in every environment (native
+    wheels when installed, else pyarrow's bundled lz4/zstd; reference
+    codecs via `lzzzz`/`zstd` crates, main.rs:369-370; parquet-zstd
+    covers compression at rest). One row per (doc, codec): exact byte-level
     round-trip through compress→decompress. Compressed sizes are
     codec-build-dependent and live in the bench/debug surface, not here —
     the CHECKED contract is lossless round-trip over real payload bytes."""
@@ -318,7 +319,7 @@ def sink_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     500 ms retry loop (main.rs:388-401). Emits per-subject publish counts."""
     from ..streaming.pipeline import read_block_stream, write_stream_source
 
-    base = tempfile.mkdtemp(prefix="aispark_pub_")
+    base = scratch_dir(prefix="aispark_pub_")
     src, topic, ckpt = (os.path.join(base, d) for d in ("src", "topic", "ckpt"))
     write_stream_source(spark, src)
     env = wrap_envelope(read_block_stream(spark, src), compression=None)
@@ -350,7 +351,7 @@ def sink_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reading it is the replay path. Emits per-bucket retention stats."""
     from ..streaming.pipeline import run_pipeline, write_stream_source
 
-    base = tempfile.mkdtemp(prefix="aispark_durable_")
+    base = scratch_dir(prefix="aispark_durable_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     write_stream_source(spark, src)
     run_pipeline(spark, src, sink_d, ckpt, dedup=True)
@@ -427,7 +428,7 @@ def replay_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     on height_bucket makes ranged replay a metadata operation at 100 TB."""
     from ..streaming.pipeline import run_pipeline, write_stream_source
 
-    base = tempfile.mkdtemp(prefix="aispark_replayall_")
+    base = scratch_dir(prefix="aispark_replayall_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     write_stream_source(spark, src)
     run_pipeline(spark, src, sink_d, ckpt)
@@ -461,7 +462,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = lt(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="aispark_jsonl_")
+    out = scratch_dir(prefix="aispark_jsonl_")
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema(docs.schema).json(out)
     return back.groupBy("lang").agg(
@@ -480,7 +481,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = lt(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="aispark_csv_")
+    out = scratch_dir(prefix="aispark_csv_")
     docs.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema(docs.schema).option("header", True).csv(out)
     return back.groupBy("lang").agg(
@@ -517,10 +518,13 @@ def scan_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what lands in the dead-letter sink. The oracle restates good rows
     from the original parquet + the planted count, so a hash match proves
     tolerance loses nothing and quarantines everything."""
-    import tempfile
-
-    docs = lt(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="aispark_dirty_")
+    # Round-trip ONLY the fields the aggregate needs (doc_id, lang,
+    # n_chars): ints and a plain-ASCII tag serialize to standard JSON on
+    # any writer, so the corrupt count can never be polluted by an
+    # unrelated document column with awkward serialization (NaN doubles,
+    # raw control chars) — ADVICE r3.
+    docs = lt(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = scratch_dir(prefix="aispark_dirty_")
     docs.write.mode("overwrite").json(out)
     corrupt = [f'{{"doc_id": BROKEN-{i}' for i in range(_N_CORRUPT_PLANTED)]
     spark.createDataFrame([(c,) for c in corrupt], "value string").coalesce(
@@ -586,15 +590,36 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     millions of small blobs INTO parquet binary columns
     (multimodal_meta's layout) so later passes scan columnar instead of
     per-object. The sample cut keeps the files-per-test bounded."""
+    import hashlib
     import os
     import tempfile
 
     docs = lt(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    out = tempfile.mkdtemp(prefix="aispark_blobs_")
-    for r in docs.select("doc_id", "lang", "text").collect():
-        with open(os.path.join(out, f"{r['lang']}_{r['doc_id']}.bin"), "wb") as f:
-            f.write(r["text"].encode("utf-8"))
-    back = spark.read.format("binaryFile").load(out)
+    # Blob export runs DISTRIBUTED: each task writes its own partition's
+    # files (tmp + atomic rename, so re-runs are idempotent) — the r3
+    # collect-loop funneled every blob through the driver, exactly the
+    # bottleneck this op warns against (VERDICT r3 #5). Requires the
+    # executors and the scan-back to share a filesystem — true in local
+    # mode and on any cluster whose sinks live on shared storage, the same
+    # contract every file sink in this engine already assumes.
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"aispark_blobs_{tag}")
+    os.makedirs(out, exist_ok=True)
+
+    def _write_blobs(rows) -> None:
+        for r in rows:
+            path = os.path.join(out, f"{r['lang']}_{r['doc_id']}.bin")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+            os.replace(tmp, path)
+
+    docs.select("doc_id", "lang", "text").foreachPartition(_write_blobs)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")  # never read half-written .tmp
+        .load(out)
+    )
     parsed = back.select(
         F.regexp_extract(F.col("path"), r"([a-z]+)_(\d+)\.bin$", 1).alias("lang"),
         F.regexp_extract(F.col("path"), r"([a-z]+)_(\d+)\.bin$", 2)
@@ -660,7 +685,7 @@ def scan_custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.blockstream import register
 
     register(spark)
-    base = tempfile.mkdtemp(prefix="aispark_blocksrc_")
+    base = scratch_dir(prefix="aispark_blocksrc_")
     sink_d, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     for head in (63700, 63800, 63900):
         q = (
@@ -706,7 +731,7 @@ def sink_custom_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.blockstream import register
 
     register(spark)
-    out = tempfile.mkdtemp(prefix="aispark_pub_") + "/published"
+    out = scratch_dir(prefix="aispark_pub_") + "/published"
     src = (
         spark.read.format("australis_blocks")
         .option("start", 63600)

@@ -24,6 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -57,7 +58,7 @@ def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     streamed one file per micro-batch (availableNow + maxFilesPerTrigger),
     merged into bucket-partitioned state by foreachBatch. Returns the final
     state and the number of micro-batches that ran."""
-    base = tempfile.mkdtemp(prefix="aispark_cdc_")
+    base = scratch_dir(prefix="aispark_cdc_")
     src, state = os.path.join(base, "src"), os.path.join(base, "state")
 
     orders = lt(spark, sf_dir, "orders").select(

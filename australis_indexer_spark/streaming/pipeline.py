@@ -34,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..fixtures import blocks_df
 from ..operators import fixture_oracles as FO
 from ..registry import op
@@ -170,7 +171,7 @@ def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the full-schema to_json mirror (fixture_oracles._spark_json)."""
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="aispark_stream_")
+    base = scratch_dir(prefix="aispark_stream_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     write_stream_source(spark, src)
     run_pipeline(spark, src, sink_d, ckpt)
@@ -188,7 +189,7 @@ def scan_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay counts; `replayed_ok` proves the durable log re-delivered all."""
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="aispark_replay_")
+    base = scratch_dir(prefix="aispark_replay_")
     src = os.path.join(base, "src")
     write_stream_source(spark, src)
     s1, c1 = os.path.join(base, "sink1"), os.path.join(base, "ck1")
@@ -218,7 +219,7 @@ def dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate_window semantics, consumer main.rs:578)."""
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="aispark_dedup_")
+    base = scratch_dir(prefix="aispark_dedup_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     # source with every block written TWICE (duplicate delivery)
     df = blocks_df(spark, 32)
@@ -257,7 +258,7 @@ def window_time_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     events = lt(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="aispark_ev_src_")
+    src = scratch_dir(prefix="aispark_ev_src_")
     sink_tbl = f"stream_hourly_{uuid.uuid4().hex[:12]}"
     events.write.mode("overwrite").parquet(src)
 
@@ -332,7 +333,7 @@ def stream_stream_join_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    base = tempfile.mkdtemp(prefix="aispark_ssj_")
+    base = scratch_dir(prefix="aispark_ssj_")
     src = os.path.join(base, "src")
     write_stream_source(spark, src)
 
@@ -420,7 +421,7 @@ def sink_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="aispark_retain_")
+    base = scratch_dir(prefix="aispark_retain_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     write_stream_source(spark, src)
     # bucket every 16 blocks so the 48-block fixture yields 3 buckets
@@ -479,7 +480,7 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface is the invariants, derived independently by the oracle)."""
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="aispark_compact_")
+    base = scratch_dir(prefix="aispark_compact_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     write_stream_source(spark, src)
     run_pipeline(spark, src, sink_d, ckpt)
@@ -576,7 +577,7 @@ def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="aispark_sess_")
+    base = scratch_dir(prefix="aispark_sess_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     _EVT = (
         "timestamp_micros(CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)*86400000000"
@@ -699,7 +700,7 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = lt(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", F.expr(_EVT).alias("evt")
     )
-    base = tempfile.mkdtemp(prefix="aispark_late_")
+    base = scratch_dir(prefix="aispark_late_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     events.coalesce(1).write.mode("append").parquet(src)
 

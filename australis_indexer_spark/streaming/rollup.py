@@ -32,6 +32,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..functions.det import cents
 from ..registry import op
 from ..sources.batch import load_table as lt
@@ -61,7 +62,7 @@ def _merge(old: DataFrame, partial: DataFrame) -> DataFrame:
 def run_incremental_rollup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     """Stream the events table in 4 file-batches and maintain the hourly
     rollup incrementally. Returns (final state, number of micro-batches)."""
-    base = tempfile.mkdtemp(prefix="aispark_rollup_")
+    base = scratch_dir(prefix="aispark_rollup_")
     src, state_base = os.path.join(base, "src"), os.path.join(base, "state_v")
 
     ev = lt(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
@@ -169,7 +170,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     events = lt(spark, sf_dir, "events").select("ts", "event_type")
-    src = tempfile.mkdtemp(prefix="aispark_topk_src_")
+    src = scratch_dir(prefix="aispark_topk_src_")
     sink_tbl = f"stream_topk_{uuid.uuid4().hex[:12]}"
     events.write.mode("overwrite").parquet(src)
 
@@ -231,7 +232,7 @@ def stream_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    base = tempfile.mkdtemp(prefix="aispark_ivm_")
+    base = scratch_dir(prefix="aispark_ivm_")
     src = os.path.join(base, "src")
     state_base = os.path.join(base, "state_v")
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..scratch import scratch_dir
 from ..operators import fixture_oracles as FO
 from ..registry import op
 from ..sources.batch import load_table as lt
@@ -73,7 +74,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     the state store, exactly how a 100 TB live pipeline would keep per-entity
     aggregates current."""
     events = lt(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="aispark_state_src_")
+    src = scratch_dir(prefix="aispark_state_src_")
     events.write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(events.schema)
@@ -157,7 +158,7 @@ def stream_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_stream_source,
     )
 
-    base = tempfile.mkdtemp(prefix="aispark_gap_")
+    base = scratch_dir(prefix="aispark_gap_")
     src = os.path.join(base, "src")
     write_stream_source(spark, src)
     env = to_envelope_stream(read_block_stream(spark, src)).withColumn(
@@ -290,14 +291,28 @@ def stream_stateful_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("event_type").isin("click", "purchase"))
     )
-    base = tempfile.mkdtemp(prefix="aispark_cep_")
+    base = scratch_dir(prefix="aispark_cep_")
     src = os.path.join(base, "src")
     qs = ev.approxQuantile("ts_us", [0.25, 0.5, 0.75], 0.0)
     bounds = [float("-inf"), *qs, float("inf")]
+    # FileStreamSource orders new files by modification time, and four
+    # appends in rapid succession can share an mtime — which would make
+    # micro-batch order (and thus which conversions straddle batches)
+    # mtime-lucky rather than pinned (ADVICE r3). Stamp every slice's data
+    # files with strictly increasing mtimes so arrival order IS time order.
+    import time as _time
+
+    stamp0 = _time.time() - 3600
+    stamped: set[str] = set()
     for i in range(4):
         ev.filter(
             (F.col("ts_us") > bounds[i]) & (F.col("ts_us") <= bounds[i + 1])
         ).coalesce(1).write.mode("append").parquet(src)
+        for fn in os.listdir(src):
+            full = os.path.join(src, fn)
+            if fn.endswith(".parquet") and full not in stamped:
+                os.utime(full, (stamp0 + 10 * i, stamp0 + 10 * i))
+                stamped.add(full)
 
     stream = spark.readStream.schema(ev.schema).option(
         "maxFilesPerTrigger", 1

@@ -163,22 +163,57 @@ _ZSTD_GOLDEN_FRAME = bytes.fromhex(
 )
 
 
-def test_zstd_golden_frame():
-    """Zstd branch: full decode needs the real library (FSE/Huffman — out of
-    scope for a pure-Python stand-in); the golden raw-block frame pins the
-    wire bytes and runs wherever the wheel exists."""
-    import pytest
+def test_zstd_branch_always_registered():
+    """The ZSTD wire branch EXECUTES in every environment now: the real
+    `zstandard` wheel when present, else pyarrow's bundled libzstd
+    (standard frames — the reference's exact wire format, indexer
+    main.rs:370). r3 shipped this branch gated behind a wheel the
+    container lacks, i.e. never-run code; this pins that it cannot
+    regress to that state."""
+    assert "ZSTD" in codecs.CODECS
+    for payload in (b"", b"x", _ZSTD_GOLDEN_PAYLOAD, bytes(range(256)) * 1024):
+        assert codecs.decompress(codecs.compress(payload, "ZSTD"), "ZSTD") == payload
+    # compressed output is a standard zstd frame, magic first
+    assert codecs.compress(b"abc" * 100, "ZSTD")[:4] == bytes.fromhex("28b52ffd")
 
-    try:
-        import zstandard
-    except ImportError:
-        pytest.skip(
-            "zstandard wheel absent: Zstd wire branch requires the real "
-            "codec; golden frame pinned for environments that have it"
-        )
+
+def test_zstd_golden_frame():
+    """The hand-built RFC 8878 raw-block golden frame decodes through the
+    REGISTERED branch (whichever real libzstd backs it) — pins the wire
+    bytes against both the frame-header parser and the decoder."""
+    assert codecs.decompress(_ZSTD_GOLDEN_FRAME, "ZSTD") == _ZSTD_GOLDEN_PAYLOAD
+
+
+def test_zstd_frame_content_size_parser():
+    """The header parser reads the pledged content size for every FCS
+    layout libzstd actually emits (1-byte single-segment, 2-byte biased,
+    4-byte) — sweep payload sizes across the encoding breakpoints."""
+    for n in (0, 1, 17, 255, 256, 300, 65536 + 255, 65536 + 256, 200_000):
+        frame = codecs.compress(b"z" * n, "ZSTD")
+        assert codecs._zstd_frame_content_size(frame) == n, n
+
+
+def test_lz4f_cross_check_bundled_encoder():
+    """Always-on interop (pyarrow bundles real lz4): the self-contained
+    spec decoder must decode REAL compressed frames (match sequences,
+    overlap copies — not just our own raw-block output), and the real
+    decoder must accept our spec-valid frames."""
+    import pyarrow as pa
+
+    from australis_indexer_spark.functions.lz4frame import (
+        lz4f_compress,
+        lz4f_decompress,
+    )
+
+    payload = _LZ4F_GOLDEN_PAYLOAD * 200  # repetitive => real match sequences
+    real_frame = pa.Codec("lz4").compress(payload, asbytes=True)
+    assert len(real_frame) < len(payload) // 10  # actually compressed
+    assert lz4f_decompress(real_frame) == payload
     assert (
-        zstandard.ZstdDecompressor().decompress(_ZSTD_GOLDEN_FRAME)
-        == _ZSTD_GOLDEN_PAYLOAD
+        pa.Codec("lz4").decompress(
+            lz4f_compress(payload), len(payload), asbytes=True
+        )
+        == payload
     )
 
 

@@ -310,7 +310,14 @@ def load_all() -> dict[str, OpSpec]:
     if missing:
         raise RuntimeError(f"priority ops not registered: {missing}")
     ordered = {n: REGISTRY[n] for n in _PRIORITY}
-    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    # The non-priority remainder (all already driver-green) sorts by NAME:
+    # decorator insertion order depends on which module got imported first
+    # in this process (cli, tests, or load_all itself), and the driver's
+    # walk order — and the CERTIFICATION.md ledger generated from it —
+    # must not vary with import history.
+    ordered.update(
+        (n, REGISTRY[n]) for n in sorted(REGISTRY) if n not in ordered
+    )
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY

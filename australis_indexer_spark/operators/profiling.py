@@ -344,11 +344,15 @@ def stats_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     b = pairs.select(F.col("o"), F.col("p").alias("p2"))
+    # materialize the deduped edge set ONCE (localCheckpoint truncates the
+    # lineage): degrees, orientation, closure probe and the two cheap
+    # counts all reuse it instead of re-running the co-purchase self-join
     edges = (
         pairs.join(b, "o")
         .where(F.col("p") < F.col("p2"))
         .select(F.col("p").alias("ea"), F.col("p2").alias("eb"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("ea").alias("node"))
@@ -379,15 +383,29 @@ def stats_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.least("dst", "dst2").alias("ca"), F.greatest("dst", "dst2").alias("cb")
     )
-    closed = wedges.join(
-        edges, (F.col("ca") == F.col("ea")) & (F.col("cb") == F.col("eb"))
+    # One pass over the wedge stream: LEFT-join closure and count wedges +
+    # matched wedges (= triangles; edges are distinct so a wedge matches at
+    # most once) in a single aggregate. r3 ran `wedges.count()` and
+    # `closed.count()` as separate actions — the O(m^1.5) wedge generation,
+    # the plan's real cost, executed TWICE (and the un-checkpointed edge
+    # dedup four times across the four counts: ~2x total work, the 465 MiB
+    # sf0.1 shuffle in SCALING.md §2).
+    stats = (
+        wedges.join(
+            edges,
+            (F.col("ca") == F.col("ea")) & (F.col("cb") == F.col("eb")),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_wedges"),
+            F.count("ea").alias("n_triangles"),
+        )
+        .collect()[0]
     )
     n_nodes = deg.count()
     n_edges = edges.count()
-    n_wedges = wedges.count()
-    n_tri = closed.count()
     return spark.createDataFrame(
-        [(n_nodes, n_edges, n_wedges, n_tri)],
+        [(n_nodes, n_edges, stats["n_wedges"], stats["n_triangles"])],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long",
     )
 

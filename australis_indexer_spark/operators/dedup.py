@@ -721,8 +721,19 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and truth each stay shuffle-bound — and the oracle recomposes the two
     existing oracle CTE chains over the shared shingle table, so the score
     itself is value-checked, not just eyeballed."""
-    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize both pair sets once (small: the >=0.5 near-dup pairs) —
+    # each otherwise re-runs its full sketch/shingle pipeline twice, once
+    # for its count and once for the intersection join
+    cand = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hits = cand.join(truth, ["doc_a", "doc_b"])
     counts = (
         cand.agg(F.count("*").alias("n_candidates"))

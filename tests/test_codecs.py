@@ -75,6 +75,23 @@ def test_compression_roundtrip_property(data):
     assert codecs.decompress(data, None) == data
 
 
+@given(st.binary(max_size=2048), st.integers(0, 3))
+@settings(max_examples=50, deadline=None)
+def test_lz4f_spec_decoder_vs_real_encoder_property(data, repeat):
+    """Cross-engine property: the self-contained LZ4F spec decoder must
+    invert pyarrow's bundled real encoder on arbitrary payloads (repetition
+    factor drives real match sequences and overlap copies through the
+    block decoder, not just stored literals)."""
+    import pyarrow as pa
+
+    from australis_indexer_spark.functions.lz4frame import lz4f_decompress
+
+    payload = data * (repeat + 1)
+    assert lz4f_decompress(
+        pa.Codec("lz4").compress(payload, asbytes=True)
+    ) == payload
+
+
 def test_xxh32_known_vectors():
     """xxHash32 pinned to the published test vectors (xxHash spec repo) —
     the frame checksums below are only as good as this hash."""

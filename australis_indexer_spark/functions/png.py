@@ -1,0 +1,125 @@
+"""Self-contained PNG codec (RFC 2083 / W3C PNG spec) — stdlib-only.
+
+The multimodal decode path was an env stub through round 3 ("no PIL/av
+wheel", multimodal.py): the Spark plumbing was real but `real=True` raised.
+PNG, however, needs nothing beyond stdlib zlib — the format is chunked
+zlib-compressed scanlines with 5 per-scanline predictor filters. This
+module implements it directly from the public spec so the engine DECODES
+REAL IMAGE BYTES in every environment:
+
+- decode: 8-bit greyscale (color type 0), RGB (2), RGBA (6); all five
+  scanline filters (None/Sub/Up/Average/Paeth); single or split IDAT;
+  CRC-verified chunks (stdlib zlib.crc32).
+- encode: filter-0 scanlines, one IDAT, correct CRCs — a valid PNG any
+  compliant reader (browsers, PIL elsewhere) accepts.
+
+JPEG/MP4 remain env-bound (entropy coders need real codec libraries); the
+video branch stays a documented stub.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rows: list[bytes], color_type: int = 2) -> bytes:
+    """Rows of raw 8-bit samples (width × channels bytes each) → PNG."""
+    ch = _CHANNELS[color_type]
+    if len(rows) != height or any(len(r) != width * ch for r in rows):
+        raise ValueError("png: row geometry does not match width/height")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows)  # filter 0 per scanline
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """PNG bytes → (width, height, channels, unfiltered rows)."""
+    if data[:8] != _SIG:
+        raise ValueError("png: bad signature")
+    i = 8
+    width = height = color_type = -1
+    idat = bytearray()
+    while i < len(data):
+        (ln,) = struct.unpack_from(">I", data, i)
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, i + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: CRC mismatch in {tag!r}")
+        i += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in _CHANNELS:
+                raise ValueError(
+                    f"png: unsupported depth/color {depth}/{color_type}"
+                )
+            if comp or filt or interlace:
+                raise ValueError("png: unsupported compression/filter/interlace")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width < 0:
+        raise ValueError("png: missing IHDR")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("png: decompressed size mismatch")
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"png: unknown filter {ftype}")
+        row = bytes(line)
+        rows.append(row)
+        prev = row
+    return width, height, ch, rows

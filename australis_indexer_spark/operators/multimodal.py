@@ -79,13 +79,18 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_media(df: DataFrame, *, real: bool = False) -> DataFrame:
     """Arrow-batched media decode over `mapInPandas`.
 
-    ``real=True`` is the seam where PIL/librosa/pyav decoding plugs in —
-    deliberately stubbed here."""
+    ``real=True`` is the seam where full codec-library decoding (PIL /
+    librosa / pyav) plugs in. Since round 4, PNG and WAV decode for real
+    in every environment via the self-contained spec codecs
+    (functions/png.py, functions/wav.py) — see `multimodal_decode_real`,
+    whose oracle proves the decoders invert actual format bytes. Only
+    entropy-coded formats (JPEG, MP4/H.264, MP3/AAC) remain env-bound
+    behind this seam."""
     if real:
         raise NotImplementedError(
-            "media codecs (PIL/librosa/pyav) are not available in this "
-            "environment; the deterministic fake path exercises the full "
-            "Spark plumbing (schema, Arrow batching, partitioning)"
+            "entropy-coded media (JPEG/MP4/MP3) needs real codec wheels "
+            "(PIL/pyav), absent in this environment; PNG/WAV decode for "
+            "real via multimodal_decode_real (functions/png.py, wav.py)"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -685,3 +690,187 @@ def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM aispark_udtf_docs d, LATERAL {name}(d.text) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL media decode — PNG and WAV parsed from actual format bytes
+# (functions/png.py, functions/wav.py; stdlib zlib/struct only). This
+# retires the round-1..3 "decode is an env stub" seam for the two formats
+# that need no codec wheel; JPEG/MP4 entropy coding stays env-bound and the
+# video branch remains the documented stub (decode_media real=True).
+
+_REAL_RATE = 8000
+
+
+def _real_geom(doc_id: int) -> tuple[int, int, int]:
+    """(png_width, png_height, wav_samples) — small, deterministic."""
+    return 8 + doc_id % 8, 8 + doc_id % 5, 32 + doc_id % 32
+
+
+def _real_pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    return (doc_id * 31 + x * 7 + y * 13 + c * 101) % 256
+
+
+def _real_sample(doc_id: int, k: int) -> int:
+    return (doc_id * 17 + k * 257) % 4096 - 2048
+
+
+def real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mime, payload) with payload = REAL PNG / WAV / (stub) mp4
+    bytes, generated deterministically per doc inside an Arrow batch —
+    the shape of a corpus whose media column was ingested from object
+    storage. Generation is a narrow map; nothing touches the driver."""
+    from ..functions.png import encode_png
+    from ..functions.wav import encode_wav
+
+    base = lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("source") == "src0", "image/png")
+        .when(F.col("source") == "src1", "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, mime in zip(pdf["doc_id"], pdf["mime"]):
+                d = int(d)
+                w, h, n = _real_geom(d)
+                if mime == "image/png":
+                    rows = [
+                        bytes(
+                            _real_pixel(d, x, y, c)
+                            for x in range(w)
+                            for c in range(3)
+                        )
+                        for y in range(h)
+                    ]
+                    payloads.append(encode_png(w, h, rows))
+                elif mime == "audio/wav":
+                    payloads.append(
+                        encode_wav(
+                            _REAL_RATE, [_real_sample(d, k) for k in range(n)]
+                        )
+                    )
+                else:  # mp4: entropy-coded container — env-bound stub bytes
+                    payloads.append(b"\x00\x00\x00\x18ftypmp42" + bytes(8))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "mime": pdf["mime"], "payload": payloads}
+            )
+
+    return base.mapInPandas(
+        _gen, schema="doc_id long, mime string, payload binary"
+    )
+
+
+_REAL_DECODE_SCHEMA = (
+    "doc_id long, mime string, width int, height int, n_values long, "
+    "value_sum long, decoder string"
+)
+
+# The oracle re-derives every decoded statistic from the SAME closed-form
+# pixel/sample generators in pure SQL — it never sees a PNG or WAV byte.
+# The Spark side can only match by actually parsing the container, inflating
+# IDAT, unfiltering scanlines / unpacking PCM, and summing what it decoded.
+_REAL_DECODE_ORACLE = f"""
+WITH geom AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 'image/png'
+              WHEN source = 'src1' THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime,
+         CAST(8 + doc_id % 8 AS INTEGER) AS w,
+         CAST(8 + doc_id % 5 AS INTEGER) AS h,
+         CAST(32 + doc_id % 32 AS INTEGER) AS n
+  FROM documents
+),
+png AS (
+  SELECT g.doc_id, g.mime, g.w AS width, g.h AS height,
+         CAST(g.w * g.h * 3 AS BIGINT) AS n_values,
+         CAST(SUM((g.doc_id * 31 + x.i * 7 + y.i * 13 + c.i * 101) % 256)
+              AS BIGINT) AS value_sum,
+         'png' AS decoder
+  FROM geom g
+  JOIN LATERAL (SELECT UNNEST(range(0, g.w)) AS i) x ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, g.h)) AS i) y ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, 3)) AS i) c ON TRUE
+  WHERE g.mime = 'image/png'
+  GROUP BY g.doc_id, g.mime, g.w, g.h
+),
+wav AS (
+  SELECT g.doc_id, g.mime, NULL::INTEGER AS width, NULL::INTEGER AS height,
+         CAST(g.n AS BIGINT) AS n_values,
+         CAST(SUM((g.doc_id * 17 + k.i * 257) % 4096 - 2048)
+              AS BIGINT) AS value_sum,
+         'wav' AS decoder
+  FROM geom g
+  JOIN LATERAL (SELECT UNNEST(range(0, g.n)) AS i) k ON TRUE
+  WHERE g.mime = 'audio/wav'
+  GROUP BY g.doc_id, g.mime, g.n
+),
+mp4 AS (
+  SELECT doc_id, mime, NULL::INTEGER, NULL::INTEGER, NULL::BIGINT,
+         NULL::BIGINT, 'env-stub-mp4'
+  FROM geom WHERE mime = 'video/mp4'
+)
+SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM mp4
+"""
+
+
+@op(
+    "multimodal_decode_real",
+    tags=("northstar", "multimodal", "udf"),
+    oracle=_REAL_DECODE_ORACLE,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL format decode over Arrow batches: PNG payloads are parsed
+    chunk-by-chunk (CRC-checked), IDAT inflated, scanline filters undone;
+    WAV payloads RIFF-walked to their PCM samples (functions/png.py,
+    functions/wav.py — stdlib only, from the public specs). Emits per-doc
+    geometry + exact integer value sums; the oracle recomputes those sums
+    from the closed-form pixel/sample generators without ever seeing a
+    container byte, so a hash match proves the decoders actually invert
+    the formats. mp4 rows pass through as the documented env-bound stub
+    (entropy coders need real codec libraries). At 100 TB this is the
+    canonical media-ingest shape: binary column in, mapInPandas decode,
+    typed features out — one narrow map, no shuffle."""
+    from ..functions.png import decode_png
+    from ..functions.wav import decode_wav
+
+    media = real_media_table(spark, sf_dir)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "mime": [], "width": [], "height": [],
+                "n_values": [], "value_sum": [], "decoder": [],
+            }
+            for d, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                blob = bytes(payload)
+                if mime == "image/png":
+                    w, h, ch, rows = decode_png(blob)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_values"].append(w * h * ch)
+                    out["value_sum"].append(sum(sum(r) for r in rows))
+                    out["decoder"].append("png")
+                elif mime == "audio/wav":
+                    _rate, _nch, samples = decode_wav(blob)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_values"].append(len(samples))
+                    out["value_sum"].append(sum(samples))
+                    out["decoder"].append("wav")
+                else:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_values"].append(None)
+                    out["value_sum"].append(None)
+                    out["decoder"].append("env-stub-mp4")
+                out["doc_id"].append(d)
+                out["mime"].append(mime)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=_REAL_DECODE_SCHEMA)

@@ -4,11 +4,14 @@ Treat image/audio/video as opaque `binary` payload columns with a typed
 metadata struct, exactly as the engine treats the reference's serialized
 block payloads (SURVEY.md §1.4): bytes + schema'd header. The Spark-side
 plumbing — schema, partition-preserving narrow ops, Arrow-batched
-`mapInPandas` decode signature — is real and tested; the actual media
-codecs are STUBBED (the image/audio libraries are not in this container):
-`decode_media(..., real=True)` raises NotImplementedError, the default path
-produces deterministic fake features from the payload bytes so the batch
-shape and schema are exercised end-to-end.
+`mapInPandas` decode signature — is real and tested. Since round 4, PNG
+and WAV payloads DECODE AND RESAMPLE FOR REAL via self-contained spec
+codecs (functions/png.py, functions/wav.py; see `multimodal_decode_real`,
+`multimodal_resize_real` — their oracles recompute pixel/sample sums
+byte-blind, so matches prove the formats are actually inverted). Only
+entropy-coded media (JPEG, MP4/H.264, MP3) remains env-bound:
+`decode_media(..., real=True)` raises NotImplementedError for those, and
+the deterministic fake path keeps the batch shape exercised end-to-end.
 
 At 100 TB: payloads stay in parquet binary columns (never strings), metadata
 lives beside them so filters (mime, size, dims) prune at the scan without
@@ -874,3 +877,84 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_decode, schema=_REAL_DECODE_SCHEMA)
+
+
+_RESIZE_T = 6  # target grid (T x T), below every source dim (w,h >= 8)
+
+# Nearest-neighbor sampling positions are pure integer arithmetic
+# (x_src = tx * w // T), so the oracle regenerates the RESIZED image's
+# pixel sum from the closed-form generator at exactly those positions —
+# again byte-blind: matching requires decoding the PNG and resampling the
+# actual pixel grid.
+_RESIZE_ORACLE = f"""
+WITH geom AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 8 AS INTEGER) AS w,
+         CAST(8 + doc_id % 5 AS INTEGER) AS h
+  FROM documents WHERE source = 'src0'
+)
+SELECT g.doc_id, g.w AS src_w, g.h AS src_h,
+       {_RESIZE_T} AS out_w, {_RESIZE_T} AS out_h,
+       CAST(SUM((g.doc_id * 31
+                 + (tx.i * g.w // {_RESIZE_T}) * 7
+                 + (ty.i * g.h // {_RESIZE_T}) * 13
+                 + c.i * 101) % 256) AS BIGINT) AS resized_sum
+FROM geom g
+JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) tx ON TRUE
+JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) ty ON TRUE
+JOIN LATERAL (SELECT UNNEST(range(0, 3)) AS i) c ON TRUE
+GROUP BY g.doc_id, g.w, g.h
+"""
+
+
+@op(
+    "multimodal_resize_real",
+    tags=("northstar", "multimodal", "udf"),
+    oracle=_RESIZE_ORACLE,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resampling: each PNG payload is decoded
+    (functions/png.py) and nearest-neighbor-resized to a {T}x{T} thumbnail
+    inside the same Arrow batch — decode → transform → feature, the full
+    media-preprocessing hop a training pipeline runs per image. Integer
+    sampling positions (x_src = tx*w//T) make the result bit-deterministic,
+    and the oracle regenerates the resized pixel sum from the closed-form
+    source generator at those positions without seeing a byte — provable
+    end-to-end decode+resample, not plumbing-only (contrast
+    multimodal_resize_plan, the metadata-phase planner that runs BEFORE
+    pixel work at scale). One narrow map, no shuffle."""
+    from ..functions.png import decode_png
+
+    media = real_media_table(spark, sf_dir).where(F.col("mime") == "image/png")
+    T_ = _RESIZE_T
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "src_w": [], "src_h": [],
+                   "out_w": [], "out_h": [], "resized_sum": []}
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, rows = decode_png(bytes(payload))
+                total = 0
+                for ty in range(T_):
+                    src_row = rows[ty * h // T_]
+                    for tx in range(T_):
+                        x = tx * w // T_
+                        total += sum(src_row[x * ch : x * ch + ch])
+                out["doc_id"].append(d)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(T_)
+                out["out_h"].append(T_)
+                out["resized_sum"].append(total)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        _resize,
+        schema="doc_id long, src_w int, src_h int, out_w int, out_h int, "
+        "resized_sum long",
+    )
+
+
+multimodal_resize_real.__doc__ = multimodal_resize_real.__doc__.replace(
+    "{T}", str(_RESIZE_T)
+)

@@ -187,3 +187,28 @@ def test_multimodal_decode_real_op(spark, ops):
             assert r["decoder"] == "env-stub-mp4"
             assert r["value_sum"] is None
     assert seen == {"png", "wav", "env-stub-mp4"}
+
+
+def test_multimodal_resize_real_op(spark, ops):
+    """Nearest-neighbor resample of decoded PNGs matches an independent
+    pure-Python recompute at the integer sampling positions."""
+    from australis_indexer_spark.operators.multimodal import (
+        _RESIZE_T,
+        _real_geom,
+        _real_pixel,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = ops["multimodal_resize_real"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        w, h, _ = _real_geom(d)
+        assert (r["src_w"], r["src_h"]) == (w, h)
+        expect = sum(
+            _real_pixel(d, tx * w // _RESIZE_T, ty * h // _RESIZE_T, c)
+            for tx in range(_RESIZE_T)
+            for ty in range(_RESIZE_T)
+            for c in range(3)
+        )
+        assert r["resized_sum"] == expect

@@ -25,7 +25,6 @@ in an object-store URI — the plan shape is identical).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -19,7 +19,6 @@ state, giving effectively-exactly-once output.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

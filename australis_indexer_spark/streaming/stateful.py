@@ -18,7 +18,6 @@ Design rules for 100 TB:
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 from collections.abc import Iterable
 

@@ -324,7 +324,7 @@ _GRAM_ORACLE = f"""
 WITH idx AS (SELECT UNNEST(generate_series(1, 64)) AS i),
 q AS (
   SELECT vec_id, idx.i AS i,
-         CAST(ROUND(embedding[idx.i] * {_GRAM_SCALE}.0) AS BIGINT) AS qx
+         CAST(ROUND(CAST(embedding[idx.i] AS DOUBLE) * {_GRAM_SCALE}.0) AS BIGINT) AS qx
   FROM embeddings CROSS JOIN idx
 )
 SELECT a.i AS i, b.i AS j,
@@ -392,7 +392,7 @@ _DRIFT_ORACLE = f"""
 WITH idx AS (SELECT UNNEST(generate_series(1, 64)) AS i),
 q AS (
   SELECT vec_id, idx.i AS dim,
-         CAST(ROUND(embedding[idx.i] * {_DRIFT_SCALE}.0) AS BIGINT) AS qx
+         CAST(ROUND(CAST(embedding[idx.i] AS DOUBLE) * {_DRIFT_SCALE}.0) AS BIGINT) AS qx
   FROM embeddings CROSS JOIN idx
 ),
 cohorts AS (

@@ -10,7 +10,12 @@ Determinism contract (why oracles hash-match):
   expression trees on both engines, integer accumulation, one final division;
 - every computed column is explicitly aliased the same on both sides;
 - ranking ties are always broken by a unique key column;
-- timestamps are µs precision on both sides (see sources.batch.load_table).
+- timestamps are µs precision on both sides (see sources.batch.load_table);
+- float32 columns (embeddings) are explicitly CAST to DOUBLE before any
+  arithmetic in ORACLE SQL too — DuckDB resolves FLOAT * DECIMAL-literal
+  in float32, whose extra rounding step can land exactly on a .5 the
+  float64 product avoids (caught by the r4 cross-scale-factor sweep,
+  DIFFCHECK_r4_sf0001.txt).
 """
 
 from __future__ import annotations

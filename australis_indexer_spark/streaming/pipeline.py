@@ -727,11 +727,23 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return q
 
     run_once()  # on-time pass: watermark reaches max(evt) - 1h, persisted
+    # Each planted row gets its OWN far-past hour bucket (1900-01-01 +
+    # event_id/97 hours — event_id%97==0 makes the quotient unique), so
+    # dropped GROUPS == dropped ROWS: numRowsDroppedByWatermark counts
+    # rows reaching the state operator AFTER partial aggregation, and a
+    # 365-day uniform shift let planted rows collide into shared
+    # (hour, type) groups once the corpus was dense enough (sf0.1: 1031
+    # rows -> 971 groups; caught by the r4 cross-sf sweep). Group-unique
+    # planting pins metric == planted count at every scale factor.
+    late_evt = F.expr(
+        "timestamp_micros(CAST(-2208988800000000 AS BIGINT)"  # 1900-01-01 UTC
+        " + (event_id div 97) * 3600000000)"
+    )
     late = events.where(F.col("event_id") % 97 == 0).select(
         "event_id",
-        (F.col("ts") - F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        late_evt.cast("timestamp_ntz").alias("ts"),
         "event_type",
-        (F.expr(_EVT) - F.expr("INTERVAL 365 DAYS")).alias("evt"),
+        late_evt.alias("evt"),
     )
     late.coalesce(1).write.mode("append").parquet(src)
     q2 = run_once()  # resumed pass: every planted row is below the watermark

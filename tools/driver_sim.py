@@ -84,7 +84,10 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).is_dir():  # Spark-written dataset dir (e.g. scale_stress)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     n_pass = n_fail = 0
     for name in names:

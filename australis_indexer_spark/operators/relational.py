@@ -1355,7 +1355,8 @@ moments AS (
   FROM ranked GROUP BY c_mktsegment
 )
 SELECT c_mktsegment, n, s0 AS total_shifted_cents,
-       CAST(((2 * s1 - (n + 1) * s0) * 1000000) // (n * s0) AS BIGINT)
+       CAST(((2 * CAST(s1 AS HUGEINT) - (n + 1) * CAST(s0 AS HUGEINT))
+             * 1000000) // (CAST(n AS HUGEINT) * s0) AS BIGINT)
          AS gini_ppm
 FROM moments
 """
@@ -1367,15 +1368,16 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance per market segment — the inequality metric concentration
     reports are built on — via the rank formula
     G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over the within-segment
-    ascending sort, evaluated entirely in BIGINT with one final ppm floor
-    division (balances shift by the global minimum so x ≥ 0, which the
+    ascending sort, with 128-bit moments arithmetic and one final ppm
+    floor division (balances shift by the global minimum so x ≥ 0, which the
     formula requires; ties rank deterministically by custkey). G=0 means
     uniform balances, →1 means one customer holds everything.
 
     Scale shape: ONE shuffle on the segment key feeds the ranking window,
-    and the moments rollup map-side combines to |segments| rows. The i·x
-    products stay under 2⁶³ for ~10⁹ rows × 10⁷ cents; past that the
-    DECIMAL(38) path (agg_decimal_money_exact) takes over."""
+    and the moments rollup map-side combines to |segments| rows. Per-group
+    SUM(i·x) stays in BIGINT to ~10⁹ rows×10⁴ cents; the ppm step runs in
+    DECIMAL(38)/HUGEINT on both engines (the ×1e6 blew int64 at just 3·10⁴
+    rows/segment — found by the decade-stress differential)."""
     cust = lt(spark, sf_dir, "customer")
     gmin = cust.agg(
         F.min(F.round(F.col("c_acctbal") * 100).cast("long")).alias("m")
@@ -1397,13 +1399,20 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("s0"),
         F.sum(F.col("i") * F.col("x")).alias("s1"),
     )
+    # 128-bit intermediate: s1 ~ n²·x̄/2 crosses 2⁶³/1e6 around 10⁵ rows
+    # per segment once the ×1e6 ppm step lands on it (caught by the r4
+    # decade-stress differential at 10× sf0.1) — DECIMAL(38,0) here and
+    # HUGEINT in the oracle keep the division exact to ~10¹⁹ rows·cents;
+    # output stays BIGINT.
     return m.select(
         "c_mktsegment",
         "n",
         F.col("s0").alias("total_shifted_cents"),
-        F.expr("((2 * s1 - (n + 1) * s0) * 1000000) div (n * s0)").alias(
-            "gini_ppm"
-        ),
+        F.expr(
+            "CAST(((2 * CAST(s1 AS DECIMAL(38,0))"
+            " - (n + 1) * CAST(s0 AS DECIMAL(38,0))) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)"
+        ).alias("gini_ppm"),
     )
 
 

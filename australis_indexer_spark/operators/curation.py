@@ -493,9 +493,9 @@ d AS (
   FROM g GROUP BY doc_id
 )
 SELECT docs.doc_id, t AS norm_text, CAST(n AS INTEGER) AS n_tokens,
-       ((total - dist) / total) AS dup_2gram_frac,
-       ((((total - dist) / total) < 0.2) AND n >= 10) AS keep
-FROM docs JOIN d ON docs.doc_id = d.doc_id
+       COALESCE(((total - dist) / total), 0.0) AS dup_2gram_frac,
+       (COALESCE(((total - dist) / total), 0.0) < 0.2 AND n >= 10) AS keep
+FROM docs LEFT JOIN d ON docs.doc_id = d.doc_id
 """
 
 
@@ -540,19 +540,28 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tokens", F.size("toks"))
         .withColumn(
             "grams",
+            # guard n_tokens < 2: sequence(1, 0) is DESCENDING in Spark
+            # ([1, 0]), so the unguarded form probes element_at(toks, 2)
+            # on a 1-token doc — an ANSI runtime error (found by the
+            # randomized-data fuzz sweep, tools/fuzz_differential.py)
             F.expr(
-                "transform(sequence(1, n_tokens - 1),"
+                "CASE WHEN n_tokens >= 2 THEN"
+                " transform(sequence(1, n_tokens - 1),"
                 " p -> concat_ws(' ', element_at(toks, p),"
                 " element_at(toks, p + 1)))"
+                " ELSE CAST(array() AS array<string>) END"
             ),
         )
         .withColumn(
             "dup_2gram_frac",
-            (
-                F.size("grams").cast("long")
-                - F.size(F.array_distinct("grams")).cast("long")
-            )
-            / F.size("grams").cast("long"),
+            F.when(
+                F.size("grams") > 0,
+                (
+                    F.size("grams").cast("long")
+                    - F.size(F.array_distinct("grams")).cast("long")
+                )
+                / F.size("grams").cast("long"),
+            ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "keep",

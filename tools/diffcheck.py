@@ -69,20 +69,25 @@ def _rows(df_pandas):
     return cols, sorted(recs, key=repr)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    ops = load_all()
-    spark = get_session("diffcheck")
-
+def connect_oracle(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """DuckDB connection with the dataset's tables registered as views —
+    the same registration the driver's t2 gate performs."""
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).is_dir():  # Spark-written dataset dir (e.g. scale_stress)
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
 
+
+def run_ops(spark, con, ops, sf_dir, only=None):
+    """Run the strict Spark-vs-oracle diff for each op; returns
+    ``(n_pass, n_fail, n_rowsonly, failures)`` where ``failures`` is the
+    list of failing op names. Printing matches the historical CLI output
+    so committed artifacts stay comparable across rounds."""
     n_pass = n_fail = n_rowsonly = 0
+    failures: list[str] = []
     for name, spec in sorted(ops.items()):
         if only and name not in only:
             continue
@@ -99,11 +104,13 @@ def main() -> int:
                 # can fail even when values match (the agg_grouping_sets r2 red).
                 print(f"FAIL  {name}: DecimalType output columns {dec_cols}")
                 n_fail += 1
+                failures.append(name)
                 continue
             sdf = spark_df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
+            failures.append(name)
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [rows-only]")
@@ -114,26 +121,40 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
+            failures.append(name)
             continue
         scols, srows = _rows(sdf)
         ocols, orows = _rows(odf)
         if scols != ocols:
             print(f"FAIL  {name}: columns differ spark={scols} oracle={ocols}")
             n_fail += 1
+            failures.append(name)
             continue
         if len(srows) != len(orows):
             print(f"FAIL  {name}: row count spark={len(srows)} oracle={len(orows)}")
             n_fail += 1
+            failures.append(name)
             continue
         bad = [(a, b) for a, b in zip(srows, orows) if a != b]
         if bad:
             print(f"FAIL  {name}: {len(bad)}/{len(srows)} rows differ; first: spark={bad[0][0]} oracle={bad[0][1]}")
             n_fail += 1
+            failures.append(name)
             continue
         print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
         n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return n_pass, n_fail, n_rowsonly, failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    ops = load_all()
+    spark = get_session("diffcheck")
+    con = connect_oracle(sf_dir)
+    _, n_fail, _, _ = run_ops(spark, con, ops, sf_dir, only=only)
     return 1 if n_fail else 0
 
 

@@ -1,0 +1,346 @@
+"""Randomized-data oracle differential (fuzz) harness.
+
+A validation class beyond the fixed driver tables: every oracle-backed op
+must stay value-exact not just on the driver's seed-42 data (and its
+cross-SF and 10x-stress derivatives) but on freshly generated
+schema-conformant datasets with a *different* distribution each seed —
+different sizes, category skew (every domain value kept present but with
+random Dirichlet weights), numeric/timestamp ties, duplicate and
+near-duplicate document groups, orders without lineitems, degenerate JSON
+props, and fresh cluster structure for the embedding ops.
+
+Rationale: both latent oracle bugs found by the round-4 cross-SF sweep
+(float32 .5-rounding at one sf; watermark planted-row density) were
+*data-distribution couplings* — the oracle and the op agreed only on the
+shipped distribution. This harness generalizes that detection: any op or
+oracle that silently depends on a property of seed-42 data fails here.
+
+Invariants the generator preserves (the engine's documented data
+contract, TESTDATA.md): primary keys unique, FKs valid, `n_chars =
+length(text)`, event ts monotone in event_id (block-stream semantics),
+categorical domains identical to the driver's, money values exact cents,
+quantities integral. Everything else — sizes, weights, orderings, group
+cardinalities, tie patterns — is re-drawn per seed.
+
+Usage:
+    python tools/fuzz_differential.py [seed ...] [-- op ...]
+Defaults to seed 1. Writes datasets under /tmp (removed on success),
+prints the same PASS/FAIL lines as tools/diffcheck.py per seed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["P", "O", "F"]
+RETURNFLAGS = ["A", "N", "R"]
+LINESTATUSES = ["O", "F"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ADJS = ["old", "small", "cold", "hot", "blue", "red", "new", "big"]
+NOUNS = ["ring", "anvil", "plate", "gear", "bolt", "rod", "widget"]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+LANGS = ["de", "en", "es", "fr", "zh"]
+DOC_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+
+_DAY_US = 86_400_000_000
+
+
+def _probs(rng: np.random.RandomState, k: int) -> np.ndarray:
+    """Random skewed category weights with every value still reachable."""
+    p = rng.dirichlet(np.full(k, 0.6)) + 0.01
+    return p / p.sum()
+
+
+def _cents(rng, lo_c: int, hi_c: int, n: int) -> np.ndarray:
+    """Exact-cent money doubles (every value representable; the engine's
+    integerize-to-cents convention relies on 2-decimal inputs)."""
+    return rng.randint(lo_c, hi_c, size=n).astype(np.int64) / 100.0
+
+
+def gen_dataset(seed: int, outdir: str) -> dict:
+    """Write the ten engine tables with a fresh seed-driven distribution."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(outdir, exist_ok=True)
+
+    def write(name: str, schema: pa.Schema, cols: dict) -> None:
+        pq.write_table(pa.table(cols, schema=schema), f"{outdir}/{name}.parquet")
+
+    # --- dims -------------------------------------------------------------
+    write(
+        "region",
+        pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+        {"r_regionkey": np.arange(5, dtype=np.int32), "r_name": REGIONS},
+    )
+    n_nat = 25
+    write(
+        "nation",
+        pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                   ("n_regionkey", pa.int32())]),
+        {
+            "n_nationkey": np.arange(n_nat, dtype=np.int32),
+            "n_name": [f"NATION_{i}" for i in range(n_nat)],
+            "n_regionkey": rng.choice(5, size=n_nat, p=_probs(rng, 5)).astype(np.int32),
+        },
+    )
+
+    n_cust = rng.randint(80, 260)
+    write(
+        "customer",
+        pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                   ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+                   ("c_mktsegment", pa.string())]),
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": rng.choice(n_nat, size=n_cust, p=_probs(rng, n_nat)).astype(np.int32),
+            # negatives included: TPC-H acctbals go to -999.99
+            "c_acctbal": _cents(rng, -99_999, 1_000_000, n_cust),
+            "c_mktsegment": rng.choice(SEGMENTS, size=n_cust, p=_probs(rng, 5)),
+        },
+    )
+
+    n_supp = rng.randint(4, 26)
+    write(
+        "supplier",
+        pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                   ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())]),
+        {
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": rng.choice(n_nat, size=n_supp, p=_probs(rng, n_nat)).astype(np.int32),
+            "s_acctbal": _cents(rng, -99_999, 1_000_000, n_supp),
+        },
+    )
+
+    n_part = rng.randint(100, 320)
+    write(
+        "part",
+        pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
+                   ("p_brand", pa.string()), ("p_type", pa.string()),
+                   ("p_size", pa.int32()), ("p_retailprice", pa.float64())]),
+        {
+            "p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_name": [f"{rng.choice(ADJS)} {rng.choice(NOUNS)}" for _ in range(n_part)],
+            "p_brand": [f"Brand#{rng.randint(1, 26)}" for _ in range(n_part)],
+            "p_type": rng.choice(PTYPES, size=n_part, p=_probs(rng, 6)),
+            "p_size": rng.randint(1, 51, size=n_part).astype(np.int32),
+            "p_retailprice": _cents(rng, 10_000, 200_001, n_part),
+        },
+    )
+
+    # --- facts ------------------------------------------------------------
+    n_ord = rng.randint(800, 2600)
+    # zipf-ish customer skew: weight ∝ rank^-s over a random permutation
+    s = rng.uniform(0.4, 1.4)
+    w = (np.arange(1, n_cust + 1, dtype=np.float64) ** -s)
+    cust_w = w[rng.permutation(n_cust)]
+    cust_w /= cust_w.sum()
+    day0_us = 788_918_400_000_000  # 1995-01-01 UTC in µs
+    orderdate_us = day0_us + rng.randint(0, 2404, size=n_ord).astype(np.int64) * _DAY_US
+    write(
+        "orders",
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                   ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+                   ("o_orderdate", pa.timestamp("us")),
+                   ("o_orderpriority", pa.string())]),
+        {
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.choice(n_cust, size=n_ord, p=cust_w).astype(np.int64),
+            "o_orderstatus": rng.choice(STATUSES, size=n_ord, p=_probs(rng, 3)),
+            "o_totalprice": _cents(rng, 100_000, 40_000_000, n_ord),
+            "o_orderdate": orderdate_us.astype("datetime64[us]"),
+            "o_orderpriority": rng.choice(PRIORITIES, size=n_ord, p=_probs(rng, 5)),
+        },
+    )
+
+    # lineitem: 0..12 lines per order (p(0) ≈ 0.05 — orders without lines,
+    # present in the driver data too), part/supp skewed but always valid FKs
+    lines_per = rng.choice(13, size=n_ord,
+                           p=np.r_[0.05, _probs(rng, 12) * 0.95])
+    ok = np.repeat(np.arange(n_ord, dtype=np.int64), lines_per)
+    n_li = len(ok)
+    ln = np.concatenate([np.arange(1, c + 1, dtype=np.int32) for c in lines_per if c])
+    part_w = _probs(rng, n_part) if n_part <= 320 else None
+    ship_lag = rng.randint(1, 121, size=n_li).astype(np.int64) * _DAY_US
+    write(
+        "lineitem",
+        pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                   ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                   ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+                   ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                   ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                   ("l_shipdate", pa.timestamp("us"))]),
+        {
+            "l_orderkey": ok,
+            "l_partkey": rng.choice(n_part, size=n_li, p=part_w).astype(np.int64),
+            "l_suppkey": rng.choice(n_supp, size=n_li, p=_probs(rng, n_supp)).astype(np.int64),
+            "l_linenumber": ln,
+            "l_quantity": rng.randint(1, 51, size=n_li).astype(np.float64),
+            "l_extendedprice": _cents(rng, 90_000, 10_500_000, n_li),
+            "l_discount": rng.randint(0, 11, size=n_li) / 100.0,
+            "l_tax": rng.randint(0, 9, size=n_li) / 100.0,
+            "l_returnflag": rng.choice(RETURNFLAGS, size=n_li, p=_probs(rng, 3)),
+            "l_linestatus": rng.choice(LINESTATUSES, size=n_li, p=_probs(rng, 2)),
+            "l_shipdate": (orderdate_us[ok] + ship_lag).astype("datetime64[us]"),
+        },
+    )
+
+    # events: ts monotone in event_id (block-stream contract) with occasional
+    # exact-µs ties; zipf user skew; every event type present but skewed
+    n_ev = rng.randint(600, 1600)
+    n_users = rng.randint(15, 61)
+    ts = np.sort(rng.randint(0, 30 * _DAY_US, size=n_ev).astype(np.int64))
+    ties = rng.rand(n_ev) < 0.02
+    ties[0] = False
+    ts[ties] = ts[np.flatnonzero(ties) - 1]  # duplicate the previous µs
+    ts += 1_704_067_200_000_000  # 2024-01-01 UTC
+    uw = (np.arange(1, n_users + 1, dtype=np.float64) ** -rng.uniform(0.4, 1.4))
+    uw = uw[rng.permutation(n_users)]
+    uw /= uw.sum()
+    kx = rng.randint(0, 100, size=n_ev)
+    shape = rng.rand(n_ev)
+    props = np.where(
+        shape < 0.04, "{}",
+        np.where(shape < 0.08,
+                 [f'{{"k": {k}, "x": "z{k % 7}"}}' for k in kx],
+                 [f'{{"k": {k}}}' for k in kx]),
+    )
+    write(
+        "events",
+        pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                   ("user_id", pa.int64()), ("event_type", pa.string()),
+                   ("value", pa.float64()), ("props", pa.string())]),
+        {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": rng.choice(n_users, size=n_ev, p=uw).astype(np.int64),
+            "event_type": rng.choice(EVENT_TYPES, size=n_ev, p=_probs(rng, 5)),
+            "value": _cents(rng, 1, 100_000, n_ev),
+            "props": props,
+        },
+    )
+
+    # documents: fresh base texts + verbatim-duplicate and near-duplicate
+    # groups (the dedup ops must find THIS seed's groups, not seed-42's)
+    n_doc = rng.randint(250, 700)
+    vocab = np.array(DOC_VOCAB)
+    texts: list[str] = []
+    for i in range(n_doc):
+        r = rng.rand()
+        if i > 10 and r < 0.12:  # verbatim duplicate of an earlier doc
+            texts.append(texts[rng.randint(0, i)])
+        elif i > 10 and r < 0.20:  # near-duplicate: mutate 1-3 words
+            words = texts[rng.randint(0, i)].split()
+            for _ in range(rng.randint(1, 4)):
+                words[rng.randint(0, len(words))] = rng.choice(vocab)
+            texts.append(" ".join(words))
+        elif r < 0.23:  # degenerate: single word repeated (repetition stress)
+            texts.append(" ".join([rng.choice(vocab)] * rng.randint(1, 40)))
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=rng.randint(3, 450))))
+    write(
+        "documents",
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                   ("lang", pa.string()), ("source", pa.string()),
+                   ("n_chars", pa.int64())]),
+        {
+            "doc_id": np.arange(n_doc, dtype=np.int64),
+            "text": texts,
+            "lang": rng.choice(LANGS, size=n_doc, p=_probs(rng, 5)),
+            "source": rng.choice([f"src{i}" for i in range(20)], size=n_doc,
+                                 p=_probs(rng, 20)),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        },
+    )
+
+    # embeddings: fresh mixture-of-Gaussians cluster structure, float32,
+    # label = cluster (the ANN recall/quality gates need real clusters)
+    n_vec = rng.randint(250, 700)
+    k = rng.randint(6, 13)
+    centers = rng.normal(0.0, 0.12, size=(k, 64))
+    label = rng.choice(k, size=n_vec, p=_probs(rng, k)).astype(np.int32)
+    emb = (centers[label] + rng.normal(0.0, 0.06, size=(n_vec, 64))).astype(np.float32)
+    write(
+        "embeddings",
+        pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+                   ("label", pa.int32())]),
+        {
+            "vec_id": np.arange(n_vec, dtype=np.int64),
+            "embedding": list(emb),
+            "label": label,
+        },
+    )
+
+    return {"n_cust": n_cust, "n_supp": n_supp, "n_part": n_part,
+            "n_ord": n_ord, "n_li": n_li, "n_ev": n_ev,
+            "n_doc": n_doc, "n_vec": n_vec}
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    only: set[str] = set()
+    if "--" in argv:
+        cut = argv.index("--")
+        only = set(argv[cut + 1:])
+        argv = argv[:cut]
+    seeds = [int(a) for a in argv] or [1]
+
+    if len(seeds) > 1:
+        # One subprocess per seed: a few op oracles (profile_parquet_metadata)
+        # bind the dataset dir at module import, so each seed needs a fresh
+        # interpreter; also gives each seed a fresh JVM.
+        import subprocess
+
+        rc = 0
+        for seed in seeds:
+            r = subprocess.run(
+                [sys.executable, __file__, str(seed), "--", *sorted(only)]
+                if only else [sys.executable, __file__, str(seed)],
+                check=False,
+            )
+            rc = rc or r.returncode
+        return rc
+
+    total_fail = 0
+    for seed in seeds:
+        outdir = tempfile.mkdtemp(prefix=f"fuzz_sf_seed{seed}_")
+        sizes = gen_dataset(seed, outdir)
+        print(f"== seed {seed}: {sizes} -> {outdir}")
+        # profile_parquet_metadata's oracle names the dataset dir explicitly
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = outdir
+        # (re)load with the env var in place; registry import is idempotent
+        from australis_indexer_spark.registry import load_all
+        from australis_indexer_spark.session import get_session
+        import tools.diffcheck as dc
+
+        ops = load_all()
+        spark = get_session("fuzz-differential")
+        con = dc.connect_oracle(outdir)
+        _, n_fail, _, failures = dc.run_ops(spark, con, ops, outdir, only=only)
+        total_fail += n_fail
+        if n_fail:
+            print(f"== seed {seed}: FAILURES {sorted(failures)} (dataset kept: {outdir})")
+        else:
+            shutil.rmtree(outdir, ignore_errors=True)
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,97 @@
+"""The randomized-data differential class, pinned in CI.
+
+tools/fuzz_differential.py regenerates the ten engine tables with a fresh
+seed-driven distribution and sweeps the strict Spark-vs-DuckDB diff over
+the full registry (committed artifact: FUZZCHECK_r4.txt). The full sweep
+is ~13 min/seed, so CI pins (a) the generator's data contract and (b) a
+fast-op differential slice on one fixed seed — enough that a regression
+in the harness or a freshly introduced distribution coupling in a core op
+family fails `pytest` rather than waiting for the next full sweep.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.diffcheck import connect_oracle, run_ops  # noqa: E402
+from tools.fuzz_differential import gen_dataset  # noqa: E402
+
+# Fast ops (sub-second at fuzz sizes) spanning the core families: agg,
+# join, window, set, dedup, text, sampling, similarity, semistructured.
+FAST_OPS = [
+    "agg_hash_pricing_summary",
+    "join_equi_revenue_by_nation",
+    "join_anti_customers_without_orders",
+    "window_rank_top_customers",
+    "window_frame_running_spend",
+    "sort_topk_orders",
+    "set_except_churned_buyers",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_stats_quality",
+    "text_token_count",
+    "sample_split_hash",
+    "sim_topk_bruteforce",
+    "project_props_json",
+    "agg_gini_concentration",
+    "window_session_user",
+]
+
+SEED = 7  # NOT one of the full-sweep seeds — CI adds a fresh distribution
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz_sf"))
+    gen_dataset(SEED, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_generator_data_contract(fuzz_dir):
+    """The invariants ops are allowed to assume (TESTDATA.md shape)."""
+    con = duckdb.connect()
+    q = lambda s: con.execute(s.replace("$D", fuzz_dir)).fetchone()[0]  # noqa: E731
+    # primary keys unique
+    for t, k in [("customer", "c_custkey"), ("orders", "o_orderkey"),
+                 ("part", "p_partkey"), ("events", "event_id"),
+                 ("documents", "doc_id"), ("embeddings", "vec_id")]:
+        assert q(f"SELECT COUNT(*) - COUNT(DISTINCT {k}) FROM '$D/{t}.parquet'") == 0
+    # FKs valid (the engine does not promise outer-join semantics on scans)
+    assert q("SELECT COUNT(*) FROM '$D/orders.parquet' WHERE o_custkey NOT IN "
+             "(SELECT c_custkey FROM '$D/customer.parquet')") == 0
+    assert q("SELECT COUNT(*) FROM '$D/lineitem.parquet' WHERE l_partkey NOT IN "
+             "(SELECT p_partkey FROM '$D/part.parquet')") == 0
+    # n_chars mirrors text; ts monotone in event_id (block-stream contract)
+    assert q("SELECT COUNT(*) FROM '$D/documents.parquet' "
+             "WHERE n_chars != length(text)") == 0
+    assert q("SELECT COUNT(*) FROM (SELECT ts - lag(ts) OVER (ORDER BY event_id)"
+             " AS d FROM '$D/events.parquet') WHERE d < INTERVAL 0 SECOND") == 0
+    # money is cents-valued: round(x*100) recovers the intended integer
+    # cents well within float64 error (the det.py integerize contract —
+    # exact *100 equality is impossible for e.g. .07 in binary floats)
+    assert q("SELECT COUNT(*) FROM '$D/lineitem.parquet' WHERE "
+             "abs(l_extendedprice * 100 - round(l_extendedprice * 100)) > 1e-6") == 0
+    # the adversarial structure is actually present
+    assert q("SELECT COUNT(*) FROM (SELECT text FROM '$D/documents.parquet' "
+             "GROUP BY text HAVING COUNT(*) > 1)") > 0, "no duplicate docs"
+    assert q("SELECT COUNT(*) FROM (SELECT ts FROM '$D/events.parquet' "
+             "GROUP BY ts HAVING COUNT(*) > 1)") > 0, "no tied timestamps"
+
+
+def test_fast_ops_exact_on_fuzz_data(spark, ops, fuzz_dir):
+    """The differential slice: every fast-family op is value-exact on a
+    distribution none of them has ever seen."""
+    con = connect_oracle(fuzz_dir)
+    n_pass, n_fail, _, failures = run_ops(
+        spark, con, ops, fuzz_dir, only=set(FAST_OPS)
+    )
+    assert n_fail == 0, f"fuzz differential failures: {failures}"
+    assert n_pass == len(FAST_OPS)

@@ -588,8 +588,10 @@ moments AS (
 SELECT nation_name, n_months,
        n_months * sxy - sx * sy AS slope_num,
        n_months * sxx - sx * sx AS slope_den,
-       CAST(n_months * sxy - sx * sy AS DOUBLE)
-         / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope_cents_per_month
+       CASE WHEN n_months * sxx - sx * sx <> 0
+            THEN CAST(n_months * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_months * sxx - sx * sx AS DOUBLE)
+            ELSE NULL END AS slope_cents_per_month
 FROM moments
 """
 
@@ -635,7 +637,12 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_months",
         num.alias("slope_num"),
         den.alias("slope_den"),
-        (num.cast("double") / den.cast("double")).alias("slope_cents_per_month"),
+        # den = 0 ⇔ the nation has one active month — slope undefined
+        # (NULL), and under ANSI the unguarded double division is a
+        # runtime DIVIDE_BY_ZERO (found by the sparse-profile fuzz sweep)
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("slope_cents_per_month"),
     )
 
 

@@ -74,9 +74,18 @@ def _cents(rng, lo_c: int, hi_c: int, n: int) -> np.ndarray:
     return rng.randint(lo_c, hi_c, size=n).astype(np.int64) / 100.0
 
 
-def gen_dataset(seed: int, outdir: str) -> dict:
-    """Write the ten engine tables with a fresh seed-driven distribution."""
+def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
+    """Write the ten engine tables with a fresh seed-driven distribution.
+
+    ``profile="sparse"`` shrinks the FACT tables to a few dozen rows —
+    empty (hour, type) cells, days with no events, users with one event,
+    segments with no orders — the empty-group / zero-denominator stress
+    for the relational, window, and timeseries families. Documents and
+    embeddings keep their default sizes: the ANN/PQ/kmeans quality gates
+    are contracts about corpus-scale inputs, and starving them tests the
+    gate, not the engine."""
     rng = np.random.RandomState(seed)
+    sparse = profile == "sparse"
     os.makedirs(outdir, exist_ok=True)
 
     def write(name: str, schema: pa.Schema, cols: dict) -> None:
@@ -100,7 +109,7 @@ def gen_dataset(seed: int, outdir: str) -> dict:
         },
     )
 
-    n_cust = rng.randint(80, 260)
+    n_cust = rng.randint(8, 30) if sparse else rng.randint(80, 260)
     write(
         "customer",
         pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
@@ -116,7 +125,7 @@ def gen_dataset(seed: int, outdir: str) -> dict:
         },
     )
 
-    n_supp = rng.randint(4, 26)
+    n_supp = rng.randint(2, 6) if sparse else rng.randint(4, 26)
     write(
         "supplier",
         pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
@@ -129,7 +138,7 @@ def gen_dataset(seed: int, outdir: str) -> dict:
         },
     )
 
-    n_part = rng.randint(100, 320)
+    n_part = rng.randint(10, 40) if sparse else rng.randint(100, 320)
     write(
         "part",
         pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
@@ -146,7 +155,7 @@ def gen_dataset(seed: int, outdir: str) -> dict:
     )
 
     # --- facts ------------------------------------------------------------
-    n_ord = rng.randint(800, 2600)
+    n_ord = rng.randint(30, 120) if sparse else rng.randint(800, 2600)
     # zipf-ish customer skew: weight ∝ rank^-s over a random permutation
     s = rng.uniform(0.4, 1.4)
     w = (np.arange(1, n_cust + 1, dtype=np.float64) ** -s)
@@ -204,8 +213,8 @@ def gen_dataset(seed: int, outdir: str) -> dict:
 
     # events: ts monotone in event_id (block-stream contract) with occasional
     # exact-µs ties; zipf user skew; every event type present but skewed
-    n_ev = rng.randint(600, 1600)
-    n_users = rng.randint(15, 61)
+    n_ev = rng.randint(25, 90) if sparse else rng.randint(600, 1600)
+    n_users = rng.randint(5, 15) if sparse else rng.randint(15, 61)
     ts = np.sort(rng.randint(0, 30 * _DAY_US, size=n_ev).astype(np.int64))
     ties = rng.rand(n_ev) < 0.02
     ties[0] = False
@@ -300,7 +309,12 @@ def main() -> int:
         cut = argv.index("--")
         only = set(argv[cut + 1:])
         argv = argv[:cut]
-    seeds = [int(a) for a in argv] or [1]
+    # seed tokens: "3" (default profile) or "sparse:3"
+    def parse(tok: str) -> tuple[str, int]:
+        prof, _, s = tok.rpartition(":")
+        return (prof or "default", int(s))
+
+    seeds = [parse(a) for a in argv] or [("default", 1)]
 
     if len(seeds) > 1:
         # One subprocess per seed: a few op oracles (profile_parquet_metadata)
@@ -309,20 +323,21 @@ def main() -> int:
         import subprocess
 
         rc = 0
-        for seed in seeds:
+        for prof, seed in seeds:
+            tok = f"{prof}:{seed}" if prof != "default" else str(seed)
             r = subprocess.run(
-                [sys.executable, __file__, str(seed), "--", *sorted(only)]
-                if only else [sys.executable, __file__, str(seed)],
+                [sys.executable, __file__, tok, "--", *sorted(only)]
+                if only else [sys.executable, __file__, tok],
                 check=False,
             )
             rc = rc or r.returncode
         return rc
 
     total_fail = 0
-    for seed in seeds:
-        outdir = tempfile.mkdtemp(prefix=f"fuzz_sf_seed{seed}_")
-        sizes = gen_dataset(seed, outdir)
-        print(f"== seed {seed}: {sizes} -> {outdir}")
+    for prof, seed in seeds:
+        outdir = tempfile.mkdtemp(prefix=f"fuzz_sf_{prof}{seed}_")
+        sizes = gen_dataset(seed, outdir, profile=prof)
+        print(f"== seed {prof}:{seed}: {sizes} -> {outdir}")
         # profile_parquet_metadata's oracle names the dataset dir explicitly
         os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = outdir
         # (re)load with the env var in place; registry import is idempotent
@@ -336,7 +351,7 @@ def main() -> int:
         _, n_fail, _, failures = dc.run_ops(spark, con, ops, outdir, only=only)
         total_fail += n_fail
         if n_fail:
-            print(f"== seed {seed}: FAILURES {sorted(failures)} (dataset kept: {outdir})")
+            print(f"== seed {prof}:{seed}: FAILURES {sorted(failures)} (dataset kept: {outdir})")
         else:
             shutil.rmtree(outdir, ignore_errors=True)
     return 1 if total_fail else 0

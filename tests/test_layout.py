@@ -97,13 +97,17 @@ def test_dpp_runtime_pruning_in_plan(spark, ops):
 
 
 def test_zorder_contract_flags(spark, ops):
-    """Z-order must make a price-only predicate skippable while the 1-D
-    custkey layout cannot skip at all; rows conserved in both layouts."""
+    """Z-order construction guarantees: the price-only box skips at least
+    one z-file, every z-file's price stats span at most a quarter of the
+    domain, every 1-D file's custkey stats at most a sixteenth; rows
+    conserved in both layouts. (The r3 claim that the 1-D layout can
+    NEVER skip was distribution-dependent — killed by the fuzz sweep.)"""
     r = ops["sink_zorder_stats"].fn(spark, "/root/testdata/sf0.001").collect()[0]
-    assert r["n_files"] == 16
+    assert 1 <= r["n_z_files"] <= 16
     assert r["rows_conserved"]
     assert r["zorder_prunes_price_only"]
-    assert r["oned_cannot_prune_price_only"]
+    assert r["zorder_price_band_bounded"]
+    assert r["oned_custkey_band_bounded"]
 
 
 def test_schema_evolution_nullfills(spark, ops):

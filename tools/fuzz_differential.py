@@ -58,6 +58,13 @@ DOC_VOCAB = (
     "key line merge order part query row scan slow small sort spark stream "
     "table the value vector window"
 ).split()
+# the "unicode" profile mixes non-ASCII words into the corpus: multi-byte
+# UTF-8, combining-free accents, CJK — the multilingual reality a 100 TB
+# corpus engine faces. Both engines must agree on code-point lengths,
+# regex classes, and md5-of-UTF8 for every text op.
+UNI_VOCAB = DOC_VOCAB + (
+    "café naïve données straße señor élan 日本語 中文数据 データ 言語模型"
+).split()
 
 _DAY_US = 86_400_000_000
 
@@ -83,7 +90,11 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     for the relational, window, and timeseries families. Documents and
     embeddings keep their default sizes: the ANN/PQ/kmeans quality gates
     are contracts about corpus-scale inputs, and starving them tests the
-    gate, not the engine."""
+    gate, not the engine.
+
+    ``profile="unicode"`` draws document text from a vocabulary that mixes
+    in non-ASCII words (accents, CJK) — probing cross-engine agreement on
+    code-point semantics in every text/dedup/curation op."""
     rng = np.random.RandomState(seed)
     sparse = profile == "sparse"
     os.makedirs(outdir, exist_ok=True)
@@ -249,7 +260,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     # documents: fresh base texts + verbatim-duplicate and near-duplicate
     # groups (the dedup ops must find THIS seed's groups, not seed-42's)
     n_doc = rng.randint(250, 700)
-    vocab = np.array(DOC_VOCAB)
+    vocab = np.array(UNI_VOCAB if profile == "unicode" else DOC_VOCAB)
     texts: list[str] = []
     for i in range(n_doc):
         r = rng.rand()

@@ -767,14 +767,16 @@ inter AS (
   FROM (SELECT DISTINCT type_a, type_b, ua FROM pairs) GROUP BY 1, 2
 ),
 sizes AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1)
-SELECT i.type_a, i.type_b,
-       sa.n AS n_a, sb.n AS n_b, i.n_both,
-       sa.n + sb.n - i.n_both AS n_union,
-       CAST((i.n_both * 1000000) // CAST(sa.n + sb.n - i.n_both AS BIGINT)
+SELECT p.type_a, p.type_b,
+       p.n_a, p.n_b, COALESCE(i.n_both, 0) AS n_both,
+       p.n_a + p.n_b - COALESCE(i.n_both, 0) AS n_union,
+       CAST((COALESCE(i.n_both, 0) * 1000000)
+            // CAST(p.n_a + p.n_b - COALESCE(i.n_both, 0) AS BIGINT)
             AS BIGINT) AS jaccard_ppm
-FROM inter i
-JOIN sizes sa ON sa.event_type = i.type_a
-JOIN sizes sb ON sb.event_type = i.type_b
+FROM (SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+             sa.n AS n_a, sb.n AS n_b
+      FROM sizes sa JOIN sizes sb ON sa.event_type < sb.event_type) p
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
 """
 
 
@@ -824,19 +826,29 @@ def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    # EVERY type pair is a report row, zero-overlap included: the word
+    # self-join emits a pair only when two types share a 64-id WORD
+    # bucket, which on sparse audiences is neither implied by nor
+    # implying a shared user (fuzz sweep, sparse:12 — spark emitted a
+    # shared-word zero-user pair the user-level oracle omitted). The
+    # |types|² pair frame is broadcast-tiny; n_both coalesces to 0.
     return (
-        inter.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
+        sa.join(sb, F.col("type_a") < F.col("type_b"))
+        .join(inter, ["type_a", "type_b"], "left")
         .select(
             "type_a",
             "type_b",
             "n_a",
             "n_b",
-            "n_both",
-            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_union"),
-            F.expr("(n_both * 1000000) div (n_a + n_b - n_both)").alias(
-                "jaccard_ppm"
-            ),
+            F.coalesce(F.col("n_both"), F.lit(0).cast("long")).alias("n_both"),
+            (
+                F.col("n_a") + F.col("n_b")
+                - F.coalesce(F.col("n_both"), F.lit(0).cast("long"))
+            ).alias("n_union"),
+            F.expr(
+                "(COALESCE(n_both, CAST(0 AS BIGINT)) * 1000000)"
+                " div (n_a + n_b - COALESCE(n_both, CAST(0 AS BIGINT)))"
+            ).alias("jaccard_ppm"),
         )
     )
 

@@ -97,7 +97,23 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     code-point semantics in every text/dedup/curation op."""
     rng = np.random.RandomState(seed)
     sparse = profile == "sparse"
+    tie_pools = profile == "ties"
     os.makedirs(outdir, exist_ok=True)
+
+    def cents(lo_c, hi_c, n):
+        if not tie_pools:
+            return _cents(rng, lo_c, hi_c, n)
+        # "ties" draws every money column from a 12-value pool: massive
+        # exact collisions in ordering keys — any rank/sort/top-k without
+        # a unique-key tie-break diverges between engines here
+        pool = rng.randint(lo_c, hi_c, size=12).astype(np.int64)
+        return pool[rng.randint(0, 12, size=n)] / 100.0
+
+    def day_offsets(hi, n, pool_k):
+        if not tie_pools:
+            return rng.randint(0, hi, size=n).astype(np.int64)
+        pool = rng.randint(0, hi, size=pool_k).astype(np.int64)
+        return pool[rng.randint(0, pool_k, size=n)]
 
     def write(name: str, schema: pa.Schema, cols: dict) -> None:
         pq.write_table(pa.table(cols, schema=schema), f"{outdir}/{name}.parquet")
@@ -131,7 +147,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
             "c_nationkey": rng.choice(n_nat, size=n_cust, p=_probs(rng, n_nat)).astype(np.int32),
             # negatives included: TPC-H acctbals go to -999.99
-            "c_acctbal": _cents(rng, -99_999, 1_000_000, n_cust),
+            "c_acctbal": cents(-99_999, 1_000_000, n_cust),
             "c_mktsegment": rng.choice(SEGMENTS, size=n_cust, p=_probs(rng, 5)),
         },
     )
@@ -145,7 +161,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "s_suppkey": np.arange(n_supp, dtype=np.int64),
             "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
             "s_nationkey": rng.choice(n_nat, size=n_supp, p=_probs(rng, n_nat)).astype(np.int32),
-            "s_acctbal": _cents(rng, -99_999, 1_000_000, n_supp),
+            "s_acctbal": cents(-99_999, 1_000_000, n_supp),
         },
     )
 
@@ -161,7 +177,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "p_brand": [f"Brand#{rng.randint(1, 26)}" for _ in range(n_part)],
             "p_type": rng.choice(PTYPES, size=n_part, p=_probs(rng, 6)),
             "p_size": rng.randint(1, 51, size=n_part).astype(np.int32),
-            "p_retailprice": _cents(rng, 10_000, 200_001, n_part),
+            "p_retailprice": cents(10_000, 200_001, n_part),
         },
     )
 
@@ -173,7 +189,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     cust_w = w[rng.permutation(n_cust)]
     cust_w /= cust_w.sum()
     day0_us = 788_918_400_000_000  # 1995-01-01 UTC in µs
-    orderdate_us = day0_us + rng.randint(0, 2404, size=n_ord).astype(np.int64) * _DAY_US
+    orderdate_us = day0_us + day_offsets(2404, n_ord, 40) * _DAY_US
     write(
         "orders",
         pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
@@ -184,7 +200,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "o_orderkey": np.arange(n_ord, dtype=np.int64),
             "o_custkey": rng.choice(n_cust, size=n_ord, p=cust_w).astype(np.int64),
             "o_orderstatus": rng.choice(STATUSES, size=n_ord, p=_probs(rng, 3)),
-            "o_totalprice": _cents(rng, 100_000, 40_000_000, n_ord),
+            "o_totalprice": cents(100_000, 40_000_000, n_ord),
             "o_orderdate": orderdate_us.astype("datetime64[us]"),
             "o_orderpriority": rng.choice(PRIORITIES, size=n_ord, p=_probs(rng, 5)),
         },
@@ -198,7 +214,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     n_li = len(ok)
     ln = np.concatenate([np.arange(1, c + 1, dtype=np.int32) for c in lines_per if c])
     part_w = _probs(rng, n_part) if n_part <= 320 else None
-    ship_lag = rng.randint(1, 121, size=n_li).astype(np.int64) * _DAY_US
+    ship_lag = (1 + day_offsets(120, n_li, 5)) * _DAY_US
     write(
         "lineitem",
         pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
@@ -213,7 +229,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "l_suppkey": rng.choice(n_supp, size=n_li, p=_probs(rng, n_supp)).astype(np.int64),
             "l_linenumber": ln,
             "l_quantity": rng.randint(1, 51, size=n_li).astype(np.float64),
-            "l_extendedprice": _cents(rng, 90_000, 10_500_000, n_li),
+            "l_extendedprice": cents(90_000, 10_500_000, n_li),
             "l_discount": rng.randint(0, 11, size=n_li) / 100.0,
             "l_tax": rng.randint(0, 9, size=n_li) / 100.0,
             "l_returnflag": rng.choice(RETURNFLAGS, size=n_li, p=_probs(rng, 3)),
@@ -226,7 +242,12 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     # exact-µs ties; zipf user skew; every event type present but skewed
     n_ev = rng.randint(25, 90) if sparse else rng.randint(600, 1600)
     n_users = rng.randint(5, 15) if sparse else rng.randint(15, 61)
-    ts = np.sort(rng.randint(0, 30 * _DAY_US, size=n_ev).astype(np.int64))
+    if tie_pools:
+        # draw instants from a small pool: many exact-microsecond collisions
+        tpool = rng.randint(0, 30 * _DAY_US, size=max(20, n_ev // 6)).astype(np.int64)
+        ts = np.sort(tpool[rng.randint(0, len(tpool), size=n_ev)])
+    else:
+        ts = np.sort(rng.randint(0, 30 * _DAY_US, size=n_ev).astype(np.int64))
     ties = rng.rand(n_ev) < 0.02
     ties[0] = False
     ts[ties] = ts[np.flatnonzero(ties) - 1]  # duplicate the previous µs
@@ -252,7 +273,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "ts": ts.astype("datetime64[us]"),
             "user_id": rng.choice(n_users, size=n_ev, p=uw).astype(np.int64),
             "event_type": rng.choice(EVENT_TYPES, size=n_ev, p=_probs(rng, 5)),
-            "value": _cents(rng, 1, 100_000, n_ev),
+            "value": cents(1, 100_000, n_ev),
             "props": props,
         },
     )

@@ -95,3 +95,26 @@ def test_fast_ops_exact_on_fuzz_data(spark, ops, fuzz_dir):
     )
     assert n_fail == 0, f"fuzz differential failures: {failures}"
     assert n_pass == len(FAST_OPS)
+
+
+# The four ops the round-4 fuzz sweeps caught, each pinned on the exact
+# profile+seed that killed it: stream_corpus_ingest (default:1 — one-token
+# docs hit descending sequence() under ANSI), agg_linear_trend (sparse —
+# single-month nation divides by zero), agg_bitmap_set_ops (sparse:12 —
+# shared-word zero-user pair), sink_zorder_stats (default:3 — 1-D pruning
+# claim was distribution-luck).
+REGRESSION_SLICES = [
+    ("default", 1, {"stream_corpus_ingest"}),
+    ("sparse", 11, {"agg_linear_trend"}),
+    ("sparse", 12, {"agg_bitmap_set_ops", "agg_linear_trend"}),
+    ("default", 3, {"sink_zorder_stats"}),
+]
+
+
+@pytest.mark.parametrize("profile,seed,names", REGRESSION_SLICES)
+def test_fuzz_kill_regressions(spark, ops, tmp_path, profile, seed, names):
+    d = str(tmp_path / f"{profile}{seed}")
+    gen_dataset(seed, d, profile=profile)
+    con = connect_oracle(d)
+    _, n_fail, _, failures = run_ops(spark, con, ops, d, only=names)
+    assert n_fail == 0, f"regressed fuzz kills: {failures}"

@@ -612,7 +612,8 @@ SELECT p_partkey,
        UPPER(p_brand) AS brand_upper,
        SUBSTR(p_name, 1, 8) AS name_prefix,
        CAST(LENGTH(p_name) AS BIGINT) AS name_len,
-       ROUND(p_retailprice * 1.1, 2) AS price_with_tax,
+       ((CAST(ROUND(p_retailprice * 100.0) AS BIGINT) * 110 + 50) // 100)
+         / 100.0 AS price_with_tax,
        ABS(p_size - 25) AS size_dev,
        CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
        CONCAT(p_brand, ':', p_type) AS brand_type
@@ -621,14 +622,25 @@ FROM part
 )
 def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/math/conditional scalar functions — all JVM-side codegen'd
-    built-ins (pyspark.sql.functions), zero Python in the row path."""
+    built-ins (pyspark.sql.functions), zero Python in the row path.
+
+    price_with_tax follows the det.py integer-cents convention: exact
+    cents * 110, half-up integer division back to cents, one final /100.
+    The r3 form ROUND(p * 1.1, 2) rounded a DOUBLE — every cents value
+    ending in 5 makes p*1.1 a .xx5 boundary where Spark's BigDecimal
+    HALF_UP and DuckDB's double rounding can disagree by one cent (found
+    by the ties fuzz profile, whose 12-value price pool amplified one
+    boundary case into 18 rows)."""
     p = lt(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.length("p_name").cast("long").alias("name_len"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_with_tax"),
+        F.expr(
+            "(CAST(ROUND(p_retailprice * 100.0) AS BIGINT) * 110 + 50)"
+            " div 100 / CAST(100 AS DOUBLE)"
+        ).alias("price_with_tax"),
         F.abs(F.col("p_size") - 25).alias("size_dev"),
         F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),

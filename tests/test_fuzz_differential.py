@@ -108,6 +108,10 @@ REGRESSION_SLICES = [
     ("sparse", 11, {"agg_linear_trend"}),
     ("sparse", 12, {"agg_bitmap_set_ops", "agg_linear_trend"}),
     ("default", 3, {"sink_zorder_stats"}),
+    # ties:31's 12-value price pool amplifies a .xx5 rounding boundary:
+    # price_with_tax must follow the integer-cents convention, not
+    # ROUND(double) whose half-way behavior differs between engines
+    ("ties", 31, {"scalar_funcs_showcase"}),
 ]
 
 

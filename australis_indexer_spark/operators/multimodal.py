@@ -125,7 +125,7 @@ SELECT doc_id,
             ELSE 'video/mp4' END AS mime,
        CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS width,
        CAST(64 + (doc_id % 9) * 32 AS INTEGER) AS height,
-       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
        sha256(text) AS payload_sha
 FROM documents
 """,
@@ -148,28 +148,69 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The fake decoder's features are pure byte arithmetic, so DuckDB can
-# reproduce them bit-for-bit: the corpus is ASCII (asserted by the
-# octet_length = length equality below — a non-ASCII doc would shift the
-# byte sum and hash-mismatch), ord(char) == byte value, and mean_byte is a
-# single IEEE division of exact integers in both engines.
-_DECODE_ORACLE = """
-WITH b AS (
-  SELECT doc_id, text, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
-  FROM documents
-  WHERE octet_length(text::BLOB) = length(text)
+def _utf8_bytes_cte(src: str) -> str:
+    """CTE chain expanding ``src`` (doc_id, text) into its exact UTF-8 byte
+    stream ``bytestream(doc_id, pos, v)`` — 1-based byte positions and
+    byte values — in pure SQL: per-character code points (DuckDB ``ord``),
+    the RFC 3629 length classes, a running byte offset, and the closed-form
+    continuation-byte arithmetic. This is what lets byte-level oracles stay
+    EXACT on any text; the r3 forms cast VARCHAR→BLOB (DuckDB errors on
+    non-ASCII) or equated code points with bytes — both killed by the
+    unicode fuzz profile (tools/fuzz_differential.py, seed unicode:22)."""
+    return f"""
+chars AS (
+  SELECT doc_id, p AS ci, ord(substr(text, CAST(p AS INTEGER), 1)) AS cp
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+        FROM {src})
 ),
+cinfo AS (
+  SELECT doc_id, ci, cp,
+         CASE WHEN cp < 128 THEN 1 WHEN cp < 2048 THEN 2
+              WHEN cp < 65536 THEN 3 ELSE 4 END AS nb
+  FROM chars
+),
+coff AS (
+  SELECT doc_id, ci, cp, nb,
+         SUM(nb) OVER (PARTITION BY doc_id ORDER BY ci
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb
+           AS off
+  FROM cinfo
+),
+bytestream AS (
+  SELECT doc_id, off + j + 1 AS pos,
+         CASE WHEN nb = 1 THEN cp
+              WHEN j = 0 AND nb = 2 THEN 192 + cp // 64
+              WHEN j = 0 AND nb = 3 THEN 224 + cp // 4096
+              WHEN j = 0 AND nb = 4 THEN 240 + cp // 262144
+              WHEN j = 1 AND nb = 3 THEN 128 + (cp // 64) % 64
+              WHEN j = 1 AND nb = 4 THEN 128 + (cp // 4096) % 64
+              WHEN j = 2 AND nb = 4 THEN 128 + (cp // 64) % 64
+              ELSE 128 + cp % 64 END AS v
+  FROM coff, UNNEST(generate_series(0, nb - 1)) AS t(j)
+)"""
+
+
+# The fake decoder's features are pure byte arithmetic over the UTF-8
+# payload, reproduced bit-for-bit from the SQL byte stream; mean_byte is
+# a single IEEE division of exact integers in both engines.
+_DECODE_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_utf8_bytes_cte("docs")},
 s AS (
-  SELECT doc_id, CAST(SUM(ord(substr(text, p, 1))) AS BIGINT) AS byte_sum
-  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p FROM b)
-  GROUP BY doc_id
+  SELECT doc_id,
+         CAST(SUM(v) AS BIGINT) AS byte_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_bytes,
+         string_agg(CASE WHEN pos <= 8 THEN lpad(lower(hex(v)), 2, '0') END,
+                    '' ORDER BY pos) AS head_hex
+  FROM bytestream GROUP BY doc_id
 )
-SELECT b.doc_id, b.n_bytes,
-       CASE WHEN b.n_bytes = 0 THEN 0.0
-            ELSE CAST(COALESCE(s.byte_sum, 0) AS DOUBLE) / b.n_bytes END AS mean_byte,
-       lower(hex(substring(b.text, 1, 8)::BLOB)) AS head_hex,
+SELECT d.doc_id,
+       COALESCE(s.n_bytes, 0) AS n_bytes,
+       CASE WHEN COALESCE(s.n_bytes, 0) = 0 THEN 0.0
+            ELSE CAST(s.byte_sum AS DOUBLE) / s.n_bytes END AS mean_byte,
+       COALESCE(s.head_hex, '') AS head_hex,
        'stub-deterministic' AS decoder
-FROM b LEFT JOIN s USING (doc_id)
+FROM docs d LEFT JOIN s USING (doc_id)
 """
 
 
@@ -311,7 +352,7 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_sig, schema=_AHASH_SIG_SCHEMA)
 
 
-_PHASH_ORACLE = """
+_PHASH_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -321,14 +362,14 @@ WITH corpus AS (
   FROM documents WHERE doc_id % 50 = 25
 ),
 docs AS (
-  SELECT doc_id, text, length(text) AS n
-  FROM corpus WHERE length(text) >= 64
+  SELECT doc_id, text, strlen(text) AS n
+  FROM corpus WHERE strlen(text) >= 64
 ),
-positions AS (SELECT unnest(range(1, 4097)) AS i),
+{_utf8_bytes_cte("docs")},
 bytes AS (
-  SELECT doc_id, n, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v,
-         CAST(((i - 1) * 64) // n AS BIGINT) AS p
-  FROM docs JOIN positions ON i <= n
+  SELECT b.doc_id, d.n, b.v,
+         CAST(((b.pos - 1) * 64) // d.n AS BIGINT) AS p
+  FROM bytestream b JOIN docs d USING (doc_id)
 ),
 blocks AS (
   SELECT doc_id, p, ANY_VALUE(n) AS n,
@@ -479,7 +520,7 @@ WITH media AS (
          CASE WHEN source = 'src0' THEN 'image/png'
               WHEN source = 'src1' THEN 'audio/wav'
               ELSE 'video/mp4' END AS mime,
-         text, LENGTH(text) AS n_bytes
+         text, CAST(strlen(text) AS BIGINT) AS n_bytes
   FROM documents
 ),
 gated AS (SELECT * FROM media WHERE n_bytes >= 64),

@@ -564,7 +564,7 @@ scan_jsonl_corrupt_tolerant.__doc__ = scan_jsonl_corrupt_tolerant.__doc__.replac
 _BINFILES_ORACLE = """
 SELECT lang,
        COUNT(*) AS n_blobs,
-       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM documents
@@ -581,8 +581,10 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet: a sample of documents (every 20th) is exported as individual
     `<lang>_<doc_id>.bin` files, scanned back as (path, length, content)
     records, and the id/lang recovered from the path with JVM regex. The
-    aggregate proves byte-exact round trip per language (text bytes are
-    ASCII here, so LENGTH(text) == blob bytes).
+    aggregate proves byte-exact round trip per language (blob bytes are
+    the UTF-8 encoding of text; the oracle counts them with DuckDB's
+    byte-level strlen — code-point LENGTH undercounts on non-ASCII, a
+    coupling the unicode fuzz profile exposed).
 
     Scale notes: binaryFile parallelizes across files (each task reads
     whole blobs — the right unit for media), and the first thing a real

@@ -112,6 +112,12 @@ REGRESSION_SLICES = [
     # price_with_tax must follow the integer-cents convention, not
     # ROUND(double) whose half-way behavior differs between engines
     ("ties", 31, {"scalar_funcs_showcase"}),
+    # unicode:22 killed the byte-level family's ASCII couplings: VARCHAR->
+    # BLOB casts that error on non-ASCII, code-point LENGTH standing in
+    # for byte counts, ord(char) standing in for byte values — all now
+    # routed through the exact SQL UTF-8 bytestream (_utf8_bytes_cte)
+    ("unicode", 22, {"multimodal_meta", "multimodal_decode_features",
+                     "pipeline_media_curation", "scan_binary_files"}),
 ]
 
 

@@ -36,16 +36,30 @@ def with_norm(
     out: str = "nrm",
     *,
     spread: bool = True,
+    keep_zero: bool = False,
 ) -> DataFrame:
     """Attach the L2 norm; by default also `spread` the frame across all
     cores first. Small embedding tables arrive as one parquet split, and
     every downstream per-pair cosine would otherwise execute in that single
     scan task — one narrow-side shuffle of the corpus buys full parallelism
-    (a no-op concern at 100 TB where the scan has thousands of splits)."""
+    (a no-op concern at 100 TB where the scan has thousands of splits).
+
+    Zero-norm vectors are EXCLUDED by default (``keep_zero=False``): a zero
+    vector has no direction, so cosine against it is 0/0 — which under ANSI
+    mode is a job-killing DIVIDE_BY_ZERO, not a NaN (the fuzz ``vecdup``
+    profile crashed all 8 cosine ops this way). At 100 TB some embedding
+    batch WILL be all-zeros (model OOM, padding bug, truncated upload);
+    dropping them from similarity search is the defensible semantic, and
+    every cosine oracle applies the identical ``WHERE nrm > 0`` filter.
+    Callers that need the excluded rows surfaced (data-quality reports)
+    pass ``keep_zero=True`` and handle the division themselves."""
     if spread:
         sc = df.sparkSession.sparkContext
         df = df.repartition(sc.defaultParallelism)
-    return df.withColumn(out, norm(emb_col))
+    df = df.withColumn(out, norm(emb_col))
+    if not keep_zero:
+        df = df.filter(F.col(out) > 0.0)
+    return df
 
 
 def cosine_cols(emb_a: str, emb_b: str, nrm_a: str, nrm_b: str) -> Column:

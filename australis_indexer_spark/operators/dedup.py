@@ -403,6 +403,7 @@ WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE nrm > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        (list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) AS cosine

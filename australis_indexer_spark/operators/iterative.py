@@ -173,8 +173,15 @@ def ivf_trained_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _trained_recall_oracle() -> str:
     from .similarity import N_QUERIES, TOP_K
 
+    # n_queries counts NONZERO-norm query vectors — zero embeddings are
+    # excluded from every cosine path (vectors.with_norm), so both engines
+    # serve fewer queries when the query range contains a dead vector.
     return f"""
-SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+SELECT CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id < {N_QUERIES}
+               AND list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) > 0) AS BIGINT)
+         AS n_queries,
        {TOP_K} AS k,
        TRUE AS recall_ge_080
 """

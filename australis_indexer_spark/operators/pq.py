@@ -66,13 +66,22 @@ RECALL_GATE = 0.50         # asserted by the oracle; measured value in test
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalized corpus: PQ-ADC squared-L2 ranking on unit vectors is
-    exactly cosine ranking (||q-x||² = 2 - 2·cos when ||q||=||x||=1)."""
+    exactly cosine ranking (||q-x||² = 2 - 2·cos when ||q||=||x||=1).
+    Zero-norm vectors are excluded, same semantic as ``with_norm`` — the
+    division here is the other ANSI DIVIDE_BY_ZERO the fuzz ``vecdup``
+    profile crashed (a zero vector cannot be unit-normalized any more than
+    it can be cosine-ranked)."""
     e = lt(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
-    return e.select(
-        "vec_id", F.transform("emb", lambda x: x / nrm).alias("emb")
+    return (
+        e.withColumn("_nrm", nrm)
+        .filter(F.col("_nrm") > 0.0)
+        .select(
+            "vec_id",
+            F.transform("emb", lambda x: x / F.col("_nrm")).alias("emb"),
+        )
     )
 
 
@@ -269,8 +278,15 @@ def pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# n_queries counts the NONZERO-norm query vectors — zero embeddings are
+# excluded from every cosine path (see _normed), so a corpus whose query
+# range contains a dead vector serves fewer queries on both engines.
 _PQ_ORACLE = f"""
-SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+SELECT CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id < {N_QUERIES}
+               AND list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) > 0) AS BIGINT)
+         AS n_queries,
        {TOP_K} AS k,
        {M_SUB} AS code_bytes_per_vector,
        {DIM * 4 // M_SUB} AS compression_x,

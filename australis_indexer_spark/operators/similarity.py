@@ -41,6 +41,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE nrm > 0
 ),
 q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e WHERE vec_id < {N_QUERIES}),
 s AS (
@@ -130,6 +131,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE nrm > 0
 ),
 bucketed AS ({_SQL_BUCKETS}),
 q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, tbl, bucket
@@ -236,6 +238,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE nrm > 0
 ),
 c AS (
   SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm
@@ -523,6 +526,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE nrm > 0
 ),
 bucketed AS ({_SQL_BUCKETS})
 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -443,12 +443,37 @@ def replay_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The round-trip proof: every column here is computed from the ROUND-TRIPPED
+# data but the oracle reads the ORIGINAL parquet — so a hash match proves the
+# format preserved record boundaries (n_docs), every key (min/max doc_id),
+# and the text content itself, both code-point-exactly (text_chars) and
+# byte-exactly (min/max md5 of the UTF-8 stream; Spark md5(string) and
+# DuckDB md5(VARCHAR) both hash the UTF-8 encoding — same convention as the
+# dedup family). The edge fuzz profile (embedded newlines/quotes/CRLF,
+# empty and whitespace-only docs) killed the r3 version of scan_csv, which
+# never touched round-tripped `text` and read with the default
+# one-record-per-line parser.
 _DOC_AGG_ORACLE = """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+       MIN(md5(text)) AS text_md5_lo, MAX(md5(text)) AS text_md5_hi
 FROM documents
 GROUP BY lang
 """
+
+
+def _doc_roundtrip_agg(back: DataFrame) -> DataFrame:
+    """The shared round-trip aggregate over a scanned-back documents frame."""
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.min(F.md5("text")).alias("text_md5_lo"),
+        F.max(F.md5("text")).alias("text_md5_hi"),
+    )
 
 
 @op("scan_jsonl", tags=("parity", "source", "format"), oracle=_DOC_AGG_ORACLE)
@@ -457,39 +482,58 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan it back with an EXPLICIT schema (never inferSchema — the
     reference's wire schema is fixed at compile time, SURVEY.md §1.1), and
     aggregate. The oracle runs on the original parquet, so a hash match
-    proves the format round trip is lossless. JSONL is the reference's
+    proves the format round trip is lossless — including a per-lang md5
+    checksum of the round-tripped text itself. JSONL is the reference's
     debug wire format (serde_json, borealis-indexer/src/main.rs:424)."""
-    import tempfile
-
     docs = lt(spark, sf_dir, "documents")
     out = scratch_dir(prefix="aispark_jsonl_")
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema(docs.schema).json(out)
-    return back.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"),
-    )
+    return _doc_roundtrip_agg(back)
 
 
 @op("scan_csv", tags=("parity", "source", "format"), oracle=_DOC_AGG_ORACLE)
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round trip with explicit schema + header; same lossless-
-    round-trip oracle as scan_jsonl. CSV is the lowest-common-denominator
-    bulk-ingest format for S6-style backfills."""
-    import tempfile
+    round-trip oracle (incl. text md5 checksums) as scan_jsonl. CSV is the
+    lowest-common-denominator bulk-ingest format for S6-style backfills.
 
+    Real corpus text forces the full quoting machinery (fuzz `edge`
+    profile, which killed the r3 default-options version — a doc with an
+    embedded newline parsed as multiple records):
+    - ``multiLine`` on read: documents contain literal \\n / \\r\\n, so a
+      record is NOT a physical line; the writer quotes such fields and the
+      reader must honor quoted newlines. (On a cluster, multiLine makes a
+      CSV *file* the split unit rather than a line range — fine here, CSV
+      ingest at scale should shard into many files anyway.)
+    - ``ignoreLeading/TrailingWhiteSpace=False`` on BOTH sides: the writer
+      defaults to trimming unquoted fields, silently corrupting
+      whitespace-only or padded docs.
+    - ``nullValue='\\\\N'`` sentinel on both sides: with the default (empty
+      string) sentinel, an empty document reads back NULL. The one residual
+      ambiguity of the format: a document whose text is the literal
+      sentinel would read back NULL — inherent to CSV null encoding.
+    """
     docs = lt(spark, sf_dir, "documents")
     out = scratch_dir(prefix="aispark_csv_")
-    docs.write.mode("overwrite").option("header", True).csv(out)
-    back = spark.read.schema(docs.schema).option("header", True).csv(out)
-    return back.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"),
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
+        .csv(out)
     )
+    back = (
+        spark.read.schema(docs.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
+        .csv(out)
+    )
+    return _doc_roundtrip_agg(back)
 
 
 _N_CORRUPT_PLANTED = 7

@@ -118,6 +118,17 @@ REGRESSION_SLICES = [
     # routed through the exact SQL UTF-8 bytestream (_utf8_bytes_cte)
     ("unicode", 22, {"multimodal_meta", "multimodal_decode_features",
                      "pipeline_media_curation", "scan_binary_files"}),
+    # edge:51 killed scan_csv: a document with an embedded newline parsed
+    # as multiple CSV records under the default one-record-per-line reader;
+    # the fixed op needs multiLine + whitespace-preserving + \N-sentinel
+    # options, and the round-trip oracle now md5-checksums the text itself
+    ("edge", 51, {"scan_csv", "scan_jsonl"}),
+    # vecdup:61 crashed all 8 cosine ops with ANSI DIVIDE_BY_ZERO on
+    # zero-norm vectors (and stresses exact distance ties from verbatim-
+    # duplicate embeddings); zero vectors are now excluded from every
+    # cosine path on both engines (vectors.with_norm / pq._normed)
+    ("vecdup", 61, {"sim_topk_bruteforce", "sim_ann_ivf",
+                    "dedup_embedding_cosine", "dedup_embedding_lsh"}),
 ]
 
 

@@ -65,6 +65,21 @@ DOC_VOCAB = (
 UNI_VOCAB = DOC_VOCAB + (
     "café naïve données straße señor élan 日本語 中文数据 データ 言語模型"
 ).split()
+# the "edge" profile is what scraped web text actually looks like: tokens
+# with attached punctuation, quotes, commas and apostrophes, plus embedded
+# newlines / tabs / CRLF as token separators and a few empty or
+# whitespace-only documents. Stresses (a) the CSV/JSONL round-trip ops —
+# embedded newlines force real quoted-multiline records, (b) regex-engine
+# agreement (Java regex vs DuckDB RE2) in every tokenizer/quality op, and
+# (c) empty-token / empty-doc handling in the dedup and curation chains.
+EDGE_VOCAB = DOC_VOCAB + [
+    "data,", "value.", '"quoted"', "(spark)", "don't", "e.g.", "foo-bar",
+    "a;b", "x:y", "it's", "end!", "why?", "semi;colon", "two,,commas",
+    "tra--dash", "'single'", "[brack]", "{brace}", "pipe|bar", "pct%",
+]
+# token separators for the edge profile: mostly plain space, with real
+# newline / CRLF / tab / double-space joins mixed in
+EDGE_SEPS = [" "] * 12 + ["\n", "\n", "\r\n", "\t", "  ", " \n "]
 
 _DAY_US = 86_400_000_000
 
@@ -94,7 +109,18 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
 
     ``profile="unicode"`` draws document text from a vocabulary that mixes
     in non-ASCII words (accents, CJK) — probing cross-engine agreement on
-    code-point semantics in every text/dedup/curation op."""
+    code-point semantics in every text/dedup/curation op.
+
+    ``profile="edge"`` makes the corpus look like scraped web text:
+    punctuation-attached tokens, embedded quotes/commas, newline / CRLF /
+    tab separators, empty and whitespace-only documents, and JSON props
+    with escape sequences — the stress for CSV/JSONL round-trips, regex
+    tokenizers, and empty-token handling (killed scan_csv).
+
+    ``profile="vecdup"`` draws every embedding verbatim from a small pool
+    (exact duplicate vectors — distance ties everywhere) and plants a few
+    exact ZERO vectors — the stress for tie-breaking and zero-norm cosine
+    (crashed all 8 cosine ops with ANSI DIVIDE_BY_ZERO)."""
     rng = np.random.RandomState(seed)
     sparse = profile == "sparse"
     tie_pools = profile == "ties"
@@ -257,12 +283,24 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     uw /= uw.sum()
     kx = rng.randint(0, 100, size=n_ev)
     shape = rng.rand(n_ev)
-    props = np.where(
-        shape < 0.04, "{}",
-        np.where(shape < 0.08,
-                 [f'{{"k": {k}, "x": "z{k % 7}"}}' for k in kx],
-                 [f'{{"k": {k}}}' for k in kx]),
-    )
+    if profile == "edge":
+        # JSON values with escape sequences and non-ASCII: both engines'
+        # JSON parsers must agree on unescaping (\" \\ \n and raw UTF-8)
+        props = np.where(
+            shape < 0.04, "{}",
+            np.where(shape < 0.08,
+                     [f'{{"k": {k}, "x": "a\\"b\\\\c"}}' for k in kx],
+                     np.where(shape < 0.12,
+                              [f'{{"k": {k}, "x": "日本\\nz{k % 7}"}}' for k in kx],
+                              [f'{{"k": {k}}}' for k in kx])),
+        )
+    else:
+        props = np.where(
+            shape < 0.04, "{}",
+            np.where(shape < 0.08,
+                     [f'{{"k": {k}, "x": "z{k % 7}"}}' for k in kx],
+                     [f'{{"k": {k}}}' for k in kx]),
+        )
     write(
         "events",
         pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
@@ -281,7 +319,23 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     # documents: fresh base texts + verbatim-duplicate and near-duplicate
     # groups (the dedup ops must find THIS seed's groups, not seed-42's)
     n_doc = rng.randint(250, 700)
-    vocab = np.array(UNI_VOCAB if profile == "unicode" else DOC_VOCAB)
+    edge = profile == "edge"
+    vocab = np.array(
+        EDGE_VOCAB if edge else UNI_VOCAB if profile == "unicode" else DOC_VOCAB
+    )
+
+    def join_words(words) -> str:
+        """Join tokens — plain spaces normally; the edge profile mixes in
+        newline / CRLF / tab / multi-space separators (real web text)."""
+        if not edge:
+            return " ".join(words)
+        out: list[str] = []
+        for j, w in enumerate(words):
+            if j:
+                out.append(EDGE_SEPS[rng.randint(0, len(EDGE_SEPS))])
+            out.append(w)
+        return "".join(out)
+
     texts: list[str] = []
     for i in range(n_doc):
         r = rng.rand()
@@ -289,13 +343,16 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             texts.append(texts[rng.randint(0, i)])
         elif i > 10 and r < 0.20:  # near-duplicate: mutate 1-3 words
             words = texts[rng.randint(0, i)].split()
-            for _ in range(rng.randint(1, 4)):
-                words[rng.randint(0, len(words))] = rng.choice(vocab)
-            texts.append(" ".join(words))
+            if words:
+                for _ in range(rng.randint(1, 4)):
+                    words[rng.randint(0, len(words))] = rng.choice(vocab)
+            texts.append(join_words(words))
+        elif edge and r < 0.225:  # empty / whitespace-only document
+            texts.append(["", " ", "\n", "\t", " \n ", "\r\n"][rng.randint(0, 6)])
         elif r < 0.23:  # degenerate: single word repeated (repetition stress)
-            texts.append(" ".join([rng.choice(vocab)] * rng.randint(1, 40)))
+            texts.append(join_words([rng.choice(vocab)] * rng.randint(1, 40)))
         else:
-            texts.append(" ".join(rng.choice(vocab, size=rng.randint(3, 450))))
+            texts.append(join_words(rng.choice(vocab, size=rng.randint(3, 450))))
     write(
         "documents",
         pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
@@ -318,6 +375,25 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     centers = rng.normal(0.0, 0.12, size=(k, 64))
     label = rng.choice(k, size=n_vec, p=_probs(rng, k)).astype(np.int32)
     emb = (centers[label] + rng.normal(0.0, 0.06, size=(n_vec, 64))).astype(np.float32)
+    if profile == "vecdup":
+        # duplicate-heavy embedding space: every vector is drawn VERBATIM
+        # from a small pool (a deduplicated corpus re-embedded still has
+        # exact duplicate vectors — same doc, same model), plus a few
+        # exact ZERO vectors (failed/padded embedding batches at 100 TB).
+        # Stresses: exact distance ties in every top-k (must be broken by
+        # vec_id on both engines), equidistant-centroid assignment in
+        # kmeans/IVF/PQ, and zero-norm cosine (0/0) semantics.
+        n_pool = rng.randint(18, 40)
+        pool_label = rng.choice(k, size=n_pool, p=_probs(rng, k)).astype(np.int32)
+        pool = (centers[pool_label]
+                + rng.normal(0.0, 0.06, size=(n_pool, 64))).astype(np.float32)
+        pick = rng.randint(0, n_pool, size=n_vec)
+        emb = pool[pick]
+        label = pool_label[pick]
+        n_zero = rng.randint(3, 9)
+        zpos = rng.choice(n_vec, size=n_zero, replace=False)
+        emb[zpos] = 0.0
+        label[zpos] = k  # the origin "cluster"
     write(
         "embeddings",
         pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),

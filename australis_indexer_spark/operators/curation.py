@@ -333,13 +333,30 @@ FROM starts
 def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus build — every curation pass composed in
     production order, one Catalyst plan: normalize → Gopher repetition
-    gates → exact dedup (first doc_id wins per canonical text) → 8-gram
-    decontamination against the held-out split (doc_id % 10 == 0) → stride
-    token-window chunking of the survivors. Emits the trainer-ready chunk
-    table. Scale shape: the only shuffles are the per-doc gram aggregate,
-    the dedup hash on canonical text, and the final groupBy of the
-    broadcast-probed contamination join — everything else is narrow, and
-    Catalyst pipelines the whole chain without materializing any stage."""
+    gates → 8-gram decontamination against the held-out split
+    (doc_id % 10 == 0) → exact dedup (first doc_id wins per canonical
+    text) → stride token-window chunking of the survivors. Emits the
+    trainer-ready chunk table.
+
+    Single-pass shape (round-4 reshape): ONE position explode per train
+    doc feeds BOTH gram views — the 2-gram at position p for the
+    repetition gate and (where p fits) the 8-gram for the broadcast
+    contamination probe — and one two-level aggregation emits the keep
+    flag AND the contaminated flag per doc. The r3 version consumed
+    `deduped` twice (contamination grams + the anti-join back), which
+    duplicated the whole scan→normalize→gram-agg→dedup-window subtree in
+    the physical plan (5 parquet scans); this shape scans the corpus once.
+    Decontaminate-then-dedup commutes with the r3 dedup-then-decontaminate
+    because both gates are pure functions of the canonical text t: every
+    doc in a duplicate group carries identical grams, so the surviving set
+    is unchanged (oracle unchanged, value-exact).
+
+    Scale shape: the gram aggregates run WITHOUT any gram-level shuffle —
+    the corpus is hash-partitioned by doc_id, which satisfies the
+    clustered distribution of both groupBy(doc_id, g2) and
+    groupBy(doc_id) — so the only corpus-wide shuffles are the doc_id
+    repartition and the dedup hash on canonical text; the eval-split gram
+    set rides a broadcast."""
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
@@ -357,34 +374,59 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 10 == 0
     train = docs.filter(~is_eval)
 
-    per_gram = _ngrams(train, 2).groupBy("doc_id", "gram").count()
-    rep = per_gram.groupBy("doc_id").agg(
+    eval_g8 = _ngrams(docs.filter(is_eval), NGRAM).select("gram").distinct()
+
+    # one explode over 2-gram positions p ∈ [1, n-1]; the 8-gram view is
+    # defined at the subset of positions where it fits (NULL elsewhere —
+    # NULL never equi-joins, so short docs simply cannot be contaminated)
+    g8 = F.when(
+        F.col("p") <= F.col("n") - (NGRAM - 1),
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("p") + i) for i in range(NGRAM)]
+        ),
+    )
+    pos = (
+        train.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("toks", F.col("p")),
+                F.element_at("toks", F.col("p") + 1),
+            ).alias("g2"),
+            g8.alias("g8"),
+        )
+    )
+    probed = pos.join(
+        F.broadcast(eval_g8), pos["g8"] == eval_g8["gram"], "left"
+    ).select("doc_id", "g2", F.col("gram").isNotNull().alias("hit"))
+    per2 = probed.groupBy("doc_id", "g2").agg(
+        F.count("*").alias("c"), F.max("hit").alias("h2")
+    )
+    stats = per2.groupBy("doc_id").agg(
         (
-            (
-                (F.sum("count") - F.count("*"))
-                / F.sum("count")
-                < 0.2
-            )
-            & (F.max("count") / F.sum("count") < 0.1)
-        ).alias("keep")
+            ((F.sum("c") - F.count("*")) / F.sum("c") < 0.2)
+            & (F.max("c") / F.sum("c") < 0.1)
+        ).alias("keep"),
+        F.max("h2").alias("contaminated"),
     )
     kept = (
-        train.join(rep, "doc_id", "left")
-        .filter(F.coalesce("keep", F.lit(True)))
-        .drop("keep")
+        train.join(stats, "doc_id", "left")
+        .filter(
+            F.coalesce("keep", F.lit(True))
+            & ~F.coalesce("contaminated", F.lit(False))
+        )
+        .drop("keep", "contaminated")
     )
 
     w_dup = F.row_number().over(W.partitionBy("t").orderBy("doc_id"))
-    deduped = kept.withColumn("rn", w_dup).filter(F.col("rn") == 1).drop("rn")
-
-    eval_g8 = _ngrams(docs.filter(is_eval), NGRAM).select("gram").distinct()
-    contaminated = (
-        _ngrams(deduped, NGRAM)
-        .join(F.broadcast(eval_g8), "gram")
-        .select("doc_id")
-        .distinct()
-    )
-    final = deduped.join(contaminated, "doc_id", "left_anti")
+    final = kept.withColumn("rn", w_dup).filter(F.col("rn") == 1).drop("rn")
 
     starts = final.filter(F.col("n") >= 1).select(
         "doc_id",

@@ -316,7 +316,7 @@ walked AS (
 SELECT event_type, CAST(ts AS TIMESTAMP) AS grid_ts,
        prev_c AS prev_cents, next_c AS next_cents,
        prev_c + ({_TRUNCDIV_DUCK.format(
-           n="(next_c - prev_c) * (ts_us - prev_us)",
+           n="CAST(next_c - prev_c AS HUGEINT) * (ts_us - prev_us)",
            d="next_us - prev_us")}) AS interp_cents
 FROM walked
 WHERE kind = 1 AND prev_c IS NOT NULL AND next_c IS NOT NULL
@@ -391,9 +391,15 @@ def window_time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFram
         F.first("v_cents", ignorenulls=True).over(w_rev).alias("next_c"),
         F.first(obs_us, ignorenulls=True).over(w_rev).alias("next_us"),
     )
+    # The numerator is cents-delta × µs-gap: at enterprise money scale
+    # (~1e10 cents) against a multi-day gap (~1e12 µs) the INT64 product
+    # crosses 2^63 — ANSI ARITHMETIC_OVERFLOW, caught by the bignum fuzz
+    # profile. Widen to DECIMAL(38,0) / HUGEINT for the product only; the
+    # quotient is back at cents scale and `div` returns BIGINT on both.
     interp = F.expr(
         _TRUNCDIV_SPARK.format(
-            n="(next_c - prev_c) * (ts_us - prev_us)", d="next_us - prev_us"
+            n="CAST(next_c - prev_c AS DECIMAL(38, 0)) * (ts_us - prev_us)",
+            d="next_us - prev_us",
         )
     )
     return (

@@ -129,6 +129,12 @@ REGRESSION_SLICES = [
     # cosine path on both engines (vectors.with_norm / pq._normed)
     ("vecdup", 61, {"sim_topk_bruteforce", "sim_ann_ivf",
                     "dedup_embedding_cosine", "dedup_embedding_lsh"}),
+    # bignum:71 overflowed window_time_interpolate_linear's INT64
+    # cents-delta × µs-gap numerator (~1e10 × ~1e12 > 2^63 — ANSI
+    # ARITHMETIC_OVERFLOW); the product now runs in DECIMAL(38,0) /
+    # HUGEINT, quotient back at BIGINT cents scale on both engines
+    ("bignum", 71, {"window_time_interpolate_linear",
+                    "agg_gini_concentration"}),
 ]
 
 

@@ -120,13 +120,29 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     ``profile="vecdup"`` draws every embedding verbatim from a small pool
     (exact duplicate vectors — distance ties everywhere) and plants a few
     exact ZERO vectors — the stress for tie-breaking and zero-norm cosine
-    (crashed all 8 cosine ops with ANSI DIVIDE_BY_ZERO)."""
+    (crashed all 8 cosine ops with ANSI DIVIDE_BY_ZERO).
+
+    ``profile="bignum"`` scales every money range up to ~1e10 cents
+    ($100M line items, still exact cents in float64) — the value-scale
+    overflow stress: cents² or cents×1e6×rowcount in INT64 arithmetic
+    crosses 2^63 under ANSI."""
     rng = np.random.RandomState(seed)
     sparse = profile == "sparse"
     tie_pools = profile == "ties"
+    bignum = profile == "bignum"
     os.makedirs(outdir, exist_ok=True)
 
     def cents(lo_c, hi_c, n):
+        if bignum:
+            # enterprise-scale money: scale every range up to ~1e10 cents
+            # ($100M line items). Still exact in float64 (1e10 << 2^53) and
+            # still the cents contract — but any op that squares cents, or
+            # scales them by 1e6 (ppm) and then by a row count, in INT64
+            # arithmetic overflows under ANSI. The value-scale sibling of
+            # the decade stress's row-count overflow class (which caught
+            # agg_gini_concentration in r4).
+            scale = min(10_000, max(1, 10_000_000_000 // max(abs(hi_c), 1)))
+            lo_c, hi_c = lo_c * scale, hi_c * scale
         if not tie_pools:
             return _cents(rng, lo_c, hi_c, n)
         # "ties" draws every money column from a 12-value pool: massive

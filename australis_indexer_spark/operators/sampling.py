@@ -315,9 +315,10 @@ SELECT CASE WHEN ts < {_TSPLIT_CUT} THEN 'train' ELSE 'test' END AS split,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(MIN(ts) AS TIMESTAMP) AS min_ts,
        CAST(MAX(ts) AS TIMESTAMP) AS max_ts,
-       (SELECT MAX(ts) FROM events WHERE ts < {_TSPLIT_CUT})
-         < (SELECT MIN(ts) FROM events WHERE ts >= {_TSPLIT_CUT})
-         AS no_time_leakage
+       COALESCE(
+         (SELECT MAX(ts) FROM events WHERE ts < {_TSPLIT_CUT})
+           < (SELECT MIN(ts) FROM events WHERE ts >= {_TSPLIT_CUT}),
+         TRUE) AS no_time_leakage
 FROM events
 GROUP BY 1
 """
@@ -367,7 +368,15 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             "min_ts",
             "max_ts",
-            (F.col("tr_max") < F.col("te_min")).alias("no_time_leakage"),
+            # COALESCE TRUE: with one split empty (a cutoff outside the
+            # data's range — fuzz timewarp) the comparison is NULL, which
+            # is both semantically wrong (an empty split vacuously cannot
+            # leak) and a dtype trap: a NULL boolean reaches the driver
+            # hash as None from Spark but NaN-float from DuckDB's pandas
+            # bridge.
+            F.coalesce(F.col("tr_max") < F.col("te_min"), F.lit(True)).alias(
+                "no_time_leakage"
+            ),
         )
     )
 

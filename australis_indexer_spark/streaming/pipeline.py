@@ -521,6 +521,29 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP = "30 minutes"
 _SENTINEL_USER = -9999
 
+# Watermark clock for the stateful event-time ops: a tz-free instant
+# (NTZ-as-UTC field arithmetic — see window_session_stream's DST rationale)
+# SHIFTED forward by a fixed 1,000,000 whole days (~2700 years). The shift
+# exists because Spark initializes the event-time watermark to epoch 0, so
+# any PRE-1970 event time is born-late and silently dropped in the first
+# micro-batch (fuzz timewarp profile: an event stream crossing epoch zero
+# lost every pre-epoch row in window_session_stream and
+# stream_late_data_policy). A uniform whole-day translation preserves
+# every gap, ordering, and hour/day bucket boundary — session windows and
+# tumbling windows are translation-invariant under whole-period shifts —
+# while output values stay on the original NTZ ts, so results are
+# identical for positive-epoch data and CORRECT (not silently truncated)
+# for junk pre-epoch timestamps back to ~700 BC. Beyond that the platform
+# boundary stands: Spark's watermark clock is nonnegative.
+_EVT_SHIFT_US = 86_400_000_000 * 1_000_000
+_EVT_WM = (
+    "timestamp_micros(CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)*86400000000"
+    " + CAST(extract(HOUR FROM ts) AS BIGINT)*3600000000"
+    " + CAST(extract(MINUTE FROM ts) AS BIGINT)*60000000"
+    " + CAST(extract(SECOND FROM ts)*1000000 AS BIGINT)"
+    f" + {_EVT_SHIFT_US})"
+)
+
 
 @op(
     "window_session_stream",
@@ -571,20 +594,16 @@ def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain cast goes through the session time zone (DST gaps corrupt values —
     NTZ 02:30 inside a spring-forward hole casts to 03:30). The stream
     therefore carries a derived instant column `evt` built by tz-free field
-    arithmetic (unix_date + hour/min/sec micros == NTZ-as-UTC); aggregates
-    stay on the original NTZ `ts`, so output values never pass through any
-    time zone at all.
+    arithmetic (unix_date + hour/min/sec micros == NTZ-as-UTC), shifted
+    +1e6 whole days (`_EVT_WM`) so pre-epoch event times survive Spark's
+    epoch-0 initial watermark; aggregates stay on the original NTZ `ts`,
+    so output values never pass through any time zone at all.
     """
     import tempfile
 
     base = scratch_dir(prefix="aispark_sess_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    _EVT = (
-        "timestamp_micros(CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)*86400000000"
-        " + CAST(extract(HOUR FROM ts) AS BIGINT)*3600000000"
-        " + CAST(extract(MINUTE FROM ts) AS BIGINT)*60000000"
-        " + CAST(extract(SECOND FROM ts)*1000000 AS BIGINT))"
-    )
+    _EVT = _EVT_WM  # shifted watermark clock — see the module constant
     events = lt(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", F.expr(_EVT).alias("evt")
     )
@@ -688,15 +707,11 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    # tz-free instant column (NTZ-as-UTC) for the watermark clock; all
-    # OUTPUT values stay on the original NTZ ts (see window_session_stream's
-    # DST rationale above).
-    _EVT = (
-        "timestamp_micros(CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)*86400000000"
-        " + CAST(extract(HOUR FROM ts) AS BIGINT)*3600000000"
-        " + CAST(extract(MINUTE FROM ts) AS BIGINT)*60000000"
-        " + CAST(extract(SECOND FROM ts)*1000000 AS BIGINT))"
-    )
+    # tz-free instant column (NTZ-as-UTC) for the watermark clock, shifted
+    # +1e6 days (see _EVT_WM — Spark's watermark starts at epoch 0, which
+    # would born-late-drop pre-epoch events); all OUTPUT values stay on
+    # the original NTZ ts (see window_session_stream's DST rationale).
+    _EVT = _EVT_WM
     events = lt(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", F.expr(_EVT).alias("evt")
     )
@@ -735,8 +750,11 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (hour, type) groups once the corpus was dense enough (sf0.1: 1031
     # rows -> 971 groups; caught by the r4 cross-sf sweep). Group-unique
     # planting pins metric == planted count at every scale factor.
+    # planted in the same shifted watermark domain as _EVT_WM (1900-01-01
+    # + the uniform shift — still decades below the persisted watermark)
     late_evt = F.expr(
         "timestamp_micros(CAST(-2208988800000000 AS BIGINT)"  # 1900-01-01 UTC
+        f" + {_EVT_SHIFT_US}"
         " + (event_id div 97) * 3600000000)"
     )
     late = events.where(F.col("event_id") % 97 == 0).select(

@@ -135,6 +135,15 @@ REGRESSION_SLICES = [
     # HUGEINT, quotient back at BIGINT cents scale on both engines
     ("bignum", 71, {"window_time_interpolate_linear",
                     "agg_gini_concentration"}),
+    # timewarp:81 (events crossing epoch zero, orders 1965..2085) killed
+    # three ops: sample_temporal_split emitted a NULL boolean when one
+    # split is empty (vacuously-no-leakage is now COALESCE TRUE — NULL
+    # booleans are also a pandas-bridge dtype trap), and the two
+    # watermarked streaming ops silently dropped every pre-epoch event
+    # because Spark's event-time watermark initializes at epoch 0 (the
+    # watermark clock now rides a +1e6-day uniform shift, _EVT_WM)
+    ("timewarp", 81, {"sample_temporal_split", "window_session_stream",
+                      "stream_late_data_policy"}),
 ]
 
 

@@ -125,11 +125,17 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     ``profile="bignum"`` scales every money range up to ~1e10 cents
     ($100M line items, still exact cents in float64) — the value-scale
     overflow stress: cents² or cents×1e6×rowcount in INT64 arithmetic
-    crosses 2^63 under ANSI."""
+    crosses 2^63 under ANSI.
+
+    ``profile="timewarp"`` spans order dates 1965..2085 (negative-µs
+    pre-epoch dates, every leap shape, far-future decades) and runs the
+    event stream ACROSS epoch zero — the stress for date/month
+    arithmetic and floor-vs-truncate bucket math on negative epochs."""
     rng = np.random.RandomState(seed)
     sparse = profile == "sparse"
     tie_pools = profile == "ties"
     bignum = profile == "bignum"
+    timewarp = profile == "timewarp"
     os.makedirs(outdir, exist_ok=True)
 
     def cents(lo_c, hi_c, n):
@@ -231,7 +237,16 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     cust_w = w[rng.permutation(n_cust)]
     cust_w /= cust_w.sum()
     day0_us = 788_918_400_000_000  # 1995-01-01 UTC in µs
-    orderdate_us = day0_us + day_offsets(2404, n_ord, 40) * _DAY_US
+    if timewarp:
+        # orders span 1965..2085: pre-epoch dates (negative µs), every
+        # leap-year shape incl. the 2000 century rule, and far-future
+        # decades — the stress for year/quarter extraction, month
+        # arithmetic, and any integer bucket arithmetic that truncates
+        # where it should floor (negative epochs flip the two)
+        day0_us = -157_766_400_000_000  # 1965-01-01 UTC
+    orderdate_us = day0_us + day_offsets(
+        43_830 if timewarp else 2404, n_ord, 40
+    ) * _DAY_US
     write(
         "orders",
         pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
@@ -293,7 +308,14 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     ties = rng.rand(n_ev) < 0.02
     ties[0] = False
     ts[ties] = ts[np.flatnonzero(ties) - 1]  # duplicate the previous µs
-    ts += 1_704_067_200_000_000  # 2024-01-01 UTC
+    if timewarp:
+        # the event stream CROSSES epoch zero (starts 1969-12-17): a
+        # classic upstream-parse pathology (epoch-0 defaults, s-vs-ms
+        # confusion) every 100 TB ingest eventually serves. Hour/day
+        # bucketing of negative µs diverges between floor and truncate.
+        ts -= 15 * _DAY_US
+    else:
+        ts += 1_704_067_200_000_000  # 2024-01-01 UTC
     uw = (np.arange(1, n_users + 1, dtype=np.float64) ** -rng.uniform(0.4, 1.4))
     uw = uw[rng.permutation(n_users)]
     uw /= uw.sum()

@@ -612,7 +612,7 @@ SELECT lang,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM documents
-WHERE doc_id % 20 = 0
+WHERE doc_id % 20 = 0 AND strlen(text) > 0
 GROUP BY lang
 """
 
@@ -635,12 +635,22 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline does is exactly what this op's shape implies: compact
     millions of small blobs INTO parquet binary columns
     (multimodal_meta's layout) so later passes scan columnar instead of
-    per-object. The sample cut keeps the files-per-test bounded."""
+    per-object. The sample cut keeps the files-per-test bounded.
+
+    ZERO-BYTE blobs are excluded by contract: Spark's binaryFile file
+    listing silently skips zero-length files, so an empty object (a
+    failed upload — guaranteed in any large ingest) is INVISIBLE to this
+    source (fuzz edge profile: an empty document's 0-byte blob existed on
+    disk but never appeared in the scan). Both sides therefore define the
+    ingest domain as non-empty blobs; audit empty objects with a storage
+    inventory, not a content scan."""
     import hashlib
     import os
     import tempfile
 
-    docs = lt(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    docs = lt(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") > 0)
+    )
     # Blob export runs DISTRIBUTED: each task writes its own partition's
     # files (tmp + atomic rename, so re-runs are idempotent) — the r3
     # collect-loop funneled every blob through the driver, exactly the

@@ -144,6 +144,11 @@ REGRESSION_SLICES = [
     # watermark clock now rides a +1e6-day uniform shift, _EVT_WM)
     ("timewarp", 81, {"sample_temporal_split", "window_session_stream",
                       "stream_late_data_policy"}),
+    # edge:54's doc sample included an EMPTY document: its 0-byte blob
+    # existed on disk but Spark's binaryFile listing silently skips
+    # zero-length files — the ingest domain is now explicitly non-empty
+    # blobs on both engines
+    ("edge", 54, {"scan_binary_files"}),
 ]
 
 

@@ -130,12 +130,17 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     ``profile="timewarp"`` spans order dates 1965..2085 (negative-µs
     pre-epoch dates, every leap shape, far-future decades) and runs the
     event stream ACROSS epoch zero — the stress for date/month
-    arithmetic and floor-vs-truncate bucket math on negative epochs."""
+    arithmetic and floor-vs-truncate bucket math on negative epochs.
+
+    ``profile="chaos"`` activates edge + vecdup + bignum + timewarp
+    SIMULTANEOUSLY — the interaction stress (e.g. huge cents-deltas
+    against pre-epoch gaps, zero vectors among web-edge docs)."""
     rng = np.random.RandomState(seed)
+    chaos = profile == "chaos"
     sparse = profile == "sparse"
     tie_pools = profile == "ties"
-    bignum = profile == "bignum"
-    timewarp = profile == "timewarp"
+    bignum = chaos or profile == "bignum"
+    timewarp = chaos or profile == "timewarp"
     os.makedirs(outdir, exist_ok=True)
 
     def cents(lo_c, hi_c, n):
@@ -321,7 +326,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     uw /= uw.sum()
     kx = rng.randint(0, 100, size=n_ev)
     shape = rng.rand(n_ev)
-    if profile == "edge":
+    if chaos or profile == "edge":
         # JSON values with escape sequences and non-ASCII: both engines'
         # JSON parsers must agree on unescaping (\" \\ \n and raw UTF-8)
         props = np.where(
@@ -357,7 +362,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     # documents: fresh base texts + verbatim-duplicate and near-duplicate
     # groups (the dedup ops must find THIS seed's groups, not seed-42's)
     n_doc = rng.randint(250, 700)
-    edge = profile == "edge"
+    edge = chaos or profile == "edge"
     vocab = np.array(
         EDGE_VOCAB if edge else UNI_VOCAB if profile == "unicode" else DOC_VOCAB
     )
@@ -413,7 +418,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     centers = rng.normal(0.0, 0.12, size=(k, 64))
     label = rng.choice(k, size=n_vec, p=_probs(rng, k)).astype(np.int32)
     emb = (centers[label] + rng.normal(0.0, 0.06, size=(n_vec, 64))).astype(np.float32)
-    if profile == "vecdup":
+    if chaos or profile == "vecdup":
         # duplicate-heavy embedding space: every vector is drawn VERBATIM
         # from a small pool (a deduplicated corpus re-embedded still has
         # exact duplicate vectors — same doc, same model), plus a few

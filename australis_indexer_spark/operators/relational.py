@@ -1367,9 +1367,10 @@ moments AS (
   FROM ranked GROUP BY c_mktsegment
 )
 SELECT c_mktsegment, n, s0 AS total_shifted_cents,
-       CAST(((2 * CAST(s1 AS HUGEINT) - (n + 1) * CAST(s0 AS HUGEINT))
-             * 1000000) // (CAST(n AS HUGEINT) * s0) AS BIGINT)
-         AS gini_ppm
+       CASE WHEN s0 = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(((2 * CAST(s1 AS HUGEINT) - (n + 1) * CAST(s0 AS HUGEINT))
+                       * 1000000) // (CAST(n AS HUGEINT) * s0) AS BIGINT)
+       END AS gini_ppm
 FROM moments
 """
 
@@ -1421,9 +1422,15 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("s0").alias("total_shifted_cents"),
         F.expr(
-            "CAST(((2 * CAST(s1 AS DECIMAL(38,0))"
+            # s0 = 0 ⟺ every balance in the segment equals the global
+            # minimum (a perfectly uniform segment — guaranteed to occur
+            # at scale, e.g. a single-customer segment): the rank formula
+            # is 0/0 there and its uniform-distribution limit is G = 0
+            # (dust:101 fuzz kill — ANSI DIVIDE_BY_ZERO)
+            "CASE WHEN s0 = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(((2 * CAST(s1 AS DECIMAL(38,0))"
             " - (n + 1) * CAST(s0 AS DECIMAL(38,0))) * 1000000)"
-            " div (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)"
+            " div (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT) END"
         ).alias("gini_ppm"),
     )
 
@@ -1507,11 +1514,13 @@ WITH keyed AS (
 ),
 sides AS (SELECT pk, COUNT(*) AS n FROM keyed GROUP BY pk)
 SELECT
-  CAST((SELECT SUM(a.n * b.n) FROM sides a JOIN sides b ON a.pk = b.pk)
-       AS BIGINT) AS eq_join_pairs,
-  CAST((SELECT SUM(a.n * b.n) FROM sides a JOIN sides b
-        ON a.pk IS NOT DISTINCT FROM b.pk) AS BIGINT) AS nullsafe_join_pairs,
-  CAST((SELECT n FROM sides WHERE pk IS NULL) AS BIGINT) AS n_null_keys
+  CAST(COALESCE((SELECT SUM(a.n * b.n) FROM sides a JOIN sides b
+                 ON a.pk = b.pk), 0) AS BIGINT) AS eq_join_pairs,
+  CAST(COALESCE((SELECT SUM(a.n * b.n) FROM sides a JOIN sides b
+                 ON a.pk IS NOT DISTINCT FROM b.pk), 0)
+       AS BIGINT) AS nullsafe_join_pairs,
+  CAST(COALESCE((SELECT n FROM sides WHERE pk IS NULL), 0)
+       AS BIGINT) AS n_null_keys
 """
 
 
@@ -1539,13 +1548,24 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides = keyed.groupBy("pk").agg(F.count("*").alias("n"))
     a = sides.select(F.col("pk").alias("pka"), F.col("n").alias("na"))
     b = sides.select(F.col("pk").alias("pkb"), F.col("n").alias("nb"))
+    zero = F.lit(0).cast("long")
     eq = a.join(b, F.col("pka") == F.col("pkb")).agg(
-        F.sum(F.col("na") * F.col("nb")).alias("eq_join_pairs")
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), zero).alias("eq_join_pairs")
     )
     ns = a.join(b, F.col("pka").eqNullSafe(F.col("pkb"))).agg(
-        F.sum(F.col("na") * F.col("nb")).alias("nullsafe_join_pairs")
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), zero).alias(
+            "nullsafe_join_pairs"
+        )
     )
-    nn = sides.where(F.col("pk").isNull()).select(F.col("n").alias("n_null_keys"))
+    # an AGGREGATE, not a filter: a dataset with zero null keys must
+    # report n_null_keys = 0, not annihilate the whole report row via a
+    # crossJoin with an empty side (dust:102 fuzz kill — the oracle's
+    # scalar subquery kept its row while the Spark crossJoin dropped it)
+    nn = sides.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("pk").isNull(), F.col("n"))), zero
+        ).alias("n_null_keys")
+    )
     return eq.crossJoin(ns).crossJoin(F.broadcast(nn))
 
 

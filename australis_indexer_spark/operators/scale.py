@@ -362,8 +362,8 @@ _PCT_ORACLE = """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5)  AS p50_exact,
        quantile_cont(l_quantity, 0.99) AS p99_exact,
-       TRUE AS p50_within_1pct,
-       TRUE AS p99_within_1pct
+       TRUE AS p50_rank_band_ok,
+       TRUE AS p99_rank_band_ok
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -375,33 +375,70 @@ GROUP BY l_returnflag
     oracle=_PCT_ORACLE,
 )
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (mergeable one-pass KLL-style sketch) next to the
-    exact percentile — the 100 TB form beside its ground truth. Output is
-    the exact value plus an error-bound flag per quantile (1% of exact,
-    floored at one unit for tiny groups); the oracle recomputes the exact
-    quantiles and asserts TRUE, so a hash match proves the sketch error
-    bound held — strictly stronger than a rows-only check."""
-    tol = lambda exact: F.greatest(0.01 * exact, F.lit(1.0))  # noqa: E731
-    df = (
-        lt(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("p50_approx"),
-            F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
-            F.expr("approx_percentile(l_quantity, 0.99, 1000)").alias("p99_approx"),
-            F.expr("percentile(l_quantity, 0.99)").alias("p99_exact"),
-        )
+    """approx_percentile (mergeable one-pass GK/KLL-style sketch) next to
+    the exact percentile — the 100 TB form beside its ground truth.
+
+    The sketch's guarantee is a RANK bound, not a value bound: the
+    returned element's rank is within ε·n of the target position
+    (ε = 1/accuracy = 1e-3 here). The checked flag encodes exactly that:
+    approx must lie between the exact order statistics at ranks
+    ⌊pos⌋−s .. ⌈pos⌉+s, pos = 1+q·(n−1), s = 1+⌊εn⌋ (the extra ±1 rank
+    covers element-vs-interpolation). The r1–r3 flag used a 1%-of-VALUE
+    band instead — wrong error model, killed by fuzz dust:101 where a
+    2-row group's interpolated median sits 23% away from both elements
+    while the sketch answer is rank-perfect. The rank band is tight at
+    scale (±~0.1% rank at 10⁵ rows/group) and exact at n = 1. The oracle
+    recomputes the exact quantiles and asserts TRUE, so a hash match
+    proves the rank bound held — strictly stronger than rows-only.
+
+    Scale shape: ONE shuffle on the group key serves both the sketch/exact
+    aggregation and the rank window + bounds rollup (same partitioning);
+    the final join is 3 rows ⋈ 3 rows."""
+    li = lt(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("p50_approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
+        F.expr("approx_percentile(l_quantity, 0.99, 1000)").alias("p99_approx"),
+        F.expr("percentile(l_quantity, 0.99)").alias("p99_exact"),
     )
-    return df.select(
+    # exact order statistics at the band edges: rank window + conditional
+    # rollup (any tie order yields the same value at a given rank)
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number()
+        .over(W.partitionBy("l_returnflag").orderBy("l_quantity"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def band(q: float):
+        pos = F.lit(1.0) + F.lit(q) * (F.col("n") - F.lit(1)).cast("double")
+        s = F.lit(1) + F.floor(F.col("n") / F.lit(1000))
+        lo = F.greatest(F.lit(1).cast("long"), F.floor(pos).cast("long") - s)
+        hi = F.least(F.col("n"), F.ceil(pos).cast("long") + s)
+        return lo, hi
+
+    lo50, hi50 = band(0.5)
+    lo99, hi99 = band(0.99)
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == lo50, F.col("l_quantity"))).alias("v50_lo"),
+        F.max(F.when(F.col("rn") == hi50, F.col("l_quantity"))).alias("v50_hi"),
+        F.max(F.when(F.col("rn") == lo99, F.col("l_quantity"))).alias("v99_lo"),
+        F.max(F.when(F.col("rn") == hi99, F.col("l_quantity"))).alias("v99_hi"),
+    )
+    return agg.join(bounds, "l_returnflag").select(
         "l_returnflag",
         "p50_exact",
         "p99_exact",
-        (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= tol(F.col("p50_exact"))).alias(
-            "p50_within_1pct"
-        ),
-        (F.abs(F.col("p99_approx") - F.col("p99_exact")) <= tol(F.col("p99_exact"))).alias(
-            "p99_within_1pct"
-        ),
+        (
+            (F.col("v50_lo") <= F.col("p50_approx"))
+            & (F.col("p50_approx") <= F.col("v50_hi"))
+        ).alias("p50_rank_band_ok"),
+        (
+            (F.col("v99_lo") <= F.col("p99_approx"))
+            & (F.col("p99_approx") <= F.col("v99_hi"))
+        ).alias("p99_rank_band_ok"),
     )
 
 

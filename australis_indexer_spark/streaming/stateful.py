@@ -293,6 +293,12 @@ def stream_stateful_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir(prefix="aispark_cep_")
     src = os.path.join(base, "src")
     qs = ev.approxQuantile("ts_us", [0.25, 0.5, 0.75], 0.0)
+    if len(qs) < 3:
+        # approxQuantile returns [] on an EMPTY frame — a stream with no
+        # click/purchase events must still run its four (empty) micro-
+        # batches and produce the oracle's empty answer, not crash on
+        # bounds[i+1] (dust:102 fuzz kill: one event, of another type)
+        qs = [0.0, 0.0, 0.0]
     bounds = [float("-inf"), *qs, float("inf")]
     # FileStreamSource orders new files by modification time, and four
     # appends in rapid succession can share an mtime — which would make

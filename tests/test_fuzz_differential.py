@@ -149,6 +149,23 @@ REGRESSION_SLICES = [
     # zero-length files — the ingest domain is now explicitly non-empty
     # blobs on both engines
     ("edge", 54, {"scan_binary_files"}),
+    # dust:101 (minimal-cardinality regime: 1-customer segments, 2-row
+    # lineitem) killed two: gini's ppm step divides by zero when every
+    # balance in a segment equals the global min (uniform segment ⇒ G=0
+    # limit, now CASE-guarded both engines), and the approx-percentile
+    # flag used a 1%-of-VALUE tolerance where the sketch's actual
+    # guarantee is a RANK band — a 2-row group's interpolated median sits
+    # 23% from both elements while the sketch answer is rank-perfect
+    # (flag rebuilt on exact order statistics at ⌊pos⌋−s..⌈pos⌉+s)
+    ("dust", 101, {"agg_gini_concentration", "agg_percentiles_approx"}),
+    # dust:102 (ONE order, ONE event — of a type the op filters out)
+    # killed two more: join_null_safe_eq's zero-null-keys report row was
+    # annihilated by a crossJoin against an empty filtered side (the
+    # n_null_keys leg is now an always-one-row aggregate, COALESCE 0 on
+    # both engines), and stream_stateful_cep crashed on approxQuantile's
+    # EMPTY return for a stream with no click/purchase events (bounds
+    # now degrade to four empty micro-batches -> the oracle's empty set)
+    ("dust", 102, {"join_null_safe_eq", "stream_stateful_cep"}),
 ]
 
 

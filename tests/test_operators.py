@@ -136,12 +136,14 @@ def test_hll_sketch_estimates_bounded(spark, ops):
 
 
 def test_approx_percentiles_bounded(spark, ops):
-    """approx_percentile must land within 1% of the exact value (the flag
-    the op emits and the oracle hash-checks)."""
+    """approx_percentile must land inside the sketch's rank band — the
+    exact order statistics at ranks ⌊pos⌋−s..⌈pos⌉+s (the flag the op
+    emits and the oracle hash-checks; the r1-r3 1%-of-value band was the
+    wrong error model, killed by fuzz dust:101)."""
     rows = ops["agg_percentiles_approx"].fn(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
-        assert r["p50_within_1pct"] and r["p99_within_1pct"]
+        assert r["p50_rank_band_ok"] and r["p99_rank_band_ok"]
         assert r["p50_exact"] <= r["p99_exact"]
 
 

@@ -134,9 +134,21 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
 
     ``profile="chaos"`` activates edge + vecdup + bignum + timewarp
     SIMULTANEOUSLY — the interaction stress (e.g. huge cents-deltas
-    against pre-epoch gaps, zero vectors among web-edge docs)."""
+    against pre-epoch gaps, zero vectors among web-edge docs).
+
+    ``profile="dust"`` is the minimal-cardinality regime BELOW sparse:
+    fact tables of 1-4 rows (all orders from 1-2 customers, ONE
+    supplier/part pool entry, 1-4 events from a single user) — but never
+    empty, and documents/embeddings stay corpus-sized (sparse's
+    rationale). Stresses the n=1 edge everywhere: single-row windows
+    (every lag/lead NULL), stddev/percentile/gini of one value, top-k
+    with k > n, ntile with fewer rows than tiles, funnels whose later
+    steps have zero users, cohorts of one, DAU/WAU/MAU over a one-day
+    domain, and dedup sweeps that must agree on an EMPTY duplicate-pair
+    set."""
     rng = np.random.RandomState(seed)
     chaos = profile == "chaos"
+    dust = profile == "dust"
     sparse = profile == "sparse"
     tie_pools = profile == "ties"
     bignum = chaos or profile == "bignum"
@@ -189,7 +201,8 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
         },
     )
 
-    n_cust = rng.randint(8, 30) if sparse else rng.randint(80, 260)
+    n_cust = (rng.randint(1, 3) if dust
+              else rng.randint(8, 30) if sparse else rng.randint(80, 260))
     write(
         "customer",
         pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
@@ -205,7 +218,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
         },
     )
 
-    n_supp = rng.randint(2, 6) if sparse else rng.randint(4, 26)
+    n_supp = 1 if dust else rng.randint(2, 6) if sparse else rng.randint(4, 26)
     write(
         "supplier",
         pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
@@ -218,7 +231,8 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
         },
     )
 
-    n_part = rng.randint(10, 40) if sparse else rng.randint(100, 320)
+    n_part = (rng.randint(1, 3) if dust
+              else rng.randint(10, 40) if sparse else rng.randint(100, 320))
     write(
         "part",
         pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
@@ -235,7 +249,8 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     )
 
     # --- facts ------------------------------------------------------------
-    n_ord = rng.randint(30, 120) if sparse else rng.randint(800, 2600)
+    n_ord = (rng.randint(1, 5) if dust
+             else rng.randint(30, 120) if sparse else rng.randint(800, 2600))
     # zipf-ish customer skew: weight ∝ rank^-s over a random permutation
     s = rng.uniform(0.4, 1.4)
     w = (np.arange(1, n_cust + 1, dtype=np.float64) ** -s)
@@ -270,8 +285,16 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
 
     # lineitem: 0..12 lines per order (p(0) ≈ 0.05 — orders without lines,
     # present in the driver data too), part/supp skewed but always valid FKs
-    lines_per = rng.choice(13, size=n_ord,
-                           p=np.r_[0.05, _probs(rng, 12) * 0.95])
+    if dust:
+        # 0-2 lines per order, never zero in total: the empty-group stress
+        # stays, but the lineitem DOMAIN is guaranteed non-empty (an empty
+        # fact table is a different validation class than a minimal one)
+        lines_per = rng.choice(3, size=n_ord, p=np.array([0.3, 0.5, 0.2]))
+        if lines_per.sum() == 0:
+            lines_per[0] = 1
+    else:
+        lines_per = rng.choice(13, size=n_ord,
+                               p=np.r_[0.05, _probs(rng, 12) * 0.95])
     ok = np.repeat(np.arange(n_ord, dtype=np.int64), lines_per)
     n_li = len(ok)
     ln = np.concatenate([np.arange(1, c + 1, dtype=np.int32) for c in lines_per if c])
@@ -302,8 +325,10 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
 
     # events: ts monotone in event_id (block-stream contract) with occasional
     # exact-µs ties; zipf user skew; every event type present but skewed
-    n_ev = rng.randint(25, 90) if sparse else rng.randint(600, 1600)
-    n_users = rng.randint(5, 15) if sparse else rng.randint(15, 61)
+    n_ev = (rng.randint(1, 5) if dust
+            else rng.randint(25, 90) if sparse else rng.randint(600, 1600))
+    n_users = (1 if dust
+               else rng.randint(5, 15) if sparse else rng.randint(15, 61))
     if tie_pools:
         # draw instants from a small pool: many exact-microsecond collisions
         tpool = rng.randint(0, 30 * _DAY_US, size=max(20, n_ev // 6)).astype(np.int64)

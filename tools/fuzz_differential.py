@@ -145,14 +145,21 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     with k > n, ntile with fewer rows than tiles, funnels whose later
     steps have zero users, cohorts of one, DAU/WAU/MAU over a one-day
     domain, and dedup sweeps that must agree on an EMPTY duplicate-pair
-    set."""
+    set.
+
+    ``profile="void"`` composes dust + bignum + timewarp: single-row
+    fact tables holding ~1e10-cent money on pre-epoch/far-future
+    dates — the n=1 × extreme-value interaction (e.g. a lone $100M
+    order in 1965 through every window, trend, and interpolation
+    path)."""
     rng = np.random.RandomState(seed)
     chaos = profile == "chaos"
-    dust = profile == "dust"
+    void = profile == "void"
+    dust = void or profile == "dust"
     sparse = profile == "sparse"
     tie_pools = profile == "ties"
-    bignum = chaos or profile == "bignum"
-    timewarp = chaos or profile == "timewarp"
+    bignum = chaos or void or profile == "bignum"
+    timewarp = chaos or void or profile == "timewarp"
     os.makedirs(outdir, exist_ok=True)
 
     def cents(lo_c, hi_c, n):

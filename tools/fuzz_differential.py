@@ -151,7 +151,15 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     fact tables holding ~1e10-cent money on pre-epoch/far-future
     dates — the n=1 × extreme-value interaction (e.g. a lone $100M
     order in 1965 through every window, trend, and interpolation
-    path)."""
+    path).
+
+    ``profile="longdoc"`` stretches the corpus axis: fewer documents
+    (60-120) of 500-4000 words each, with the duplicate/near-duplicate
+    structure preserved and single-word repetitions up to 2000 tokens —
+    the stress for multi-chunk tokenization, sequence packing with items
+    larger than the pack budget, shingle/gram volume per doc, and any
+    latent position/length cap (the class unicode:22 caught in the
+    phash oracle)."""
     rng = np.random.RandomState(seed)
     chaos = profile == "chaos"
     void = profile == "void"
@@ -393,7 +401,8 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
 
     # documents: fresh base texts + verbatim-duplicate and near-duplicate
     # groups (the dedup ops must find THIS seed's groups, not seed-42's)
-    n_doc = rng.randint(250, 700)
+    longdoc = profile == "longdoc"
+    n_doc = rng.randint(60, 120) if longdoc else rng.randint(250, 700)
     edge = chaos or profile == "edge"
     vocab = np.array(
         EDGE_VOCAB if edge else UNI_VOCAB if profile == "unicode" else DOC_VOCAB
@@ -425,9 +434,15 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
         elif edge and r < 0.225:  # empty / whitespace-only document
             texts.append(["", " ", "\n", "\t", " \n ", "\r\n"][rng.randint(0, 6)])
         elif r < 0.23:  # degenerate: single word repeated (repetition stress)
-            texts.append(join_words([rng.choice(vocab)] * rng.randint(1, 40)))
+            texts.append(join_words(
+                [rng.choice(vocab)] * rng.randint(500, 2000 if longdoc else 501)
+                if longdoc else [rng.choice(vocab)] * rng.randint(1, 40)
+            ))
         else:
-            texts.append(join_words(rng.choice(vocab, size=rng.randint(3, 450))))
+            texts.append(join_words(rng.choice(
+                vocab,
+                size=rng.randint(500, 4000) if longdoc else rng.randint(3, 450),
+            )))
     write(
         "documents",
         pa.schema([("doc_id", pa.int64()), ("text", pa.string()),

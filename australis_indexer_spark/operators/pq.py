@@ -151,16 +151,28 @@ def train_codebooks(
     first K_PQ vectors by vec_id; each round is one narrow assign map plus
     one groupBy(m, code) partial-agg shuffle."""
     lf = _long_form(_normed(spark, sf_dir)).cache()
-    init = (
-        lf.filter(F.col("vec_id") < K_PQ)
-        .orderBy("vec_id", "m")
-        .collect()
-    )
+    # init from the first K_PQ SURVIVING vectors (zero-norm vectors are
+    # excluded by _normed, so `vec_id < K_PQ` is NOT a valid slot map: a
+    # dead embedding among the first K_PQ ids left its codebook slot None
+    # and the assign expression crashed — chaos:95 fuzz kill). Order by
+    # vec_id for determinism, same shape as iterative.py's kmeans init.
+    seed_ids = [
+        r[0]
+        for r in lf.select("vec_id").distinct().orderBy("vec_id")
+        .limit(K_PQ).collect()
+    ]
+    slot = {v: i for i, v in enumerate(seed_ids)}
     codebooks: list[list[list[float]]] = [
         [None] * K_PQ for _ in range(M_SUB)  # type: ignore[list-item]
     ]
-    for r in init:
-        codebooks[r["m"]][r["vec_id"]] = list(r["sub"])
+    for r in lf.filter(F.col("vec_id").isin(seed_ids)).collect():
+        codebooks[r["m"]][slot[r["vec_id"]]] = list(r["sub"])
+    # degenerate corpora with fewer than K_PQ nonzero vectors: cycle the
+    # seeds so every slot is a real centroid (empty clusters keep it)
+    for cb in codebooks:
+        for i in range(K_PQ):
+            if cb[i] is None:
+                cb[i] = list(cb[i % max(1, len(seed_ids))])
 
     for _ in range(N_PQ_ITER):
         best = _assign_expr(codebooks)

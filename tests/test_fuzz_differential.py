@@ -166,6 +166,12 @@ REGRESSION_SLICES = [
     # EMPTY return for a stream with no click/purchase events (bounds
     # now degrade to four empty micro-batches -> the oracle's empty set)
     ("dust", 102, {"join_null_safe_eq", "stream_stateful_cep"}),
+    # chaos:95 planted a zero vector among the first K_PQ vec_ids: PQ's
+    # codebook init assumed `vec_id < K_PQ` maps onto slots, but _normed
+    # excludes zero-norm vectors (the vecdup fix), so the dead vector's
+    # slot stayed None and the assign expression crashed. Init now takes
+    # the first K_PQ SURVIVING vectors (iterative.py's kmeans shape).
+    ("chaos", 95, {"sim_ann_pq"}),
 ]
 
 

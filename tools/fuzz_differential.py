@@ -159,15 +159,42 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     the stress for multi-chunk tokenization, sequence packing with items
     larger than the pack budget, shingle/gram volume per doc, and any
     latent position/length cap (the class unicode:22 caught in the
-    phash oracle)."""
+    phash oracle).
+
+    ``profile="mayhem"`` composes chaos + longdoc: 500-4000-word
+    scraped-web documents (embedded CRLF/quotes/tabs, unicode JSON
+    escapes) over duplicate/zero vectors, enterprise money, and warped
+    time — the length × content-interaction stress.
+
+    ``profile="nullstorm"`` plants NULLs in every payload column a real
+    ingest can fail to supply — segment/priority/returnflag (nullable
+    GROUP/PIVOT keys), event_type (nullable stream key), props (missing
+    JSON), value (nullable measure), lang/source (unidentified docs) —
+    while keeping the hard contract columns (PKs, FKs, timestamps,
+    money, text, n_chars) non-null. The stress for NULL group keys,
+    NULL-skipping aggregates, NULL ordering divergence (Spark ASC =
+    NULLS FIRST, DuckDB = NULLS LAST), concat/JSON-path NULL
+    propagation, and pandas-bridge None/NaN coercion."""
     rng = np.random.RandomState(seed)
-    chaos = profile == "chaos"
+    chaos = profile in ("chaos", "mayhem")
     void = profile == "void"
     dust = void or profile == "dust"
     sparse = profile == "sparse"
     tie_pools = profile == "ties"
     bignum = chaos or void or profile == "bignum"
     timewarp = chaos or void or profile == "timewarp"
+    nullstorm = profile == "nullstorm"
+
+    def null_out(arr, frac):
+        """Replace ~frac of entries with NULL (nullstorm only) — the
+        missing-payload stress every real ingest eventually serves."""
+        if not nullstorm:
+            return arr
+        mask = rng.rand(len(arr)) < frac
+        out = [None if m else v for v, m in zip(list(arr), mask)]
+        if not any(v is None for v in out) and len(out) > 0:
+            out[int(rng.randint(0, len(out)))] = None  # at least one NULL
+        return out
     os.makedirs(outdir, exist_ok=True)
 
     def cents(lo_c, hi_c, n):
@@ -229,7 +256,8 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "c_nationkey": rng.choice(n_nat, size=n_cust, p=_probs(rng, n_nat)).astype(np.int32),
             # negatives included: TPC-H acctbals go to -999.99
             "c_acctbal": cents(-99_999, 1_000_000, n_cust),
-            "c_mktsegment": rng.choice(SEGMENTS, size=n_cust, p=_probs(rng, 5)),
+            "c_mktsegment": null_out(
+                rng.choice(SEGMENTS, size=n_cust, p=_probs(rng, 5)), 0.12),
         },
     )
 
@@ -294,7 +322,8 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "o_orderstatus": rng.choice(STATUSES, size=n_ord, p=_probs(rng, 3)),
             "o_totalprice": cents(100_000, 40_000_000, n_ord),
             "o_orderdate": orderdate_us.astype("datetime64[us]"),
-            "o_orderpriority": rng.choice(PRIORITIES, size=n_ord, p=_probs(rng, 5)),
+            "o_orderpriority": null_out(
+                rng.choice(PRIORITIES, size=n_ord, p=_probs(rng, 5)), 0.12),
         },
     )
 
@@ -332,7 +361,8 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "l_extendedprice": cents(90_000, 10_500_000, n_li),
             "l_discount": rng.randint(0, 11, size=n_li) / 100.0,
             "l_tax": rng.randint(0, 9, size=n_li) / 100.0,
-            "l_returnflag": rng.choice(RETURNFLAGS, size=n_li, p=_probs(rng, 3)),
+            "l_returnflag": null_out(
+                rng.choice(RETURNFLAGS, size=n_li, p=_probs(rng, 3)), 0.08),
             "l_linestatus": rng.choice(LINESTATUSES, size=n_li, p=_probs(rng, 2)),
             "l_shipdate": (orderdate_us[ok] + ship_lag).astype("datetime64[us]"),
         },
@@ -393,15 +423,16 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             "event_id": np.arange(n_ev, dtype=np.int64),
             "ts": ts.astype("datetime64[us]"),
             "user_id": rng.choice(n_users, size=n_ev, p=uw).astype(np.int64),
-            "event_type": rng.choice(EVENT_TYPES, size=n_ev, p=_probs(rng, 5)),
-            "value": cents(1, 100_000, n_ev),
-            "props": props,
+            "event_type": null_out(
+                rng.choice(EVENT_TYPES, size=n_ev, p=_probs(rng, 5)), 0.06),
+            "value": null_out(cents(1, 100_000, n_ev), 0.08),
+            "props": null_out(props, 0.10),
         },
     )
 
     # documents: fresh base texts + verbatim-duplicate and near-duplicate
     # groups (the dedup ops must find THIS seed's groups, not seed-42's)
-    longdoc = profile == "longdoc"
+    longdoc = profile in ("longdoc", "mayhem")
     n_doc = rng.randint(60, 120) if longdoc else rng.randint(250, 700)
     edge = chaos or profile == "edge"
     vocab = np.array(
@@ -451,9 +482,10 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
         {
             "doc_id": np.arange(n_doc, dtype=np.int64),
             "text": texts,
-            "lang": rng.choice(LANGS, size=n_doc, p=_probs(rng, 5)),
-            "source": rng.choice([f"src{i}" for i in range(20)], size=n_doc,
-                                 p=_probs(rng, 20)),
+            "lang": null_out(rng.choice(LANGS, size=n_doc, p=_probs(rng, 5)), 0.10),
+            "source": null_out(
+                rng.choice([f"src{i}" for i in range(20)], size=n_doc,
+                           p=_probs(rng, 20)), 0.10),
             "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
         },
     )

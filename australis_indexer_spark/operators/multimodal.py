@@ -267,7 +267,10 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH v AS (
   SELECT doc_id, (5 + doc_id % 56) AS duration_s
   FROM documents
-  WHERE source NOT IN ('src0', 'src1')
+  -- the mime mapping is CASE ... ELSE 'video/mp4': an unknown (NULL)
+  -- source defaults to video, but NOT IN returns NULL for NULL source
+  -- and would silently drop those docs (nullstorm:141 kill)
+  WHERE source IS NULL OR source NOT IN ('src0', 'src1')
 )
 SELECT doc_id, duration_s,
        unnest(generate_series(0, 7)) AS frame_idx,
@@ -498,13 +501,23 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def cents_sum(v: pd.Series) -> int:
-        return int(v.mul(100.0).round().astype("int64").sum())
+    def cents_sum(v: pd.Series) -> int:  # returns None for all-NULL groups
+        # (the int hint only classifies this as a grouped-agg UDF; the
+        # long output column is nullable)
+        # SQL SUM semantics: NULLs (NaN on the pandas bridge) are skipped,
+        # and an all-NULL group sums to NULL — astype(int64) on a series
+        # still carrying NaN raises, so dropna() is correctness AND the
+        # crash guard (nullstorm:141 killed the unguarded kernel)
+        vv = v.dropna()
+        if len(vv) == 0:
+            return None
+        return int(vv.mul(100.0).round().astype("int64").sum())
 
     @pandas_udf("long")
     def n_rows(v: pd.Series) -> int:
         # Spark disallows mixing pandas and JVM aggregates in one agg, so
-        # the count is a pandas aggregate too
+        # the count is a pandas aggregate too. len(v) includes NULLs —
+        # COUNT(*) semantics, matching the oracle.
         return int(len(v))
 
     ev = lt(spark, sf_dir, "events")

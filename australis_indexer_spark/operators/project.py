@@ -124,8 +124,12 @@ def filter_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        concat('{"event_id":', CAST(event_id AS VARCHAR),
-              ',"event_type":"', event_type,
-              '","user_id":', CAST(user_id AS VARCHAR), '}') AS payload_json
+              -- to_json (ignoreNullFields=true) OMITS a NULL event_type;
+              -- a bare concat would instead render it as "" (DuckDB
+              -- concat ignores NULL args) — the nullstorm:141 kill
+              CASE WHEN event_type IS NULL THEN ''
+                   ELSE concat(',"event_type":"', event_type, '"') END,
+              ',"user_id":', CAST(user_id AS VARCHAR), '}') AS payload_json
 FROM events
 """,
 )

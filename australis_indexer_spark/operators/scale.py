@@ -427,8 +427,13 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == lo99, F.col("l_quantity"))).alias("v99_lo"),
         F.max(F.when(F.col("rn") == hi99, F.col("l_quantity"))).alias("v99_hi"),
     )
-    return agg.join(bounds, "l_returnflag").select(
-        "l_returnflag",
+    # NULL l_returnflag is a real group from BOTH aggregations; a plain
+    # equi-join on the key would drop it (nullstorm:141) — join null-safe
+    return agg.alias("g").join(
+        bounds.alias("b"),
+        F.col("g.l_returnflag").eqNullSafe(F.col("b.l_returnflag")),
+    ).select(
+        F.col("g.l_returnflag").alias("l_returnflag"),
         "p50_exact",
         "p99_exact",
         (
@@ -660,7 +665,8 @@ WITH counts AS (
 SELECT c_nationkey, o_orderpriority AS modal_priority, n AS n_orders
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
-                               ORDER BY n DESC, o_orderpriority) AS r
+                               ORDER BY n DESC,
+                                        o_orderpriority NULLS LAST) AS r
   FROM counts
 ) WHERE r = 1
 """
@@ -684,7 +690,14 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
-    w = W.partitionBy("c_nationkey").orderBy(F.col("n").desc(), "o_orderpriority")
+    # NULL is a legitimate modal value (missing priority is a real group at
+    # ingest scale), but on a COUNT TIE a real value must win over the
+    # missing one — and the engines disagree on default NULL order (Spark
+    # ASC = NULLS FIRST, DuckDB = NULLS LAST), so pin NULLS LAST explicitly
+    # on both (nullstorm:141 kill).
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc_nulls_last()
+    )
     return (
         counts.withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
@@ -925,8 +938,15 @@ def agg_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    return merged.join(exact, "event_type").select(
-        "event_type",
+    # the NULL event_type is a real group out of BOTH groupBys, but a plain
+    # equi-join drops it (NULL = NULL is not true) — null-safe equality
+    # keeps the missing-type cohort a first-class report row
+    # (nullstorm:141 kill: 5 rows vs the oracle's 6)
+    return merged.alias("m").join(
+        exact.alias("x"),
+        F.col("m.event_type").eqNullSafe(F.col("x.event_type")),
+    ).select(
+        F.col("m.event_type").alias("event_type"),
         "n_daily_sketches",
         "exact_users",
         (

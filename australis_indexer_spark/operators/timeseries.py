@@ -426,6 +426,7 @@ WITH vals AS (
   SELECT event_type, event_id,
          CAST(ROUND(value * 100.0) AS BIGINT) AS v_cents
   FROM events
+  WHERE value IS NOT NULL
 ),
 width AS (
   SELECT CAST((MAX(v_cents) + {_HQ_NBINS}) // {_HQ_NBINS} AS BIGINT) AS w
@@ -490,7 +491,10 @@ def agg_quantile_from_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistic touches a per-type sort — at 100 TB you drop that
     audit column and keep the sketch."""
     ev = lt(spark, sf_dir, "events")
-    vals = ev.select(
+    # quantiles are over PRESENT measurements: NULL values would form a
+    # NULL histogram bin and rank NULLS FIRST in Spark vs NULLS LAST in
+    # DuckDB's audit ranks (nullstorm:141 kill) — exclude them up front
+    vals = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("v_cents"),
@@ -1117,6 +1121,7 @@ _MAD_ORACLE = """
 WITH vals AS (
   SELECT event_type, event_id,
          CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
 ),
 n AS (SELECT event_type, COUNT(*) AS n FROM vals GROUP BY event_type),
 med AS (
@@ -1163,7 +1168,11 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast-sized median table, never re-shuffling the stream on a
     new key."""
     ev = lt(spark, sf_dir, "events")
-    vals = ev.select(
+    # a median of VALUES is over rows that have one: NULL measurements are
+    # excluded up front on both engines — left in, they rank NULLS FIRST
+    # in Spark but NULLS LAST in DuckDB, silently shifting the (n+1)/2
+    # rank onto different elements (nullstorm:141 kill)
+    vals = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("v"),

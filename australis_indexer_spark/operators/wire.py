@@ -179,7 +179,13 @@ def _doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "codec"),
     oracle="""
 SELECT doc_id,
-       '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' || n_chars || '}'
+       '{"doc_id":' || doc_id
+       -- to_json's documented default (ignoreNullFields=true) OMITS null
+       -- fields — a NULL lang (unidentified doc, nullstorm profile) must
+       -- drop the key, not emit "lang":null
+       || CASE WHEN lang IS NULL THEN ''
+               ELSE ',"lang":"' || lang || '"' END
+       || ',"n_chars":' || n_chars || '}'
          AS j
 FROM documents
 """,
@@ -218,10 +224,13 @@ _CBOR_INTLEN = """CASE WHEN {c} < 24 THEN 1 WHEN {c} < 256 THEN 2
 
 _CBOR_ENCODE_ORACLE = f"""
 SELECT doc_id,
-       CAST(1                -- map(3) head
-            + 7 + 5 + 8      -- text keys: "doc_id", "lang", "n_chars"
+       CAST(1                -- map head (2 or 3 entries, both < 24)
+            + 7 + 8          -- text keys always present: "doc_id", "n_chars"
             + {_CBOR_INTLEN.format(c="doc_id")}
-            + 1 + length(lang)
+            -- to_json OMITS null fields, so a NULL lang contributes
+            -- neither its key ("lang", 5 bytes) nor its text value
+            + CASE WHEN lang IS NULL THEN 0
+                   ELSE 5 + 1 + length(lang) END
             + {_CBOR_INTLEN.format(c="n_chars")}
          AS INTEGER) AS cbor_bytes
 FROM documents
@@ -606,14 +615,14 @@ scan_jsonl_corrupt_tolerant.__doc__ = scan_jsonl_corrupt_tolerant.__doc__.replac
 
 
 _BINFILES_ORACLE = """
-SELECT lang,
+SELECT COALESCE(lang, 'und') AS lang,
        COUNT(*) AS n_blobs,
        CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM documents
 WHERE doc_id % 20 = 0 AND strlen(text) > 0
-GROUP BY lang
+GROUP BY COALESCE(lang, 'und')
 """
 
 
@@ -646,6 +655,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory, not a content scan."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     docs = lt(spark, sf_dir, "documents").where(
@@ -660,11 +670,22 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract every file sink in this engine already assumes.
     tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"aispark_blobs_{tag}")
+    # a prior run of the same dataset may have exported under a different
+    # filename scheme (or a doc set that has since changed) — stale .bin
+    # files would silently join the scan, so the export dir starts empty
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
     def _write_blobs(rows) -> None:
         for r in rows:
-            path = os.path.join(out, f"{r['lang']}_{r['doc_id']}.bin")
+            # a doc with no language id still has bytes to ingest: encode
+            # the missing lang as BCP-47 'und' in the object key —
+            # f-stringing None would write "None_<id>.bin", which the
+            # [a-z]+ path regex then mis-parses as lang "one"
+            # (nullstorm:141 kill; no real lang code collides with 'und')
+            path = os.path.join(
+                out, f"{r['lang'] if r['lang'] is not None else 'und'}_{r['doc_id']}.bin"
+            )
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(r["text"].encode("utf-8"))

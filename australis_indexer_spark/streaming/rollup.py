@@ -143,7 +143,8 @@ WITH wc AS (
 )
 SELECT window_start, event_type, n_events, rk FROM (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rk
+    PARTITION BY window_start
+    ORDER BY n_events DESC, event_type NULLS LAST) AS rk
   FROM wc
 ) WHERE rk <= 3
 """
@@ -189,11 +190,16 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # NULL event_type is a real leaderboard row (missing type at ingest),
+    # but on count ties a named type must outrank it — and the engines
+    # disagree on default NULL order (Spark NULLS FIRST, DuckDB NULLS
+    # LAST), so the tie-break pins NULLS LAST explicitly (nullstorm:141)
     ranked = spark.table(sink_tbl).withColumn(
         "rk",
         F.row_number().over(
             W.partitionBy("window_start").orderBy(
-                F.col("n_events").desc(), "event_type"
+                F.col("n_events").desc(),
+                F.col("event_type").asc_nulls_last(),
             )
         ),
     )

@@ -172,6 +172,33 @@ REGRESSION_SLICES = [
     # slot stayed None and the assign expression crashed. Init now takes
     # the first K_PQ SURVIVING vectors (iterative.py's kmeans shape).
     ("chaos", 95, {"sim_ann_pq"}),
+    # nullstorm:141 (NULLs planted in every payload column a real ingest
+    # can fail to supply) killed TWELVE ops across seven root causes:
+    # a pandas grouped-agg kernel crashing on astype(int64) of NaN
+    # (udf_pandas_grouped_agg); three oracles unaware that to_json's
+    # documented default OMITS null fields (json_encode, cbor_encode,
+    # project_reencode_json — DuckDB concat additionally renders NULL as
+    # ''); two inner equi-joins annihilating the NULL group key that both
+    # aggregations had legitimately produced (agg_hll_daily_merge,
+    # agg_percentiles_approx — now null-safe joins); two rank tie-breaks
+    # on a nullable key diverging on the engines' opposite NULL-order
+    # defaults (agg_mode_per_group, stream_windowed_topk — now pinned
+    # NULLS LAST both sides); two order-statistic ops whose (n+1)/2 rank
+    # silently shifted when NULL measures sorted FIRST in Spark but LAST
+    # in DuckDB (agg_median_absolute_deviation,
+    # agg_quantile_from_histogram — medians/quantiles are now over
+    # PRESENT measurements); a NOT IN predicate returning NULL for a
+    # NULL source and dropping rows the Spark CASE-ELSE kept
+    # (multimodal_frame_sample); and f-string None rendering "None" into
+    # a blob object key that the [a-z]+ path regex then mis-parsed as
+    # lang "one" (scan_binary_files — missing lang is now BCP-47 'und')
+    ("nullstorm", 141, {"udf_pandas_grouped_agg", "json_encode",
+                        "cbor_encode", "project_reencode_json",
+                        "agg_hll_daily_merge", "agg_percentiles_approx",
+                        "agg_mode_per_group", "stream_windowed_topk",
+                        "agg_median_absolute_deviation",
+                        "agg_quantile_from_histogram",
+                        "multimodal_frame_sample", "scan_binary_files"}),
 ]
 
 

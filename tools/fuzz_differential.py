@@ -174,22 +174,32 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     money, text, n_chars) non-null. The stress for NULL group keys,
     NULL-skipping aggregates, NULL ordering divergence (Spark ASC =
     NULLS FIRST, DuckDB = NULLS LAST), concat/JSON-path NULL
-    propagation, and pandas-bridge None/NaN coercion."""
+    propagation, and pandas-bridge None/NaN coercion.
+
+    ``profile="eclipse"`` composes sparse + nullstorm at TRIPLED null
+    fractions (~18-36%/column): few-dozen-row fact tables where whole
+    (group, key) cells can be entirely NULL — the all-NULL-group /
+    NULL-majority interaction (empty dropna() kernels, SUM/median over
+    zero present measurements, leaderboards whose every key is the
+    missing one)."""
     rng = np.random.RandomState(seed)
     chaos = profile in ("chaos", "mayhem")
     void = profile == "void"
     dust = void or profile == "dust"
-    sparse = profile == "sparse"
+    sparse = profile in ("sparse", "eclipse")
     tie_pools = profile == "ties"
     bignum = chaos or void or profile == "bignum"
     timewarp = chaos or void or profile == "timewarp"
-    nullstorm = profile == "nullstorm"
+    eclipse = profile == "eclipse"
+    nullstorm = eclipse or profile == "nullstorm"
 
     def null_out(arr, frac):
-        """Replace ~frac of entries with NULL (nullstorm only) — the
-        missing-payload stress every real ingest eventually serves."""
+        """Replace ~frac of entries with NULL (nullstorm/eclipse only) —
+        the missing-payload stress every real ingest eventually serves."""
         if not nullstorm:
             return arr
+        if eclipse:
+            frac *= 3.0  # NULL-majority cells: whole groups can be all-NULL
         mask = rng.rand(len(arr)) < frac
         out = [None if m else v for v, m in zip(list(arr), mask)]
         if not any(v is None for v in out) and len(out) > 0:

@@ -181,17 +181,25 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     (group, key) cells can be entirely NULL — the all-NULL-group /
     NULL-majority interaction (empty dropna() kernels, SUM/median over
     zero present measurements, leaderboards whose every key is the
-    missing one)."""
+    missing one).
+
+    ``profile="husk"`` composes dust + nullstorm with null_out's
+    at-least-one-NULL guarantee: 1-4-row fact tables where THE single
+    order/event/line carries NULL payload fields — the n=1 x missing
+    interaction (a lone event of NULL type through every stream path,
+    a single order with NULL priority through mode/rank, the whole
+    events table potentially one NULL measurement)."""
     rng = np.random.RandomState(seed)
     chaos = profile in ("chaos", "mayhem")
     void = profile == "void"
-    dust = void or profile == "dust"
+    eclipse = profile == "eclipse"
+    husk = profile == "husk"
+    nullstorm = eclipse or husk or profile == "nullstorm"
+    dust = void or husk or profile == "dust"
     sparse = profile in ("sparse", "eclipse")
     tie_pools = profile == "ties"
     bignum = chaos or void or profile == "bignum"
     timewarp = chaos or void or profile == "timewarp"
-    eclipse = profile == "eclipse"
-    nullstorm = eclipse or profile == "nullstorm"
 
     def null_out(arr, frac):
         """Replace ~frac of entries with NULL (nullstorm/eclipse only) —

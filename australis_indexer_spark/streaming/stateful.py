@@ -46,7 +46,10 @@ def _running_per_user(
     for pdf in pdfs:
         n += len(pdf)
         # exact integer cents (functions/det.py convention) — float sums
-        # would drift between accumulation orders
+        # would drift between accumulation orders. pandas .sum() skips
+        # NaN (the Arrow bridge's NULL), which is exactly the per-batch
+        # partial of SQL's null-skipping SUM; an all-NULL batch adds 0
+        # (the accumulator contract — oracle COALESCEs identically).
         total += int(round(pdf["value"].astype(float).sum() * 100))
     state.update((n, total))
     yield pd.DataFrame(
@@ -60,7 +63,12 @@ def _running_per_user(
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       (SUM(CAST(ROUND(value * 100.0) AS BIGINT)) / 100.0) AS total_value
+       -- accumulator semantics: a running spend counter starts at 0 and
+       -- stays 0 while every arriving value is NULL (the pandas kernel's
+       -- NaN-skipping sum IS the null-skipping SUM partial); bare SQL SUM
+       -- would report NULL for an all-NULL user (eclipse:152 kill)
+       (COALESCE(SUM(CAST(ROUND(value * 100.0) AS BIGINT)), 0) / 100.0)
+         AS total_value
 FROM events
 GROUP BY user_id
 """,

@@ -192,6 +192,12 @@ REGRESSION_SLICES = [
     # (multimodal_frame_sample); and f-string None rendering "None" into
     # a blob object key that the [a-z]+ path regex then mis-parsed as
     # lang "one" (scan_binary_files — missing lang is now BCP-47 'und')
+    # eclipse:152 (sparse x nullstorm at tripled null fractions) produced
+    # a user whose EVERY event value is NULL: the stateful kernel's
+    # NaN-skipping pandas sum accumulated 0 while the oracle's bare SQL
+    # SUM reported NULL — the accumulator contract is now explicit
+    # (running spend starts at 0; oracle COALESCE 0)
+    ("eclipse", 152, {"stream_stateful_running_totals"}),
     ("nullstorm", 141, {"udf_pandas_grouped_agg", "json_encode",
                         "cbor_encode", "project_reencode_json",
                         "agg_hll_daily_merge", "agg_percentiles_approx",

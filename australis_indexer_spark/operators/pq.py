@@ -268,15 +268,21 @@ def pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact re-rank of the shortlist only: fetch the ~SHORTLIST×N_QUERIES
     # float vectors via equi-join, exact cosine (unit vectors => plain dot;
-    # the query vector is picked from an inlined 8-entry literal table)
-    qtable_sql = "array({})".format(
+    # the query vector is picked from an inlined literal table keyed BY
+    # query_id). A MAP, not a positional array: zero-norm (dead) vectors
+    # are excluded from the query set by _normed, so surviving ids are NOT
+    # dense 0..n-1 — `element_at(array, query_id + 1)` probed past the end
+    # the moment a dead embedding sat among the first N_QUERIES ids
+    # (mayhem:133 fuzz kill, the re-rank sibling of chaos:95's codebook
+    # init assumption).
+    qtable_sql = "map({})".format(
         ", ".join(
-            "array({})".format(", ".join(f"{float(v)!r}D" for v in q))
-            for _, q in sorted(queries.items())
+            "{}, array({})".format(qid, ", ".join(f"{float(v)!r}D" for v in q))
+            for qid, q in sorted(queries.items())
         )
     )
     cos = F.expr(
-        f"aggregate(zip_with(element_at({qtable_sql}, query_id + 1), emb,"
+        f"aggregate(zip_with(element_at({qtable_sql}, query_id), emb,"
         " (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
     )
     w_exact = W.partitionBy("query_id").orderBy(

@@ -172,6 +172,14 @@ REGRESSION_SLICES = [
     # slot stayed None and the assign expression crashed. Init now takes
     # the first K_PQ SURVIVING vectors (iterative.py's kmeans shape).
     ("chaos", 95, {"sim_ann_pq"}),
+    # mayhem:133 planted a zero vector among the first N_QUERIES vec_ids:
+    # the exact re-rank's query table was a POSITIONAL array indexed
+    # query_id + 1, but _normed excludes dead vectors so surviving query
+    # ids are not dense — element_at probed past the array end
+    # (ArrayIndexOutOfBounds). The literal table is now a MAP keyed by
+    # the actual query_id — the re-rank sibling of chaos:95's codebook
+    # init assumption.
+    ("mayhem", 133, {"sim_ann_pq"}),
     # nullstorm:141 (NULLs planted in every payload column a real ingest
     # can fail to supply) killed TWELVE ops across seven root causes:
     # a pandas grouped-agg kernel crashing on astype(int64) of NaN

@@ -180,6 +180,12 @@ REGRESSION_SLICES = [
     # the actual query_id — the re-rank sibling of chaos:95's codebook
     # init assumption.
     ("mayhem", 133, {"sim_ann_pq"}),
+    # husk:164's embedding geometry put true neighbors across >2 IVF
+    # cells: the trained-IVF recall gate at FIXED nprobe=2 was
+    # calibration luck (0.75 there). Serving now auto-tunes nprobe to
+    # the 0.80 recall SLO (2 -> 4 -> ... -> K_TRAIN, where probing every
+    # cell IS exact search) — the gate holds by construction.
+    ("husk", 164, {"sim_ann_ivf_trained"}),
     # nullstorm:141 (NULLs planted in every payload column a real ingest
     # can fail to supply) killed TWELVE ops across seven root causes:
     # a pandas grouped-agg kernel crashing on astype(int64) of NaN

@@ -1,0 +1,57 @@
+"""The config/parallelism-invariance class, pinned in CI.
+
+tools/config_invariance.py re-runs the FULL registry strict-exact under
+five perturbed cluster geometries (committed artifact: INVARIANCE_r4.txt,
+1230/1230). The full matrix is ~25 min, so CI pins the ops whose
+implementations genuinely lean on partition arithmetic or Python batch
+shape — the ones a geometry change would break first — under the two
+most aggressive profiles:
+
+- serial     one shuffle partition: salting, two-phase prefix sums and
+             distributed ntile all collapse onto a single partition and
+             must degrade to the identical answer.
+- microsplit 64 KiB input splits + 193-row Arrow batches: every scan
+             shatters and every pandas kernel sees its group sliced into
+             many small batches — kernels must be batch-shape-agnostic.
+
+A failure here means an answer depends on HOW the cluster was carved,
+which at 100 TB (where every one of these knobs differs from local[32])
+is a silent wrong answer.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tests.conftest import SF_ORACLE  # noqa: E402
+from tools.config_invariance import PROFILES, run_profile  # noqa: E402
+from tools.diffcheck import connect_oracle  # noqa: E402
+
+# Each op here embeds a partition- or batch-shape assumption that the
+# geometry perturbation directly attacks.
+GEOMETRY_SENSITIVE_OPS = [
+    "join_skew_salted",           # salt-bucket dim replication
+    "window_ntile_distributed",   # two-phase (partial rank, merge) ntile
+    "pipeline_pack_sequences",    # per-partition prefix sum, 1 row/partition to driver
+    "agg_listagg_ordered",        # ordered string agg — collect order must be pinned
+    "sample_reservoir_uniform",   # deterministic hash-rank reservoir
+    "agg_percentiles_exact",      # exact order statistics across partitions
+    "udf_pandas_grouped_agg",     # pandas kernel — group may arrive in many batches
+    "udf_pandas_scalar_batch",    # scalar pandas UDF — Arrow batch boundaries
+]
+
+
+def test_geometry_sensitive_ops_invariant(spark, ops):
+    missing = [k for k in GEOMETRY_SENSITIVE_OPS if k not in ops]
+    assert not missing, f"ops vanished from registry: {missing}"
+    subset = {k: ops[k] for k in GEOMETRY_SENSITIVE_OPS}
+    con = connect_oracle(SF_ORACLE)
+    for profile in ("serial", "microsplit"):
+        n_pass, n_fail, failures = run_profile(
+            spark, con, subset, SF_ORACLE, profile, PROFILES[profile]
+        )
+        assert n_fail == 0, f"{profile}: geometry-dependent answers: {failures}"
+        assert n_pass == len(GEOMETRY_SENSITIVE_OPS)

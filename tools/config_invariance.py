@@ -1,0 +1,113 @@
+"""Parallelism/config-invariance sweep — certify that every registered op's
+RESULT is a pure function of the data, never of the cluster geometry.
+
+The 100 TB design claim ("this plan survives a 1000-executor cluster") has a
+testable core: on a real cluster the shuffle partition count, AQE re-planning,
+broadcast availability, input split size and Arrow batch size all differ from
+the local[32] test profile — and none of them may change an answer. Any op
+whose output shifts under these knobs is relying on partition layout
+(`spark_partition_id` leaking into values, per-partition seeded `rand`,
+unordered `collect_list`, float sums whose addition order matters, a pandas
+kernel assuming one batch per group) — a real at-scale wrong-answer bug that
+the fixed-config differential sweeps can never see.
+
+Each profile below perturbs runtime-settable SQL confs on the shared session,
+then re-runs the FULL registry strict-exact against the DuckDB oracle
+(tools/diffcheck.run_ops — sorted columns, sorted rows, no float tolerance):
+
+- serial        one shuffle partition: all parallelism collapsed; any
+                per-partition arithmetic (salting, two-phase prefix sums,
+                distributed ntile) must degrade to the identical answer.
+- prime_noaqe   7 shuffle partitions (prime, coprime to every bucket/salt
+                constant) with AQE disabled: no runtime re-planning safety
+                net, hash placement scrambled.
+- nobroadcast   autoBroadcastJoinThreshold=-1: every non-hinted join falls
+                back to sort-merge/shuffle — the exact fallback a 100 TB
+                run hits when a "small" side outgrows the threshold.
+- microsplit    64 KiB input splits + openCost 0 + Arrow batches of 193
+                rows: scans shatter into many tasks and every pandas_udf /
+                mapInPandas kernel sees its data sliced into many small
+                batches — kernels must be batch-shape-agnostic.
+- interpreted   whole-stage codegen off: the interpreted expression path
+                (also what janino-overflow fallback produces at scale) must
+                compute bit-identical values.
+
+Usage:  python tools/config_invariance.py [sf_dir] [profile ...]
+Prints per-profile full PASS/FAIL lines and a final matrix summary; exit 1
+on any failure. Artifact: INVARIANCE_r{N}.txt.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from australis_indexer_spark.registry import load_all
+from australis_indexer_spark.session import get_session
+from tools.diffcheck import connect_oracle, run_ops
+
+PROFILES: dict[str, dict[str, str]] = {
+    "serial": {"spark.sql.shuffle.partitions": "1"},
+    "prime_noaqe": {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.adaptive.enabled": "false",
+    },
+    "nobroadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "microsplit": {
+        "spark.sql.files.maxPartitionBytes": "65536",
+        "spark.sql.files.openCostInBytes": "0",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "193",
+    },
+    "interpreted": {"spark.sql.codegen.wholeStage": "false"},
+}
+
+
+def run_profile(spark, con, ops, sf_dir: str, name: str, confs: dict[str, str]):
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — conf unset
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        print(f"\n## profile {name}: {confs}")
+        t0 = time.time()
+        n_pass, n_fail, n_rowsonly, failures = run_ops(spark, con, ops, sf_dir)
+        print(f"## profile {name}: {n_pass} pass, {n_fail} fail in {time.time()-t0:.0f}s")
+        return n_pass, n_fail, failures
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only_profiles = [a for a in args if "/" not in a]
+    ops = load_all()
+    spark = get_session("config_invariance")
+    con = connect_oracle(sf_dir)
+    summary: list[tuple[str, int, int, list[str]]] = []
+    for name, confs in PROFILES.items():
+        if only_profiles and name not in only_profiles:
+            continue
+        n_pass, n_fail, failures = run_profile(spark, con, ops, sf_dir, name, confs)
+        summary.append((name, n_pass, n_fail, failures))
+    print("\n# invariance matrix summary")
+    total_fail = 0
+    for name, n_pass, n_fail, failures in summary:
+        total_fail += n_fail
+        tail = f"  FAILURES: {failures}" if failures else ""
+        print(f"#   {name:12s} {n_pass} pass, {n_fail} fail{tail}")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

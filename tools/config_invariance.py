@@ -39,13 +39,13 @@ on any failure. Artifact: INVARIANCE_r{N}.txt.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from australis_indexer_spark.registry import load_all
 from australis_indexer_spark.session import get_session
 from tools.diffcheck import connect_oracle, run_ops
 
@@ -91,6 +91,15 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only_profiles = [a for a in args if "/" not in a]
+    # profile_parquet_metadata's oracle addresses files by PATH (DuckDB's
+    # parquet_metadata() takes a filename, not a view) and bakes
+    # $SPARK_GRAFT_ORACLE_SF_DIR at operator-module import — point it at
+    # the swept dataset BEFORE load_all() imports the operator modules,
+    # exactly as tools/fuzz_differential.py does, or a sweep over any
+    # non-default directory compares two different datasets on that op.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    from australis_indexer_spark.registry import load_all
+
     ops = load_all()
     spark = get_session("config_invariance")
     con = connect_oracle(sf_dir)

@@ -33,8 +33,15 @@ then re-runs the FULL registry strict-exact against the DuckDB oracle
                 compute bit-identical values.
 
 Usage:  python tools/config_invariance.py [sf_dir] [profile ...]
-Prints per-profile full PASS/FAIL lines and a final matrix summary; exit 1
-on any failure. Artifact: INVARIANCE_r{N}.txt.
+        python tools/config_invariance.py --fuzz <data_profile:seed> [profile ...]
+
+The --fuzz form composes the two orthogonal validation axes: it generates
+a randomized dataset with tools/fuzz_differential.gen_dataset (same
+profile grammar: chaos:201, nullstorm:202, ...) and sweeps the geometry
+matrix against THAT data — random DATA x perturbed GEOMETRY, the combo
+neither axis alone exercises. Prints per-profile full PASS/FAIL lines and
+a final matrix summary; exit 1 on any failure. Artifact:
+INVARIANCE_r{N}.txt (composed-axis section at the bottom).
 """
 
 from __future__ import annotations
@@ -89,8 +96,19 @@ def run_profile(spark, con, ops, sf_dir: str, name: str, confs: dict[str, str]):
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    only_profiles = [a for a in args if "/" not in a]
+    fuzz_tok = None
+    if "--fuzz" in args:
+        i = args.index("--fuzz")
+        fuzz_tok = args[i + 1]
+        del args[i : i + 2]
+    if fuzz_tok is not None:
+        prof, _, s = fuzz_tok.rpartition(":")
+        prof = prof or "default"
+        sf_dir = f"/tmp/invariance_fuzz_{prof}_{s}"
+        only_profiles = list(args)
+    else:
+        sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+        only_profiles = [a for a in args if "/" not in a]
     # profile_parquet_metadata's oracle addresses files by PATH (DuckDB's
     # parquet_metadata() takes a filename, not a view) and bakes
     # $SPARK_GRAFT_ORACLE_SF_DIR at operator-module import — point it at
@@ -98,6 +116,12 @@ def main() -> int:
     # exactly as tools/fuzz_differential.py does, or a sweep over any
     # non-default directory compares two different datasets on that op.
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    if fuzz_tok is not None:
+        from tools.fuzz_differential import gen_dataset
+
+        prof, _, s = fuzz_tok.rpartition(":")
+        sizes = gen_dataset(int(s), sf_dir, prof or "default")
+        print(f"== composed axis: data {fuzz_tok}: {sizes} -> {sf_dir}")
     from australis_indexer_spark.registry import load_all
 
     ops = load_all()

@@ -39,7 +39,12 @@ def project_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "project"),
     oracle="""
 SELECT event_id AS sequence_id, ts AS block_time, event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+       CASE WHEN json_valid(props) THEN
+         CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                  '^-?[0-9]+$')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END
+       END AS prop_k
 FROM events
 """,
 )
@@ -47,12 +52,24 @@ def project_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: the canonical 'jq-style' path projection
     (borealis-indexer/src/main.rs:453-454) — pick nested paths out of the
     payload document and rename to a flat canonical schema. `props` is the
-    nested JSON here; `get_json_object` is Catalyst's JSON path op."""
+    nested JSON here; `get_json_object` is Catalyst's JSON path op.
+
+    Extraction contract (pinned on both engines, fuzz profile jsonrot):
+    prop_k surfaces iff the raw path text is an optionally-negative
+    decimal integer that fits int64 — so a string-typed "12" DOES parse
+    (path text, not JSON type), while floats, booleans, exponent forms,
+    overflow, non-numeric strings, structured values, and malformed JSON
+    are all NULL. A bare ANSI cast here crashed on the first string-typed
+    float a real ingest served (CAST_INVALID_INPUT — jsonrot:240);
+    try_cast alone would still disagree with the oracle's VARCHAR->BIGINT
+    rounding ('1.5' -> 2 in DuckDB), hence the explicit integer-text
+    regex on BOTH sides."""
+    raw = F.get_json_object("props", "$.k")
     return lt(spark, sf_dir, "events").select(
         F.col("event_id").alias("sequence_id"),
         F.col("ts").alias("block_time"),
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.when(raw.rlike("^-?[0-9]+$"), raw.try_cast("long")).alias("prop_k"),
     )
 
 
@@ -167,16 +184,28 @@ def scan_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROPS_ORACLE = """
+WITH j AS (
+  -- strict mirror of Spark's from_json struct<k: bigint>: k surfaces iff
+  -- props is well-formed JSON whose $.k is a JSON INTEGER fitting int64
+  -- (string-typed numbers, floats, exponent forms, booleans, structured
+  -- values, overflow, and malformed documents are all NULL)
+  SELECT event_type,
+         CASE WHEN json_valid(props) THEN
+           CASE WHEN json_type(json_extract(props, '$.k'))
+                     IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END
+         END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n_events,
-       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
-                  THEN 1 END) AS n_even_k
-FROM events
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(CASE WHEN k % 2 = 0 THEN 1 END) AS n_even_k
+FROM j
 GROUP BY event_type
 """
 
@@ -189,6 +218,14 @@ def project_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     model in schemas.py) and rolled up per event type. A malformed or
     missing key yields NULL, counted separately from the row count, so the
     op doubles as a props-quality profile.
+
+    Strict-extraction contract (pinned, fuzz profile jsonrot): k surfaces
+    iff props is well-formed JSON whose $.k is a JSON INTEGER fitting
+    int64 — from_json coerces nothing (string-typed "12", floats, 1e3,
+    booleans, overflow all NULL), and the oracle mirrors that via a
+    json_type gate instead of a bare CAST over extracted text (which
+    CRASHED DuckDB's parser on the first malformed document and coerced
+    "12" where Spark does not — jsonrot:240).
 
     Scale shape: parsing is a narrow JVM map (Jackson inside codegen — no
     Python); the rollup map-side combines to |types| rows. At 100 TB you'd
@@ -214,10 +251,28 @@ def project_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_ORACLE = """
 WITH v AS (
+  -- mirror of Spark's try_variant_get(pv, '$.k', 'bigint') CAST LADDER:
+  -- JSON integers pass through (overflow -> NULL), doubles TRUNCATE
+  -- toward zero (1.5 -> 1; beyond-int64 -> NULL), booleans map to 1/0,
+  -- strings coerce only when they are integer text ("12" -> 12,
+  -- "1.5"/"abc" -> NULL), structured values and malformed JSON -> NULL
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         json_valid(props) AS ok
+         CASE WHEN json_valid(props) THEN
+           CASE json_type(json_extract(props, '$.k'))
+             WHEN 'BIGINT'  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             WHEN 'UBIGINT' THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             WHEN 'DOUBLE'  THEN TRY_CAST(TRUNC(
+                 TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
+             WHEN 'BOOLEAN' THEN CASE json_extract_string(props, '$.k')
+                                   WHEN 'true' THEN 1 ELSE 0 END
+             WHEN 'VARCHAR' THEN CASE WHEN regexp_matches(
+                 json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+                 THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END
+           END
+         END AS k,
+         CASE WHEN json_valid(props) THEN TRUE ELSE FALSE END AS ok
   FROM events
+  WHERE TRUE
 )
 SELECT event_type,
        COUNT(*) AS n_events,
@@ -242,6 +297,14 @@ def project_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's native JSON engine — two different binary JSON encodings,
     identical answers.
 
+    Extraction is `try_variant_get` (NOT `variant_get`): the strict form
+    THROWS INVALID_VARIANT_CAST the moment $.k holds a non-castable value
+    — a string-typed float killed it on fuzz jsonrot:240 — and a serving
+    path that crashes on one bad document out of 10^11 is wrong by
+    construction. The try-form's cast ladder (ints pass, doubles truncate
+    toward zero, booleans map to 1/0, integer-text strings coerce,
+    everything else NULL) is mirrored case-by-case in the oracle.
+
     Companion to project_props_json (typed from_json against a declared
     schema): schema-on-write there, schema-agnostic VARIANT here — the
     two semi-structured disciplines a warehouse offers."""
@@ -251,7 +314,7 @@ def project_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_parse_json(props)").alias("pv"),
     ).select(
         "event_type",
-        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(pv, '$.k', 'bigint')").alias("k"),
         F.col("pv").isNotNull().alias("ok"),
     )
     return v.groupBy("event_type").agg(

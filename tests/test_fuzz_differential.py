@@ -219,6 +219,19 @@ REGRESSION_SLICES = [
                         "agg_median_absolute_deviation",
                         "agg_quantile_from_histogram",
                         "multimodal_frame_sample", "scan_binary_files"}),
+    # jsonrot:240 (the JSON-pathology regime for free-form props) killed
+    # all three props consumers, three distinct root causes: an ANSI
+    # cast("long") crashing on the first string-typed float
+    # (project_paths_canonical — k now surfaces iff the raw path text is
+    # integer text, regex-pinned on both engines), the oracle's bare
+    # json_extract CRASHING DuckDB's parser on malformed JSON and
+    # coercing "12"/1.5 where from_json's strict typed parse does not
+    # (project_props_json — json_valid + json_type gate), and
+    # variant_get THROWING INVALID_VARIANT_CAST on a non-castable value
+    # (project_props_variant — now try_variant_get, its cast ladder
+    # mirrored case-by-case in SQL).
+    ("jsonrot", 240, {"project_paths_canonical", "project_props_json",
+                      "project_props_variant"}),
 ]
 
 

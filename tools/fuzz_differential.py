@@ -183,6 +183,16 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     zero present measurements, leaderboards whose every key is the
     missing one).
 
+    ``profile="jsonrot"`` is the JSON-pathology regime for the free-form
+    ``props`` column: valid ints dominate, with string-typed
+    ints/floats, JSON floats (exponent form, beyond-int64 magnitudes),
+    booleans, explicit nulls, missing keys, nested objects/arrays,
+    non-object roots, truncated and non-JSON garbage, empty/whitespace
+    strings, int64-overflow integers and -0 each planted at a few
+    percent — every extraction hazard a 100 TB ingest's free-form JSON
+    column actually serves. Duplicate keys are excluded (RFC 8259
+    implementation-defined; the engines genuinely disagree).
+
     ``profile="husk"`` composes dust + nullstorm with null_out's
     at-least-one-NULL guarantee: 1-4-row fact tables where THE single
     order/event/line carries NULL payload fields — the n=1 x missing
@@ -200,6 +210,7 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     tie_pools = profile == "ties"
     bignum = chaos or void or profile == "bignum"
     timewarp = chaos or void or profile == "timewarp"
+    jsonrot = profile == "jsonrot"
 
     def null_out(arr, frac):
         """Replace ~frac of entries with NULL (nullstorm/eclipse only) —
@@ -414,7 +425,51 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
     uw /= uw.sum()
     kx = rng.randint(0, 100, size=n_ev)
     shape = rng.rand(n_ev)
-    if chaos or profile == "edge":
+    if jsonrot:
+        # The JSON-pathology regime: what a 100 TB free-form props column
+        # actually serves. Valid simple ints dominate (aggregates stay
+        # meaningful) with every extraction hazard planted at a few
+        # percent each: string-typed ints and floats, JSON floats
+        # (incl. exponent form and beyond-int64 magnitudes), booleans,
+        # explicit nulls, missing keys, nested objects/arrays at the key,
+        # non-object roots (array / scalar / bare string), TRUNCATED and
+        # outright non-JSON garbage, empty/whitespace strings, negative
+        # and int64-overflow integers, and -0. Duplicate keys are
+        # deliberately EXCLUDED: RFC 8259 leaves their semantics
+        # implementation-defined, and the engines genuinely disagree
+        # (get_json_object/DuckDB first-wins, from_json last-wins,
+        # variant NULL) — out of the correctness contract.
+        kneg = kx - 50
+        pool = [
+            [f'{{"k": {k}}}' for k in kneg],                      # 0.00-0.40 valid int (neg+pos)
+            [f'{{"k": "{k}"}}' for k in kx],                      # 0.40-0.46 string-typed int
+            [f'{{"k": {k}.5}}' for k in kx],                      # 0.46-0.52 float
+            [f'{{"k": {k}e2}}' for k in kx],                      # 0.52-0.56 exponent form
+            [f'{{"k": "{k}.5"}}' for k in kx],                    # 0.56-0.60 string-typed float
+            ['{"k": true}'] * n_ev,                                # 0.60-0.63 boolean
+            ['{"k": null}'] * n_ev,                                # 0.63-0.66 explicit null
+            [f'{{"x": {k}}}' for k in kx],                        # 0.66-0.70 missing key
+            [f'{{"k": {{"a": {k}}}}}' for k in kx],               # 0.70-0.73 nested object
+            [f'{{"k": [{k}]}}' for k in kx],                      # 0.73-0.76 array at key
+            [f'[{k}, 2]' for k in kx],                            # 0.76-0.79 array root
+            ['"hello"'] * n_ev,                                    # 0.79-0.82 scalar root
+            [f'{{"k": {k}' for k in kx],                          # 0.82-0.86 TRUNCATED
+            ['not json'] * n_ev,                                   # 0.86-0.89 garbage
+            [''] * n_ev,                                           # 0.89-0.91 empty string
+            ['   '] * n_ev,                                        # 0.91-0.93 whitespace only
+            ['{"k": 10000000000000000000}'] * n_ev,                # 0.93-0.95 > int64, fits uint64
+            ['{"k": 99999999999999999999}'] * n_ev,                # 0.95-0.97 > uint64 (JSON double)
+            [f'{{"k": "abc{k}x"}}' for k in kx],                  # 0.97-0.99 non-numeric string
+            ['{"k": -0}'] * n_ev,                                  # 0.99-1.00 negative zero
+        ]
+        cuts = [0.40, 0.46, 0.52, 0.56, 0.60, 0.63, 0.66, 0.70, 0.73,
+                0.76, 0.79, 0.82, 0.86, 0.89, 0.91, 0.93, 0.95, 0.97, 0.99]
+        # bucket pick: idx = index of the first cut > shape
+        idx = np.searchsorted(np.array(cuts), shape, side="right")
+        props = np.array(
+            [pool[i][j] for j, i in enumerate(idx)], dtype=object
+        )
+    elif chaos or profile == "edge":
         # JSON values with escape sequences and non-ASCII: both engines'
         # JSON parsers must agree on unescaping (\" \\ \n and raw UTF-8)
         props = np.where(

@@ -41,7 +41,7 @@ def project_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id AS sequence_id, ts AS block_time, event_type,
        CASE WHEN json_valid(props) THEN
          CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
-                                  '^-?[0-9]+$')
+                                  '\A-?[0-9]+\z')
               THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
          END
        END AS prop_k
@@ -63,13 +63,16 @@ def project_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     float a real ingest served (CAST_INVALID_INPUT — jsonrot:240);
     try_cast alone would still disagree with the oracle's VARCHAR->BIGINT
     rounding ('1.5' -> 2 in DuckDB), hence the explicit integer-text
-    regex on BOTH sides."""
+    regex on BOTH sides. The anchors are \\A..\\z, NOT ^..$: Java's $
+    (unlike RE2's) matches BEFORE a final newline, so a "12\\n" payload
+    would pass a $-anchored guard on Spark only — the regex-dialect
+    sibling of the edge:250 \\s/\\x0B kill."""
     raw = F.get_json_object("props", "$.k")
     return lt(spark, sf_dir, "events").select(
         F.col("event_id").alias("sequence_id"),
         F.col("ts").alias("block_time"),
         "event_type",
-        F.when(raw.rlike("^-?[0-9]+$"), raw.try_cast("long")).alias("prop_k"),
+        F.when(raw.rlike(r"\A-?[0-9]+\z"), raw.try_cast("long")).alias("prop_k"),
     )
 
 
@@ -265,9 +268,18 @@ WITH v AS (
                  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
              WHEN 'BOOLEAN' THEN CASE json_extract_string(props, '$.k')
                                    WHEN 'true' THEN 1 ELSE 0 END
+             -- string coercion mirrors Spark's cast EXACTLY: every char
+             -- <= 0x20 is trimmed first (incl. NUL/controls — verified:
+             -- Spark parses '\\x0112' where DuckDB's TRY_CAST does not),
+             -- then optionally-signed digit text; \\A..\\z anchors because
+             -- Java's $ would pass a trailing newline that RE2's refuses
              WHEN 'VARCHAR' THEN CASE WHEN regexp_matches(
-                 json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
-                 THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END
+                 regexp_replace(json_extract_string(props, '$.k'),
+                                '\A[\\x00-\\x20]+|[\\x00-\\x20]+\z', '', 'g'),
+                 '\A[+-]?[0-9]+\z')
+                 THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
+                                '\A[\\x00-\\x20]+|[\\x00-\\x20]+\z', '', 'g')
+                               AS BIGINT) END
            END
          END AS k,
          CASE WHEN json_valid(props) THEN TRUE ELSE FALSE END AS ok

@@ -125,15 +125,21 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("northstar", "text"),
     oracle="""
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))
+         AS fingerprint
 FROM documents
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — the canonical-form content key used for cross-snapshot identity
-    (exact-dedup's portable cousin)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    (exact-dedup's portable cousin).
+
+    The whitespace class is pinned EXPLICITLY as [ \\t\\n\\r\\f\\x0B] on both
+    engines: Java's \\s includes vertical tab where RE2's (DuckDB's) does
+    not, so a bare \\s+ fingerprint silently disagrees across engines on
+    the first \\x0B a scraped page serves (fuzz edge:250, 430/575 docs)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " "))
     return lt(spark, sf_dir, "documents").select(
         "doc_id", F.md5(norm).alias("fingerprint")
     )
@@ -400,7 +406,7 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_BUILD_ORACLE = r"""
 WITH norm AS (
   SELECT doc_id, lang,
-         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS t
   FROM documents
 ),
 tok AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS token FROM norm),
@@ -441,7 +447,8 @@ def pipeline_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lt(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("t"),
+        # explicit whitespace class — Java \s vs RE2 \s diverge on \x0B
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " ")).alias("t"),
     )
     tok = norm.select("doc_id", "lang", F.explode(F.split("t", " ")).alias("token"))
     idx = tok.groupBy("lang", "token").agg(

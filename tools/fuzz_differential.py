@@ -76,6 +76,14 @@ EDGE_VOCAB = DOC_VOCAB + [
     "data,", "value.", '"quoted"', "(spark)", "don't", "e.g.", "foo-bar",
     "a;b", "x:y", "it's", "end!", "why?", "semi;colon", "two,,commas",
     "tra--dash", "'single'", "[brack]", "{brace}", "pipe|bar", "pct%",
+    # astral-plane (4-byte UTF-8) and control-character reality: emoji,
+    # Gothic 𐍈, an embedded NUL, SOH and vertical tab — the last three
+    # survive parquet fine and are exactly what binary-ish scraped pages
+    # inject; they stress the RFC 3629 4-byte class in the byte-stream
+    # oracles, UTF-16 surrogate handling in the JVM, and regex-engine
+    # agreement (Java regex vs RE2) on non-printing characters.
+    "smile😀face", "flag🎉🎊x", "goth𐍈ic", "nul\x00byte", "ctl\x01char",
+    "vtab\x0bsep",
 ]
 # token separators for the edge profile: mostly plain space, with real
 # newline / CRLF / tab / double-space joins mixed in
@@ -441,7 +449,10 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
         # variant NULL) — out of the correctness contract.
         kneg = kx - 50
         pool = [
-            [f'{{"k": {k}}}' for k in kneg],                      # 0.00-0.40 valid int (neg+pos)
+            [f'{{"k": {k}}}' for k in kneg],                      # 0.00-0.34 valid int (neg+pos)
+            [f'{{"k": " {k} "}}' for k in kx],                    # 0.34-0.36 space-padded string int
+            [f'{{"k": "{k}\\n"}}' for k in kx],                   # 0.36-0.38 trailing-\n string int (Java $ trap)
+            [f'{{"k": "\\u0001{k}"}}' for k in kx],               # 0.38-0.40 control-char-padded string int
             [f'{{"k": "{k}"}}' for k in kx],                      # 0.40-0.46 string-typed int
             [f'{{"k": {k}.5}}' for k in kx],                      # 0.46-0.52 float
             [f'{{"k": {k}e2}}' for k in kx],                      # 0.52-0.56 exponent form
@@ -462,8 +473,9 @@ def gen_dataset(seed: int, outdir: str, profile: str = "default") -> dict:
             [f'{{"k": "abc{k}x"}}' for k in kx],                  # 0.97-0.99 non-numeric string
             ['{"k": -0}'] * n_ev,                                  # 0.99-1.00 negative zero
         ]
-        cuts = [0.40, 0.46, 0.52, 0.56, 0.60, 0.63, 0.66, 0.70, 0.73,
-                0.76, 0.79, 0.82, 0.86, 0.89, 0.91, 0.93, 0.95, 0.97, 0.99]
+        cuts = [0.34, 0.36, 0.38, 0.40, 0.46, 0.52, 0.56, 0.60, 0.63,
+                0.66, 0.70, 0.73, 0.76, 0.79, 0.82, 0.86, 0.89, 0.91,
+                0.93, 0.95, 0.97, 0.99]
         # bucket pick: idx = index of the first cut > shape
         idx = np.searchsorted(np.array(cuts), shape, side="right")
         props = np.array(

@@ -234,19 +234,29 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "n_queries",
                 F.lit(TOP_K).alias("k"),
-                (
+                # n_queries = 0 (every candidate query embedding zero-norm)
+                # makes _hits NULL; the SLO is vacuously met then — pin TRUE
+                # to match the oracle's literal TRUE (ADVICE r4 #2).
+                F.when(F.col("n_queries") == 0, F.lit(True))
+                .otherwise(
                     (F.col("_hits") / (F.col("n_queries") * F.lit(float(TOP_K))))
                     >= F.lit(0.80)
-                ).alias("recall_ge_080"),
+                )
+                .alias("recall_ge_080"),
             )
         )
 
     nprobe = 2
-    while True:
-        out = gate(nprobe)
-        if nprobe >= K_TRAIN:  # all cells probed == exact search
-            return out
-        row = out.collect()[0]  # 1-row quality summary
-        if row["recall_ge_080"]:
-            return out
-        nprobe *= 2
+    try:
+        while True:
+            out = gate(nprobe)
+            if nprobe >= K_TRAIN:  # all cells probed == exact search
+                return out
+            row = out.collect()[0]  # 1-row quality summary
+            if row["recall_ge_080"]:
+                return out
+            nprobe *= 2
+    finally:
+        # Drop the cached truth set once tuning settles (ADVICE r4 #3); the
+        # returned plan recomputes brute once at the caller's collect.
+        brute.unpersist()

@@ -170,11 +170,19 @@ def train_codebooks(
     for r in lf.filter(F.col("vec_id").isin(seed_ids)).collect():
         codebooks[r["m"]][slot[r["vec_id"]]] = list(r["sub"])
     # degenerate corpora with fewer than K_PQ nonzero vectors: cycle the
-    # seeds so every slot is a real centroid (empty clusters keep it)
+    # seeds so every slot is a real centroid (empty clusters keep it).
+    # Fully-degenerate corpus (zero surviving vectors → seed_ids empty):
+    # there is nothing to cycle, so fall back to zero centroids — encode/
+    # serve then run over an empty long-form frame and return no rows,
+    # matching the oracle's empty result (ADVICE r4 #1).
     for cb in codebooks:
         for i in range(K_PQ):
             if cb[i] is None:
-                cb[i] = list(cb[i % max(1, len(seed_ids))])
+                cb[i] = (
+                    list(cb[i % len(seed_ids)])
+                    if seed_ids
+                    else [0.0] * D_SUB
+                )
 
     for _ in range(N_PQ_ITER):
         best = _assign_expr(codebooks)
@@ -211,7 +219,10 @@ def encode(e: DataFrame, codebooks) -> DataFrame:
 
 
 def pq_serve(
-    spark: SparkSession, sf_dir: str, shortlist: int = SHORTLIST
+    spark: SparkSession,
+    sf_dir: str,
+    shortlist: int = SHORTLIST,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Two-stage PQ serving: (1) compressed-domain ADC scan ranks every
     candidate by table lookups over its M byte codes and keeps `shortlist`
@@ -220,7 +231,8 @@ def pq_serve(
     ~shortlist × N_QUERIES vectors, not the corpus) and returns cosine
     top-k. Returns (query_id, neighbor_id, cosine, rnk)."""
     e = _normed(spark, sf_dir)
-    codebooks = train_codebooks(spark, sf_dir)
+    if codebooks is None:  # callers in a retry loop train ONCE and pass in
+        codebooks = train_codebooks(spark, sf_dir)
     coded = encode(e, codebooks)
     queries = {
         r["vec_id"]: list(r["emb"])
@@ -337,11 +349,14 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     brute.cache()
     n_corpus = _normed(spark, sf_dir).count()
+    # Codebooks are shortlist-independent: train ONCE and reuse across gate
+    # retries instead of re-running Lloyd per doubling (ADVICE r4 #3).
+    codebooks = train_codebooks(spark, sf_dir)
 
     def gate(shortlist: int) -> DataFrame:
-        approx = pq_serve(spark, sf_dir, shortlist=shortlist).select(
-            "query_id", "neighbor_id"
-        )
+        approx = pq_serve(
+            spark, sf_dir, shortlist=shortlist, codebooks=codebooks
+        ).select("query_id", "neighbor_id")
         b, a = brute.alias("b"), approx.alias("a")
         per = (
             b.join(
@@ -360,21 +375,30 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(TOP_K).alias("k"),
             F.lit(M_SUB).alias("code_bytes_per_vector"),
             F.lit(DIM * 4 // M_SUB).alias("compression_x"),
-            (
+            # n_queries = 0 → _hits NULL; SLO vacuously met — pin TRUE to
+            # match the oracle's literal TRUE (ADVICE r4 #2).
+            F.when(F.col("n_queries") == 0, F.lit(True))
+            .otherwise(
                 (F.col("_hits") / (F.col("n_queries") * F.lit(float(TOP_K))))
                 >= F.lit(RECALL_GATE)
-            ).alias(f"recall_ge_{int(RECALL_GATE * 100):03d}"),
+            )
+            .alias(f"recall_ge_{int(RECALL_GATE * 100):03d}"),
         )
 
     shortlist = SHORTLIST
-    while True:
-        out = gate(shortlist)
-        if shortlist >= n_corpus:  # full-corpus re-rank == exact search
-            return out
-        row = out.collect()[0]  # 1-row quality summary
-        if row[f"recall_ge_{int(RECALL_GATE * 100):03d}"]:
-            return out
-        shortlist *= 2
+    try:
+        while True:
+            out = gate(shortlist)
+            if shortlist >= n_corpus:  # full-corpus re-rank == exact search
+                return out
+            row = out.collect()[0]  # 1-row quality summary
+            if row[f"recall_ge_{int(RECALL_GATE * 100):03d}"]:
+                return out
+            shortlist *= 2
+    finally:
+        # Drop the cached truth set once tuning settles (ADVICE r4 #3); the
+        # returned plan recomputes brute once at the caller's collect.
+        brute.unpersist()
 
 
 _GRAM_SCALE = 10_000  # fixed-point quantum for exact cross-engine sums

@@ -37,7 +37,7 @@ def project_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "project_paths_canonical",
     tags=("parity", "project"),
-    oracle="""
+    oracle=r"""
 SELECT event_id AS sequence_id, ts AS block_time, event_type,
        CASE WHEN json_valid(props) THEN
          CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
@@ -252,7 +252,7 @@ def project_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VARIANT_ORACLE = """
+_VARIANT_ORACLE = r"""
 WITH v AS (
   -- mirror of Spark's try_variant_get(pv, '$.k', 'bigint') CAST LADDER:
   -- JSON integers pass through (overflow -> NULL), doubles TRUNCATE

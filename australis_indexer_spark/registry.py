@@ -95,75 +95,20 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 
 
 # The correctness driver walks ops in registration order with a ~50-op
-# per-round budget. Rounds 1-3 certified 136/244; round 4's window is pure
-# certification rotation (VERDICT r3 #1): zero repeats of already-green ops.
-# Slots 1-4: the four env-bound ops whose latest driver row is still the r2
-#   `no_oracle` red. Their oracles are now genuinely independent —
-#   scan_stream: fixture-pinned VALUES with payload char counts re-derived
-#   outside Spark (fixture_oracles.py:456); health_check: DuckDB
-#   information_schema column counts over the same registered views;
-#   cbor_encode: RFC 8949 head-length arithmetic restated in SQL
-#   (wire.py:218); compress_roundtrip: DuckDB octet_length + an asserted
-#   TRUE the Spark side must prove byte-exactly. They were parked last in
-#   r3 and got cut by the window; they go FIRST now.
-# Slots 5-50: the 46 highest-user-value never-certified ops — the TPC-H
-#   completion (tpch.py), the window/timeseries family, the profiling
-#   family, and the relational tail (incl. window_value_functions and
-#   join_outer_reconciliation, VERDICT r3 #8).
+# per-round budget. Rounds 1-4 certified 186/246 (ever-green); 60 ops have
+# never been inside a driver window. This tuple is now the FULL explicit
+# walk order for all 246 ops (VERDICT r4 "What's wrong" #3: no implicit
+# tail that a future insertion could silently reorder):
+#   slots   1-50  — r5 window: first 50 of the 60 never-driver-seen ops
+#   slots  51-60  — r6 residue: the final 10 never-seen ops
+#   slots  61-246 — driver-green ops ordered by FIRST certification round
+#                   ascending (r1 greens first), so r6's ~40 spare window
+#                   slots re-certify the oldest evidence (VERDICT r4 #3).
+# The committed per-round window plan lives in CERTIFICATION.md.
 _PRIORITY = (
-    "scan_stream",
-    "health_check",
-    "cbor_encode",
-    "compress_roundtrip",
-    "query_nation_pair_trade",
-    "query_disjunctive_predicates",
-    "query_lateral_topk",
-    "query_exists_late_orders",
-    "query_waiting_suppliers",
-    "query_dormant_rich_customers",
-    "query_forecast_revenue",
-    "query_market_share",
-    "query_customer_distribution",
-    "query_promo_revenue",
-    "query_top_supplier",
-    "query_small_quantity_revenue",
-    "query_yoy_growth",
-    "query_bridge_decomposition",
-    "join_outer_reconciliation",
-    "window_value_functions",
-    "window_share_of_total",
-    "window_running_distinct",
-    "window_time_gapfill_locf",
-    "window_time_in_state",
-    "window_time_ohlc_bars",
-    "window_time_interpolate_linear",
-    "window_time_rate_of_change",
-    "window_pattern_cep",
-    "window_sliding_distinct_users",
-    "window_longest_streak",
-    "window_pareto_concentration",
-    "agg_dau_wau_mau",
-    "agg_new_vs_returning_users",
-    "stats_markov_transitions",
-    "stats_seasonality_heatmap",
-    "agg_quantile_from_histogram",
-    "agg_median_absolute_deviation",
-    "profile_constraints",
-    "profile_benford_digits",
-    "profile_k_anonymity",
-    "profile_fd_discovery",
-    "profile_parquet_metadata",
-    "stats_association_rules",
-    "stats_triangle_count",
-    "agg_countmin_heavyhitters",
-    "agg_histogram_fixed_bins",
-    "query_rfm_segmentation",
-    "join_null_safe_eq",
-    "agg_decimal_money_exact",
-    "agg_gini_concentration",
-    # --- round-5 pool: the 58 remaining never-certified ops, highest
-    # value first; they are past the ~50-op window this round and queue
-    # for the next rotation.
+    # --- r5 window (slots 1-50): the first 50 of the 60 never-driver-seen
+    # ops (VERDICT r4 #1). Zero repeats: every slot below had NO driver row
+    # through CORRECTNESS_r04.
     "text_langid_quality",
     "pipeline_dataset_card",
     "udf_pandas_grouped_agg",
@@ -214,6 +159,9 @@ _PRIORITY = (
     "sample_epoch_shuffle",
     "stream_stateful_cep",
     "udf_python_udtf_chunks",
+    # --- r6 residue (slots 51-60): the 10 ops that stay never-seen after
+    # r5; r6's window certifies these first, then re-certifies the oldest
+    # greens below (VERDICT r4 #3).
     "text_langid_margin",
     "stats_ab_experiment_readout",
     "join_strategy_hint_shuffle_hash",
@@ -222,57 +170,198 @@ _PRIORITY = (
     "sink_csv_gzip_roundtrip",
     "sim_embedding_drift",
     "text_novelty_by_source",
-    # --- already driver-green (r3 window, kept for stable ordering) ---
-    "sample_split_hash",
-    "sample_balanced_strata",
-    "sample_reservoir_uniform",
-    "pipeline_interleave_mix",
-    "text_stats_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count",
-    "text_regex_tokenize",
-    "text_top_terms",
-    "window_session_user",
-    "scalar_funcs_showcase",
-    "window_time_sliding_events",
-    "agg_grouping_sets",
-    "pipeline_corpus_curation",
-    "project_reencode",
-    "stream_stream_join_outcomes",
-    "stream_stateful_gap_tracker",
-    "sink_compaction",
-    "pipeline_decontaminate",
-    "text_repetition_stats",
-    "doc_chunk_tokens",
-    "text_normalize",
-    "sink_partitioned_prune",
-    "sink_clustered_stats",
-    "scan_orc",
-    "sim_ann_pq",
-    "pipeline_corpus_build",
-    "query_shipping_priority",
-    "query_local_supplier_volume",
-    "query_returned_item_reporting",
-    "query_large_volume_customers",
-    "text_pii_redact",
-    "stream_corpus_ingest",
-    "window_time_hierarchical_rollup",
-    "pipeline_pack_sequences",
+    "multimodal_decode_real",
+    "multimodal_resize_real",
+    # --- driver-green, first certified r1 (oldest first for r6 re-cert)
+    "agg_approx_distinct_users",
+    "agg_cube_order_status",
+    "agg_distinct_active_users",
+    "agg_hash_pricing_summary",
+    "agg_pivot_returnflag",
+    "agg_rollup_sales",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "envelope_roundtrip",
+    "explode_actions",
+    "explode_chunks",
+    "explode_outcomes",
+    "explode_receipts",
+    "explode_shards",
+    "explode_state_changes",
+    "explode_tokens",
+    "explode_transactions",
+    "filter_predicate",
+    "filter_shard",
+    "join_anti_customers_without_orders",
+    "join_asof_purchase_attribution",
+    "join_equi_revenue_by_nation",
+    "join_range_ship_lag",
+    "join_semi_customers_with_urgent_orders",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize_plan",
+    "project_counts",
+    "project_keys",
+    "project_paths_canonical",
+    "project_reencode_json",
+    "scan_from_offset",
+    "set_except_churned_buyers",
+    "set_intersect_repeat_buyers",
+    "set_union_buyers",
+    "sort_topk_orders",
+    "window_frame_running_spend",
+    "window_lag_order_gap",
+    "window_rank_top_customers",
+    "window_time_hourly_events",
+    # --- driver-green, first certified r2 (oldest first for r6 re-cert)
+    "agg_hll_sketch_users",
+    "agg_percentiles_approx",
+    "agg_percentiles_exact",
+    "cbor_decode",
+    "dedup_embedding_lsh",
+    "dedup_window",
+    "embedding_quantize_int8",
+    "init_config",
+    "join_broadcast_dims",
+    "join_bucketed_colocated",
+    "join_skew_salted",
+    "json_decode",
+    "json_encode",
+    "kmeans_train_centroids",
+    "order_by_height",
+    "project_envelope",
+    "project_unwrap",
+    "replay_all",
+    "scan_backfill_mode",
+    "scan_batch",
+    "scan_csv",
+    "scan_durable",
+    "scan_jsonl",
+    "scan_subscribe",
+    "set_except_all",
+    "set_intersect_all",
+    "sim_ann_ivf",
+    "sim_ann_ivf_trained",
+    "sim_ann_lsh",
+    "sim_ann_recall",
+    "sim_topk_bruteforce",
+    "sink_console",
+    "sink_durable",
+    "sink_publish",
+    "sink_retention",
+    "stream_stateful_running_totals",
+    "window_ntile_distributed",
+    "window_ntile_percentile",
+    "window_session_stream",
+    "window_time_stream_complete",
+    # --- driver-green, first certified r3 (oldest first for r6 re-cert)
+    "agg_anomalous_hours",
     "agg_cohort_retention",
     "agg_funnel_steps",
-    "merge_scd2_dimension",
-    "stats_join_key_skew",
-    "profile_columns",
-    "agg_anomalous_hours",
-    "window_rolling_7day_volume",
+    "agg_grouping_sets",
     "agg_linear_trend",
-    "project_props_variant",
+    "doc_chunk_tokens",
+    "merge_scd2_dimension",
+    "pipeline_corpus_build",
+    "pipeline_corpus_curation",
+    "pipeline_decontaminate",
+    "pipeline_interleave_mix",
     "pipeline_media_curation",
+    "pipeline_pack_sequences",
+    "profile_columns",
+    "project_props_variant",
+    "project_reencode",
+    "query_large_volume_customers",
+    "query_local_supplier_volume",
+    "query_returned_item_reporting",
+    "query_shipping_priority",
+    "sample_balanced_strata",
+    "sample_reservoir_uniform",
+    "sample_split_hash",
     "sample_temporal_split",
-    "sink_custom_publish",
+    "scalar_funcs_showcase",
     "scan_custom_source",
     "scan_custom_source_stream",
+    "scan_orc",
+    "sim_ann_pq",
+    "sink_clustered_stats",
+    "sink_compaction",
+    "sink_custom_publish",
+    "sink_partitioned_prune",
+    "stats_join_key_skew",
+    "stream_corpus_ingest",
+    "stream_stateful_gap_tracker",
+    "stream_stream_join_outcomes",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_normalize",
+    "text_pii_redact",
+    "text_regex_tokenize",
+    "text_repetition_stats",
+    "text_stats_quality",
+    "text_token_count",
+    "text_top_terms",
+    "window_rolling_7day_volume",
+    "window_session_user",
+    "window_time_hierarchical_rollup",
+    "window_time_sliding_events",
+    # --- driver-green, first certified r4 (oldest first for r6 re-cert)
+    "agg_countmin_heavyhitters",
+    "agg_dau_wau_mau",
+    "agg_decimal_money_exact",
+    "agg_gini_concentration",
+    "agg_histogram_fixed_bins",
+    "agg_median_absolute_deviation",
+    "agg_new_vs_returning_users",
+    "agg_quantile_from_histogram",
+    "cbor_encode",
+    "compress_roundtrip",
+    "health_check",
+    "join_null_safe_eq",
+    "join_outer_reconciliation",
+    "profile_benford_digits",
+    "profile_constraints",
+    "profile_fd_discovery",
+    "profile_k_anonymity",
+    "profile_parquet_metadata",
+    "query_bridge_decomposition",
+    "query_customer_distribution",
+    "query_disjunctive_predicates",
+    "query_dormant_rich_customers",
+    "query_exists_late_orders",
+    "query_forecast_revenue",
+    "query_lateral_topk",
+    "query_market_share",
+    "query_nation_pair_trade",
+    "query_promo_revenue",
+    "query_rfm_segmentation",
+    "query_small_quantity_revenue",
+    "query_top_supplier",
+    "query_waiting_suppliers",
+    "query_yoy_growth",
+    "scan_stream",
+    "stats_association_rules",
+    "stats_markov_transitions",
+    "stats_seasonality_heatmap",
+    "stats_triangle_count",
+    "window_longest_streak",
+    "window_pareto_concentration",
+    "window_pattern_cep",
+    "window_running_distinct",
+    "window_share_of_total",
+    "window_sliding_distinct_users",
+    "window_time_gapfill_locf",
+    "window_time_in_state",
+    "window_time_interpolate_linear",
+    "window_time_ohlc_bars",
+    "window_time_rate_of_change",
+    "window_value_functions",
 )
 
 

@@ -78,47 +78,80 @@ def test_priority_covers_registry_prefix(ops):
     assert len(set(window)) == 50
 
 
-def test_certification_ledger_current():
-    """CERTIFICATION.md must be regenerated whenever the registry order
-    changes (VERDICT r3 #2: window planning reads the ledger, not three
-    JSON files). The comparison pins the round the ledger declares it
-    covers, so a NEW driver artifact landing at round end — after the
-    builder's turns — doesn't retroactively fail this in a fresh pytest;
-    the next round's builder regenerates and advances the cover line."""
+def _certification_module():
     import importlib.util as ilu
-    import re
 
     spec = ilu.spec_from_file_location("certification", REPO / "tools" / "certification.py")
     mod = ilu.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
+
+
+def test_certification_ledger_current():
+    """CERTIFICATION.md must be regenerated whenever the registry order or
+    the driver artifacts change (VERDICT r3 #2 / r4 What's-wrong #1: window
+    planning reads the ledger, not N JSON files). Two assertions:
+
+    1. Content is exactly render(max_round=declared) — any registry-order or
+       tooling drift fails immediately.
+    2. The declared cover round is no more than ONE behind the newest
+       CORRECTNESS artifact present. The one-round allowance exists because
+       each round's artifact is delivered AFTER the builder's last commit —
+       the r4 ledger legitimately said "through round 3" during round 4's
+       turns, but regenerating from the new artifact is then the NEXT
+       round's first task, and this assertion makes skipping it a test
+       failure rather than a judge finding."""
+    import re
+
+    mod = _certification_module()
     on_disk = (REPO / "CERTIFICATION.md").read_text()
     m = re.search(r"Covers driver artifacts through round (\d+)\.", on_disk)
     assert m, "ledger missing its cover line"
-    assert on_disk == mod.render(max_round=int(m.group(1)))
+    declared = int(m.group(1))
+    assert on_disk == mod.render(max_round=declared)
+    newest = mod.covered_rounds()
+    assert declared >= newest - 1, (
+        f"CERTIFICATION.md covers r{declared} but CORRECTNESS_r{newest:02d}"
+        f".json exists — regenerate with tools/certification.py"
+    )
 
 
-def test_r4_window_is_pure_rotation():
-    """The round-4 driver window (registry slots 1-50) contained ZERO
-    already-green ops AS PLANNED FROM rounds 1-3: slots 1-4 the env-bound
-    red-latest four, slots 5-50 never-driver-seen (VERDICT r3 #1 'zero
-    repeats'). Pinned to max_round=3 — the round-4 artifact itself turning
-    these green is the PLAN SUCCEEDING, not a repeat."""
-    import importlib.util as ilu
+def test_r4_window_was_pure_rotation():
+    """The round-4 driver window contained ZERO already-green ops AS PLANNED
+    FROM rounds 1-3 (VERDICT r3 #1 'zero repeats'). The r4 walk order was
+    since re-pinned for r5, so the check reads the r4 window from the r4
+    artifact itself: every op the driver certified in r4 must have had no
+    green row through r3."""
+    mod = _certification_module()
+    import json
 
-    spec = ilu.spec_from_file_location("certification", REPO / "tools" / "certification.py")
-    mod = ilu.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-
-    import sys
-
-    sys.path.insert(0, str(REPO))
-    from australis_indexer_spark.registry import load_all
-
-    names = list(load_all())
+    r4_window = list(json.load(open(REPO / "CORRECTNESS_r04.json")))
+    assert len(r4_window) == 50
     hist = mod.collect_rows(max_round=3)
-    for n in names[:50]:
+    for n in r4_window:
         rows = hist.get(n, [])
         assert not (rows and rows[-1][1]), f"window repeat of already-green op: {n}"
-    assert names[:4] == [
-        "scan_stream", "health_check", "cbor_encode", "compress_roundtrip",
-    ]
+
+
+def test_r5_window_is_pure_rotation(ops):
+    """Walk slots 1-60 are EXACTLY the 60 ops with no driver row through
+    round 4 (never-driver-seen), so the r5 ~50-op window certifies 50 fresh
+    ops with zero repeats and slots 51-60 queue the final 10 for r6
+    (VERDICT r4 #1/#3). Slots 61+ are driver-green ordered by first
+    certification round ascending — oldest evidence re-certifies first."""
+    mod = _certification_module()
+    hist = mod.collect_rows(max_round=4)
+    names = list(ops)
+    never = {n for n in names if n not in hist}
+    assert len(never) == 60
+    assert set(names[:60]) == never, "slots 1-60 must be the never-seen 60"
+    # slots 61+ ordered by first-green round ascending
+    first_green = {
+        n: next(r for r, g, _ in rows if g)
+        for n, rows in hist.items()
+        if any(g for _, g, _ in rows)
+    }
+    tail_rounds = [first_green[n] for n in names[60:]]
+    assert tail_rounds == sorted(tail_rounds), (
+        "slots 61+ must order greens oldest-certification-first"
+    )

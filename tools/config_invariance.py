@@ -107,8 +107,24 @@ def main() -> int:
         sf_dir = f"/tmp/invariance_fuzz_{prof}_{s}"
         only_profiles = list(args)
     else:
-        sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-        only_profiles = [a for a in args if "/" not in a]
+        # Classify positionals by what they ARE, not by a '/'-substring
+        # heuristic: a relative dataset path like 'sf0.01' must select the
+        # dataset, and an unknown profile name must error instead of
+        # silently sweeping the default dataset (ADVICE r4 #4).
+        sf_dir = "/root/testdata/sf0.01"
+        only_profiles = []
+        for a in args:
+            if os.path.isdir(a):
+                sf_dir = os.path.abspath(a)
+            elif a in PROFILES:
+                only_profiles.append(a)
+            else:
+                print(
+                    f"error: '{a}' is neither an existing dataset dir nor a "
+                    f"profile (known: {', '.join(sorted(PROFILES))})",
+                    file=sys.stderr,
+                )
+                return 2
     # profile_parquet_metadata's oracle addresses files by PATH (DuckDB's
     # parquet_metadata() takes a filename, not a view) and bakes
     # $SPARK_GRAFT_ORACLE_SF_DIR at operator-module import — point it at

@@ -4,12 +4,13 @@ Treat image/audio/video as opaque `binary` payload columns with a typed
 metadata struct, exactly as the engine treats the reference's serialized
 block payloads (SURVEY.md §1.4): bytes + schema'd header. The Spark-side
 plumbing — schema, partition-preserving narrow ops, Arrow-batched
-`mapInPandas` decode signature — is real and tested. Since round 4, PNG
-and WAV payloads DECODE AND RESAMPLE FOR REAL via self-contained spec
-codecs (functions/png.py, functions/wav.py; see `multimodal_decode_real`,
-`multimodal_resize_real` — their oracles recompute pixel/sample sums
-byte-blind, so matches prove the formats are actually inverted). Only
-entropy-coded media (JPEG, MP4/H.264, MP3) remains env-bound:
+`mapInPandas` decode signature — is real and tested. PNG, WAV and (since
+round 5) baseline JPEG payloads DECODE AND RESAMPLE FOR REAL via
+self-contained spec codecs (functions/png.py, wav.py, jpeg.py; see
+`multimodal_decode_real`, `multimodal_resize_real` — their oracles
+recompute pixel/sample sums byte-blind, so matches prove the formats are
+actually inverted, Huffman entropy coding included). Only compressed
+VIDEO/AUDIO streams (MP4/H.264, MP3/AAC) remain env-bound:
 `decode_media(..., real=True)` raises NotImplementedError for those, and
 the deterministic fake path keeps the batch shape exercised end-to-end.
 
@@ -85,15 +86,17 @@ def decode_media(df: DataFrame, *, real: bool = False) -> DataFrame:
     ``real=True`` is the seam where full codec-library decoding (PIL /
     librosa / pyav) plugs in. Since round 4, PNG and WAV decode for real
     in every environment via the self-contained spec codecs
-    (functions/png.py, functions/wav.py) — see `multimodal_decode_real`,
-    whose oracle proves the decoders invert actual format bytes. Only
-    entropy-coded formats (JPEG, MP4/H.264, MP3/AAC) remain env-bound
-    behind this seam."""
+    (functions/png.py, functions/wav.py); since round 5 baseline JPEG
+    does too (functions/jpeg.py — real Huffman entropy decode + IDCT) —
+    see `multimodal_decode_real`, whose oracle proves the decoders invert
+    actual format bytes. Only compressed VIDEO/AUDIO streams (MP4/H.264,
+    MP3/AAC) remain env-bound behind this seam."""
     if real:
         raise NotImplementedError(
-            "entropy-coded media (JPEG/MP4/MP3) needs real codec wheels "
-            "(PIL/pyav), absent in this environment; PNG/WAV decode for "
-            "real via multimodal_decode_real (functions/png.py, wav.py)"
+            "compressed video/audio (MP4/H.264, MP3/AAC) needs real codec "
+            "wheels (pyav/librosa), absent in this environment; PNG, WAV "
+            "and baseline JPEG decode for real via multimodal_decode_real "
+            "(functions/png.py, wav.py, jpeg.py)"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -750,11 +753,12 @@ def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL media decode — PNG and WAV parsed from actual format bytes
-# (functions/png.py, functions/wav.py; stdlib zlib/struct only). This
-# retires the round-1..3 "decode is an env stub" seam for the two formats
-# that need no codec wheel; JPEG/MP4 entropy coding stays env-bound and the
-# video branch remains the documented stub (decode_media real=True).
+# REAL media decode — PNG, WAV and baseline JPEG parsed from actual format
+# bytes (functions/png.py, wav.py, jpeg.py; stdlib only). This retires the
+# round-1..3 "decode is an env stub" seam for every still-image/PCM format,
+# including an entropy-coded one (JPEG: DHT-driven Huffman decode, ZRL/EOB
+# runs, dequantize, IDCT); only compressed VIDEO (MP4/H.264) remains the
+# documented stub (decode_media real=True).
 
 _REAL_RATE = 8000
 
@@ -768,6 +772,16 @@ def _real_pixel(doc_id: int, x: int, y: int, c: int) -> int:
     return (doc_id * 31 + x * 7 + y * 13 + c * 101) % 256
 
 
+def _real_jblock(doc_id: int, bx: int, by: int) -> int:
+    """Grayscale value of the 8x8 block (bx, by) of a JPEG fixture.
+    Block-CONSTANT by construction: that is the exactly-representable
+    subspace of baseline JPEG (only the DC coefficient survives the
+    forward DCT, and DC = 8*(v-128) is an exact integer under the
+    all-ones quantization table), so decode is bit-exact and the oracle
+    can predict decoded sums byte-blind — see functions/jpeg.py."""
+    return (doc_id * 37 + bx * 11 + by * 23) % 256
+
+
 def _real_sample(doc_id: int, k: int) -> int:
     return (doc_id * 17 + k * 257) % 4096 - 2048
 
@@ -777,6 +791,7 @@ def real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, generated deterministically per doc inside an Arrow batch —
     the shape of a corpus whose media column was ingested from object
     storage. Generation is a narrow map; nothing touches the driver."""
+    from ..functions.jpeg import encode_jpeg_gray
     from ..functions.png import encode_png
     from ..functions.wav import encode_wav
 
@@ -784,6 +799,7 @@ def real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("source") == "src0", "image/png")
         .when(F.col("source") == "src1", "audio/wav")
+        .when(F.col("source") == "src2", "image/jpeg")
         .otherwise("video/mp4")
         .alias("mime"),
     )
@@ -810,7 +826,15 @@ def real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                             _REAL_RATE, [_real_sample(d, k) for k in range(n)]
                         )
                     )
-                else:  # mp4: entropy-coded container — env-bound stub bytes
+                elif mime == "image/jpeg":
+                    grows = [
+                        bytes(
+                            _real_jblock(d, x // 8, y // 8) for x in range(w)
+                        )
+                        for y in range(h)
+                    ]
+                    payloads.append(encode_jpeg_gray(w, h, grows))
+                else:  # mp4: entropy-coded VIDEO — env-bound stub bytes
                     payloads.append(b"\x00\x00\x00\x18ftypmp42" + bytes(8))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "mime": pdf["mime"], "payload": payloads}
@@ -835,6 +859,7 @@ WITH geom AS (
   SELECT doc_id,
          CASE WHEN source = 'src0' THEN 'image/png'
               WHEN source = 'src1' THEN 'audio/wav'
+              WHEN source = 'src2' THEN 'image/jpeg'
               ELSE 'video/mp4' END AS mime,
          CAST(8 + doc_id % 8 AS INTEGER) AS w,
          CAST(8 + doc_id % 5 AS INTEGER) AS h,
@@ -865,12 +890,25 @@ wav AS (
   WHERE g.mime = 'audio/wav'
   GROUP BY g.doc_id, g.mime, g.n
 ),
+jpeg AS (
+  SELECT g.doc_id, g.mime, g.w AS width, g.h AS height,
+         CAST(g.w * g.h AS BIGINT) AS n_values,
+         CAST(SUM((g.doc_id * 37 + (x.i // 8) * 11 + (y.i // 8) * 23) % 256)
+              AS BIGINT) AS value_sum,
+         'jpeg' AS decoder
+  FROM geom g
+  JOIN LATERAL (SELECT UNNEST(range(0, g.w)) AS i) x ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, g.h)) AS i) y ON TRUE
+  WHERE g.mime = 'image/jpeg'
+  GROUP BY g.doc_id, g.mime, g.w, g.h
+),
 mp4 AS (
   SELECT doc_id, mime, NULL::INTEGER, NULL::INTEGER, NULL::BIGINT,
          NULL::BIGINT, 'env-stub-mp4'
   FROM geom WHERE mime = 'video/mp4'
 )
-SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM mp4
+SELECT * FROM png UNION ALL SELECT * FROM wav
+UNION ALL SELECT * FROM jpeg UNION ALL SELECT * FROM mp4
 """
 
 
@@ -882,15 +920,22 @@ SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM mp4
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL format decode over Arrow batches: PNG payloads are parsed
     chunk-by-chunk (CRC-checked), IDAT inflated, scanline filters undone;
-    WAV payloads RIFF-walked to their PCM samples (functions/png.py,
-    functions/wav.py — stdlib only, from the public specs). Emits per-doc
-    geometry + exact integer value sums; the oracle recomputes those sums
-    from the closed-form pixel/sample generators without ever seeing a
-    container byte, so a hash match proves the decoders actually invert
-    the formats. mp4 rows pass through as the documented env-bound stub
-    (entropy coders need real codec libraries). At 100 TB this is the
-    canonical media-ingest shape: binary column in, mapInPandas decode,
-    typed features out — one narrow map, no shuffle."""
+    WAV payloads RIFF-walked to their PCM samples; baseline JPEG payloads
+    entropy-DECODED — Huffman tables rebuilt from the stream's DHT
+    segments, DC prediction, ZRL/EOB runs, dezigzag, dequantize, IDCT
+    (functions/png.py, wav.py, jpeg.py — stdlib only, from the public
+    specs). Emits per-doc geometry + exact integer value sums; the oracle
+    recomputes those sums from the closed-form pixel/sample generators
+    without ever seeing a container byte, so a hash match proves the
+    decoders actually invert the formats (JPEG fixtures are 8x8
+    block-constant — the exactly-representable subspace where the lossy
+    DCT round-trips bit-exactly; arbitrary-image tolerance is pinned in
+    tests/test_media_codecs.py). mp4 rows pass through as the documented
+    env-bound stub (compressed video needs real codec libraries). At
+    100 TB this is the canonical media-ingest shape: binary column in,
+    mapInPandas decode, typed features out — one narrow map, no
+    shuffle."""
+    from ..functions.jpeg import decode_jpeg_gray
     from ..functions.png import decode_png
     from ..functions.wav import decode_wav
 
@@ -920,6 +965,13 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["n_values"].append(len(samples))
                     out["value_sum"].append(sum(samples))
                     out["decoder"].append("wav")
+                elif mime == "image/jpeg":
+                    w, h, grows = decode_jpeg_gray(blob)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_values"].append(w * h)
+                    out["value_sum"].append(sum(sum(r) for r in grows))
+                    out["decoder"].append("jpeg")
                 else:
                     out["width"].append(None)
                     out["height"].append(None)

@@ -270,15 +270,15 @@ WITH v AS (
                                    WHEN 'true' THEN 1 ELSE 0 END
              -- string coercion mirrors Spark's cast EXACTLY: every char
              -- <= 0x20 is trimmed first (incl. NUL/controls — verified:
-             -- Spark parses '\\x0112' where DuckDB's TRY_CAST does not),
+             -- Spark parses '\x0112' where DuckDB's TRY_CAST does not),
              -- then optionally-signed digit text; \\A..\\z anchors because
              -- Java's $ would pass a trailing newline that RE2's refuses
              WHEN 'VARCHAR' THEN CASE WHEN regexp_matches(
                  regexp_replace(json_extract_string(props, '$.k'),
-                                '\A[\\x00-\\x20]+|[\\x00-\\x20]+\z', '', 'g'),
+                                '\A[\x00-\x20]+|[\x00-\x20]+\z', '', 'g'),
                  '\A[+-]?[0-9]+\z')
                  THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
-                                '\A[\\x00-\\x20]+|[\\x00-\\x20]+\z', '', 'g')
+                                '\A[\x00-\x20]+|[\x00-\x20]+\z', '', 'g')
                                AS BIGINT) END
            END
          END AS k,

@@ -154,11 +154,13 @@ def test_wav_tolerates_extra_chunks():
 
 
 def test_multimodal_decode_real_op(spark, ops):
-    """The registered op end-to-end at smoke scale: PNG/WAV rows carry
-    geometry + value sums matching an independent pure-Python recompute of
-    the closed-form generators; mp4 rows are the documented env stub."""
+    """The registered op end-to-end at smoke scale: PNG/WAV/JPEG rows
+    carry geometry + value sums matching an independent pure-Python
+    recompute of the closed-form generators; mp4 rows are the documented
+    env stub."""
     from australis_indexer_spark.operators.multimodal import (
         _real_geom,
+        _real_jblock,
         _real_pixel,
         _real_sample,
     )
@@ -183,10 +185,18 @@ def test_multimodal_decode_real_op(spark, ops):
         elif r["decoder"] == "wav":
             assert r["n_values"] == n
             assert r["value_sum"] == sum(_real_sample(d, k) for k in range(n))
+        elif r["decoder"] == "jpeg":
+            assert (r["width"], r["height"]) == (w, h)
+            expect = sum(
+                _real_jblock(d, x // 8, y // 8)
+                for x in range(w)
+                for y in range(h)
+            )
+            assert (r["n_values"], r["value_sum"]) == (w * h, expect)
         else:
             assert r["decoder"] == "env-stub-mp4"
             assert r["value_sum"] is None
-    assert seen == {"png", "wav", "env-stub-mp4"}
+    assert seen == {"png", "wav", "jpeg", "env-stub-mp4"}
 
 
 def test_multimodal_resize_real_op(spark, ops):
@@ -212,3 +222,83 @@ def test_multimodal_resize_real_op(spark, ops):
             for c in range(3)
         )
         assert r["resized_sum"] == expect
+
+
+# --- baseline JPEG (functions/jpeg.py) ---------------------------------------
+
+
+def _jpeg_mod():
+    from australis_indexer_spark.functions import jpeg
+
+    return jpeg
+
+
+@given(st.integers(1, 4), st.integers(1, 3), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_block_constant_exact(bw, bh, seed):
+    """Images constant within each 8x8 block live in JPEG's
+    exactly-representable subspace (DC-only DCT, integer coefficient under
+    the all-ones quant table): the lossy codec round-trips them BIT-EXACTLY.
+    This is the contract the multimodal_decode_real oracle relies on."""
+    jpeg = _jpeg_mod()
+    w, h = bw * 8 - seed % 5, bh * 8 - seed % 3  # include non-multiples
+    rows = [
+        bytes((seed + (x // 8) * 11 + (y // 8) * 23) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(w, h, rows))
+    assert got == (w, h, rows)
+
+
+@given(st.integers(1, 30), st.integers(1, 20), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_arbitrary_roundtrip_tolerance(w, h, seed):
+    """Arbitrary images are NOT exactly representable (forward-DCT rounding)
+    but must round-trip within +/-2 per pixel at the all-ones quant table —
+    the codec's honesty bound, pinned so a table/zigzag/extend bug (which
+    produces garbage, not off-by-one) can never pass."""
+    jpeg = _jpeg_mod()
+    rows = [
+        bytes((seed + y * 131 + x * 7) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    w2, h2, rows2 = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(w, h, rows))
+    assert (w2, h2) == (w, h)
+    for r1, r2 in zip(rows, rows2):
+        assert all(abs(a - b) <= 2 for a, b in zip(r1, r2))
+
+
+def test_jpeg_byte_stuffing_and_structure():
+    """A stream whose entropy bytes contain 0xFF must carry the 0xFF00
+    stuffing and still decode (seed 0 at 24x16 is pinned to produce one);
+    container structure is real JFIF: SOI..EOI, DQT/SOF0/DHT/SOS markers."""
+    import random
+
+    jpeg = _jpeg_mod()
+    rng = random.Random(0)
+    w, h = 24, 16
+    rows = [bytes(rng.randrange(256) for _ in range(w)) for _ in range(h)]
+    blob = jpeg.encode_jpeg_gray(w, h, rows)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in blob
+    scan = blob[blob.find(b"\xff\xda") :]
+    assert b"\xff\x00" in scan, "pinned fixture must exercise byte stuffing"
+    w2, h2, rows2 = jpeg.decode_jpeg_gray(blob)
+    assert (w2, h2) == (w, h)
+    assert all(
+        abs(a - b) <= 2 for r1, r2 in zip(rows, rows2) for a, b in zip(r1, r2)
+    )
+
+
+def test_jpeg_decoder_rejects_non_baseline():
+    """Progressive (SOF2) and multi-component streams are out of scope and
+    must fail loudly, not decode garbage."""
+    jpeg = _jpeg_mod()
+    blob = bytearray(jpeg.encode_jpeg_gray(8, 8, [bytes(8)] * 8))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg_gray(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg_gray(b"not a jpeg")

@@ -381,6 +381,7 @@ def test_custom_publish_manifest_atomic(spark, ops):
         manifest = json.load(f)
     assert sum(m["n_rows"] for m in manifest) == 100
     assert not glob.glob(os.path.join(out, "_tmp_*"))
+    assert not glob.glob(os.path.join(out, "_MANIFEST.json.tmp"))
     files = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
     assert len(files) == len(manifest)
     n_lines = sum(1 for fn in files for _ in open(fn))

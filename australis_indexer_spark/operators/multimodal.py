@@ -994,22 +994,39 @@ _RESIZE_T = 6  # target grid (T x T), below every source dim (w,h >= 8)
 # actual pixel grid.
 _RESIZE_ORACLE = f"""
 WITH geom AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CAST(8 + doc_id % 8 AS INTEGER) AS w,
          CAST(8 + doc_id % 5 AS INTEGER) AS h
-  FROM documents WHERE source = 'src0'
+  FROM documents WHERE source IN ('src0', 'src2')
+),
+png AS (
+  SELECT g.doc_id, 'png' AS codec, g.w AS src_w, g.h AS src_h,
+         {_RESIZE_T} AS out_w, {_RESIZE_T} AS out_h,
+         CAST(SUM((g.doc_id * 31
+                   + (tx.i * g.w // {_RESIZE_T}) * 7
+                   + (ty.i * g.h // {_RESIZE_T}) * 13
+                   + c.i * 101) % 256) AS BIGINT) AS resized_sum
+  FROM geom g
+  JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) tx ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) ty ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, 3)) AS i) c ON TRUE
+  WHERE g.source = 'src0'
+  GROUP BY g.doc_id, g.w, g.h
+),
+jpeg AS (
+  SELECT g.doc_id, 'jpeg' AS codec, g.w AS src_w, g.h AS src_h,
+         {_RESIZE_T} AS out_w, {_RESIZE_T} AS out_h,
+         CAST(SUM((g.doc_id * 37
+                   + ((tx.i * g.w // {_RESIZE_T}) // 8) * 11
+                   + ((ty.i * g.h // {_RESIZE_T}) // 8) * 23) % 256)
+              AS BIGINT) AS resized_sum
+  FROM geom g
+  JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) tx ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) ty ON TRUE
+  WHERE g.source = 'src2'
+  GROUP BY g.doc_id, g.w, g.h
 )
-SELECT g.doc_id, g.w AS src_w, g.h AS src_h,
-       {_RESIZE_T} AS out_w, {_RESIZE_T} AS out_h,
-       CAST(SUM((g.doc_id * 31
-                 + (tx.i * g.w // {_RESIZE_T}) * 7
-                 + (ty.i * g.h // {_RESIZE_T}) * 13
-                 + c.i * 101) % 256) AS BIGINT) AS resized_sum
-FROM geom g
-JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) tx ON TRUE
-JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) ty ON TRUE
-JOIN LATERAL (SELECT UNNEST(range(0, 3)) AS i) c ON TRUE
-GROUP BY g.doc_id, g.w, g.h
+SELECT * FROM png UNION ALL SELECT * FROM jpeg
 """
 
 
@@ -1019,27 +1036,39 @@ GROUP BY g.doc_id, g.w, g.h
     oracle=_RESIZE_ORACLE,
 )
 def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel resampling: each PNG payload is decoded
-    (functions/png.py) and nearest-neighbor-resized to a {T}x{T} thumbnail
+    """REAL pixel resampling: each PNG or JPEG payload is decoded
+    (functions/png.py, functions/jpeg.py — the latter a genuine Huffman
+    entropy decode) and nearest-neighbor-resized to a {T}x{T} thumbnail
     inside the same Arrow batch — decode → transform → feature, the full
     media-preprocessing hop a training pipeline runs per image. Integer
-    sampling positions (x_src = tx*w//T) make the result bit-deterministic,
+    sampling positions (x_src = tx*w//T) make the result bit-deterministic
+    (JPEG fixtures are block-constant, the lossy codec's exact subspace),
     and the oracle regenerates the resized pixel sum from the closed-form
     source generator at those positions without seeing a byte — provable
     end-to-end decode+resample, not plumbing-only (contrast
     multimodal_resize_plan, the metadata-phase planner that runs BEFORE
     pixel work at scale). One narrow map, no shuffle."""
+    from ..functions.jpeg import decode_jpeg_gray
     from ..functions.png import decode_png
 
-    media = real_media_table(spark, sf_dir).where(F.col("mime") == "image/png")
+    media = real_media_table(spark, sf_dir).where(
+        F.col("mime").isin("image/png", "image/jpeg")
+    )
     T_ = _RESIZE_T
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "src_w": [], "src_h": [],
+            out = {"doc_id": [], "codec": [], "src_w": [], "src_h": [],
                    "out_w": [], "out_h": [], "resized_sum": []}
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, ch, rows = decode_png(bytes(payload))
+            for d, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime == "image/png":
+                    w, h, ch, rows = decode_png(bytes(payload))
+                    codec = "png"
+                else:
+                    w, h, rows = decode_jpeg_gray(bytes(payload))
+                    ch, codec = 1, "jpeg"
                 total = 0
                 for ty in range(T_):
                     src_row = rows[ty * h // T_]
@@ -1047,6 +1076,7 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                         x = tx * w // T_
                         total += sum(src_row[x * ch : x * ch + ch])
                 out["doc_id"].append(d)
+                out["codec"].append(codec)
                 out["src_w"].append(w)
                 out["src_h"].append(h)
                 out["out_w"].append(T_)
@@ -1056,8 +1086,8 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return media.mapInPandas(
         _resize,
-        schema="doc_id long, src_w int, src_h int, out_w int, out_h int, "
-        "resized_sum long",
+        schema="doc_id long, codec string, src_w int, src_h int, "
+        "out_w int, out_h int, resized_sum long",
     )
 
 

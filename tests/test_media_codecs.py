@@ -200,28 +200,41 @@ def test_multimodal_decode_real_op(spark, ops):
 
 
 def test_multimodal_resize_real_op(spark, ops):
-    """Nearest-neighbor resample of decoded PNGs matches an independent
-    pure-Python recompute at the integer sampling positions."""
+    """Nearest-neighbor resample of decoded PNGs AND JPEGs matches an
+    independent pure-Python recompute at the integer sampling positions."""
     from australis_indexer_spark.operators.multimodal import (
         _RESIZE_T,
         _real_geom,
+        _real_jblock,
         _real_pixel,
     )
     from tests.conftest import SF_SMOKE
 
     rows = ops["multimodal_resize_real"].fn(spark, SF_SMOKE).collect()
     assert rows
+    codecs = set()
     for r in rows:
+        codecs.add(r["codec"])
         d = r["doc_id"]
         w, h, _ = _real_geom(d)
         assert (r["src_w"], r["src_h"]) == (w, h)
-        expect = sum(
-            _real_pixel(d, tx * w // _RESIZE_T, ty * h // _RESIZE_T, c)
-            for tx in range(_RESIZE_T)
-            for ty in range(_RESIZE_T)
-            for c in range(3)
-        )
+        if r["codec"] == "png":
+            expect = sum(
+                _real_pixel(d, tx * w // _RESIZE_T, ty * h // _RESIZE_T, c)
+                for tx in range(_RESIZE_T)
+                for ty in range(_RESIZE_T)
+                for c in range(3)
+            )
+        else:
+            expect = sum(
+                _real_jblock(
+                    d, (tx * w // _RESIZE_T) // 8, (ty * h // _RESIZE_T) // 8
+                )
+                for tx in range(_RESIZE_T)
+                for ty in range(_RESIZE_T)
+            )
         assert r["resized_sum"] == expect
+    assert codecs == {"png", "jpeg"}
 
 
 # --- baseline JPEG (functions/jpeg.py) ---------------------------------------

@@ -9,10 +9,15 @@ round 5) baseline JPEG payloads DECODE AND RESAMPLE FOR REAL via
 self-contained spec codecs (functions/png.py, wav.py, jpeg.py; see
 `multimodal_decode_real`, `multimodal_resize_real` — their oracles
 recompute pixel/sample sums byte-blind, so matches prove the formats are
-actually inverted, Huffman entropy coding included). Only compressed
-VIDEO/AUDIO streams (MP4/H.264, MP3/AAC) remain env-bound:
-`decode_media(..., real=True)` raises NotImplementedError for those, and
-the deterministic fake path keeps the batch shape exercised end-to-end.
+actually inverted, Huffman entropy coding included). Since round 5 the
+VIDEO/AUDIO container layers are real too: MP4 payloads are genuine
+ISO-BMFF files DEMULTIPLEXED box-by-box (functions/mp4.py — raw-grayscale
+track, so pixel decode is exact) and MP3 payloads are genuine MPEG-1
+Layer III framing streams walked header-by-header (functions/mp3.py).
+The only remaining env-bound seam is entropy-coded SAMPLE BODIES
+(H.264/AAC/MP3-Huffman): `decode_media(..., real=True)` raises
+NotImplementedError for those, and the demuxers reject compressed
+sample entries explicitly instead of pretending.
 
 At 100 TB: payloads stay in parquet binary columns (never strings), metadata
 lives beside them so filters (mime, size, dims) prune at the scan without
@@ -87,16 +92,21 @@ def decode_media(df: DataFrame, *, real: bool = False) -> DataFrame:
     librosa / pyav) plugs in. Since round 4, PNG and WAV decode for real
     in every environment via the self-contained spec codecs
     (functions/png.py, functions/wav.py); since round 5 baseline JPEG
-    does too (functions/jpeg.py — real Huffman entropy decode + IDCT) —
-    see `multimodal_decode_real`, whose oracle proves the decoders invert
-    actual format bytes. Only compressed VIDEO/AUDIO streams (MP4/H.264,
-    MP3/AAC) remain env-bound behind this seam."""
+    does too (functions/jpeg.py — real Huffman entropy decode + IDCT),
+    MP4 containers demultiplex for real (functions/mp4.py) and MP3
+    framing walks for real (functions/mp3.py) — see
+    `multimodal_decode_real`, whose oracle proves the decoders invert
+    actual format bytes. Only entropy-coded compressed SAMPLE BODIES
+    (H.264/AAC macroblocks, MP3 Huffman audio) remain env-bound behind
+    this seam."""
     if real:
         raise NotImplementedError(
-            "compressed video/audio (MP4/H.264, MP3/AAC) needs real codec "
-            "wheels (pyav/librosa), absent in this environment; PNG, WAV "
-            "and baseline JPEG decode for real via multimodal_decode_real "
-            "(functions/png.py, wav.py, jpeg.py)"
+            "entropy-coded video/audio sample bodies (H.264/AAC, MP3 "
+            "Huffman) need real codec wheels (pyav/librosa), absent in "
+            "this environment; PNG, WAV, baseline JPEG, MP4 raw-video "
+            "demux and MP3 framing all decode for real via "
+            "multimodal_decode_real (functions/png.py, wav.py, jpeg.py, "
+            "mp4.py, mp3.py)"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -753,12 +763,16 @@ def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL media decode — PNG, WAV and baseline JPEG parsed from actual format
-# bytes (functions/png.py, wav.py, jpeg.py; stdlib only). This retires the
-# round-1..3 "decode is an env stub" seam for every still-image/PCM format,
-# including an entropy-coded one (JPEG: DHT-driven Huffman decode, ZRL/EOB
-# runs, dequantize, IDCT); only compressed VIDEO (MP4/H.264) remains the
-# documented stub (decode_media real=True).
+# REAL media decode — PNG, WAV, baseline JPEG, MP4 and MP3 parsed from
+# actual format bytes (functions/png.py, wav.py, jpeg.py, mp4.py, mp3.py;
+# stdlib only). This retires the round-1..3 "decode is an env stub" seam for
+# every payload mime: still images/PCM (incl. the entropy-coded JPEG path:
+# DHT-driven Huffman decode, ZRL/EOB runs, dequantize, IDCT), the MP4
+# container (full ISO-BMFF box-tree demux over a raw-grayscale track, so
+# pixel decode is exact) and the MP3 framing layer (header walk → frame
+# lengths / sample counts). The only remaining env-bound seam is
+# entropy-coded sample BODIES — H.264/AAC macroblocks and MP3 Huffman
+# audio (decode_media real=True; the demuxers reject those fourccs).
 
 _REAL_RATE = 8000
 
@@ -786,12 +800,40 @@ def _real_sample(doc_id: int, k: int) -> int:
     return (doc_id * 17 + k * 257) % 4096 - 2048
 
 
+def _real_vframes(doc_id: int) -> int:
+    """Frame count of an MP4 fixture (2..4 — odd counts exercise the
+    two-run stsc chunk plan in functions/mp4.py)."""
+    return 2 + doc_id % 3
+
+
+def _real_vpixel(doc_id: int, f: int, x: int, y: int) -> int:
+    """Grayscale value of pixel (x, y) in frame f of an MP4 fixture."""
+    return (doc_id * 41 + f * 97 + x * 7 + y * 13) % 256
+
+
+def _real_aframes(doc_id: int) -> int:
+    """Frame count of an MP3 fixture (4..8)."""
+    return 4 + doc_id % 5
+
+
+_MP3_RATE, _MP3_KBPS = 44100, 128
+
+
+def _real_apad(doc_id: int, i: int) -> int:
+    """Padding bit of MP3 frame i — varies per frame so the walker must
+    parse every header to land on the next sync word."""
+    return (doc_id + i) % 2
+
+
 def real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mime, payload) with payload = REAL PNG / WAV / (stub) mp4
-    bytes, generated deterministically per doc inside an Arrow batch —
-    the shape of a corpus whose media column was ingested from object
-    storage. Generation is a narrow map; nothing touches the driver."""
+    """(doc_id, mime, payload) with payload = REAL PNG / WAV / JPEG /
+    MP3 / MP4 bytes, generated deterministically per doc inside an Arrow
+    batch — the shape of a corpus whose media column was ingested from
+    object storage. Generation is a narrow map; nothing touches the
+    driver."""
     from ..functions.jpeg import encode_jpeg_gray
+    from ..functions.mp3 import encode_mp3
+    from ..functions.mp4 import encode_mp4_rawvideo
     from ..functions.png import encode_png
     from ..functions.wav import encode_wav
 
@@ -800,6 +842,7 @@ def real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("source") == "src0", "image/png")
         .when(F.col("source") == "src1", "audio/wav")
         .when(F.col("source") == "src2", "image/jpeg")
+        .when(F.col("source") == "src3", "audio/mpeg")
         .otherwise("video/mp4")
         .alias("mime"),
     )
@@ -834,8 +877,27 @@ def real_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for y in range(h)
                     ]
                     payloads.append(encode_jpeg_gray(w, h, grows))
-                else:  # mp4: entropy-coded VIDEO — env-bound stub bytes
-                    payloads.append(b"\x00\x00\x00\x18ftypmp42" + bytes(8))
+                elif mime == "audio/mpeg":
+                    payloads.append(
+                        encode_mp3(
+                            _MP3_RATE,
+                            [
+                                (_MP3_KBPS, _real_apad(d, i))
+                                for i in range(_real_aframes(d))
+                            ],
+                            id3_payload=f"doc={d}".encode(),
+                        )
+                    )
+                else:  # video/mp4: real ISO-BMFF, raw-grayscale track
+                    frames = [
+                        bytes(
+                            _real_vpixel(d, f, x, y)
+                            for y in range(h)
+                            for x in range(w)
+                        )
+                        for f in range(_real_vframes(d))
+                    ]
+                    payloads.append(encode_mp4_rawvideo(w, h, frames))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "mime": pdf["mime"], "payload": payloads}
             )
@@ -860,10 +922,13 @@ WITH geom AS (
          CASE WHEN source = 'src0' THEN 'image/png'
               WHEN source = 'src1' THEN 'audio/wav'
               WHEN source = 'src2' THEN 'image/jpeg'
+              WHEN source = 'src3' THEN 'audio/mpeg'
               ELSE 'video/mp4' END AS mime,
          CAST(8 + doc_id % 8 AS INTEGER) AS w,
          CAST(8 + doc_id % 5 AS INTEGER) AS h,
-         CAST(32 + doc_id % 32 AS INTEGER) AS n
+         CAST(32 + doc_id % 32 AS INTEGER) AS n,
+         CAST(2 + doc_id % 3 AS INTEGER) AS nfv,
+         CAST(4 + doc_id % 5 AS INTEGER) AS nfa
   FROM documents
 ),
 png AS (
@@ -902,13 +967,40 @@ jpeg AS (
   WHERE g.mime = 'image/jpeg'
   GROUP BY g.doc_id, g.mime, g.w, g.h
 ),
+-- The mp4 arm regenerates the per-frame pixel sums of the raw-grayscale
+-- track: the Spark side can only match by actually walking the box tree
+-- and slicing the real frame bytes out of mdat at the stsc/stco offsets.
 mp4 AS (
-  SELECT doc_id, mime, NULL::INTEGER, NULL::INTEGER, NULL::BIGINT,
-         NULL::BIGINT, 'env-stub-mp4'
-  FROM geom WHERE mime = 'video/mp4'
+  SELECT g.doc_id, g.mime, g.w AS width, g.h AS height,
+         CAST(g.nfv * g.w * g.h AS BIGINT) AS n_values,
+         CAST(SUM((g.doc_id * 41 + f.i * 97 + x.i * 7 + y.i * 13) % 256)
+              AS BIGINT) AS value_sum,
+         'mp4-rawvideo' AS decoder
+  FROM geom g
+  JOIN LATERAL (SELECT UNNEST(range(0, g.nfv)) AS i) f ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, g.w)) AS i) x ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, g.h)) AS i) y ON TRUE
+  WHERE g.mime = 'video/mp4'
+  GROUP BY g.doc_id, g.mime, g.nfv, g.w, g.h
+),
+-- The mp3 arm predicts what a HEADER WALK yields: 1152 samples/frame and
+-- the Layer III slot-formula frame lengths (144*128000//44100 + padding,
+-- padding alternating per _real_apad) — value_sum = total framed bytes.
+-- Sample-body decode (Huffman audio) is the documented env-bound seam.
+mp3 AS (
+  SELECT g.doc_id, g.mime, NULL::INTEGER AS width, NULL::INTEGER AS height,
+         CAST(1152 * g.nfa AS BIGINT) AS n_values,
+         CAST(SUM((144 * 128000) // 44100 + (g.doc_id + i.i) % 2)
+              AS BIGINT) AS value_sum,
+         'mp3-headers' AS decoder
+  FROM geom g
+  JOIN LATERAL (SELECT UNNEST(range(0, g.nfa)) AS i) i ON TRUE
+  WHERE g.mime = 'audio/mpeg'
+  GROUP BY g.doc_id, g.mime, g.nfa
 )
 SELECT * FROM png UNION ALL SELECT * FROM wav
 UNION ALL SELECT * FROM jpeg UNION ALL SELECT * FROM mp4
+UNION ALL SELECT * FROM mp3
 """
 
 
@@ -930,12 +1022,21 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoders actually invert the formats (JPEG fixtures are 8x8
     block-constant — the exactly-representable subspace where the lossy
     DCT round-trips bit-exactly; arbitrary-image tolerance is pinned in
-    tests/test_media_codecs.py). mp4 rows pass through as the documented
-    env-bound stub (compressed video needs real codec libraries). At
+    tests/test_media_codecs.py). mp4 payloads are genuine ISO-BMFF files
+    DEMULTIPLEXED box-by-box — video trak located via hdlr, sample
+    tables (stts/stsz/stsc/stco) parsed, frame bytes sliced out of mdat
+    and pixel-summed (the track is uncompressed grayscale, so decode is
+    exact; functions/mp4.py rejects entropy-coded fourccs). mp3 payloads
+    are genuine MPEG-1 Layer III framing streams walked header-by-header
+    (functions/mp3.py): n_values = parsed frames x 1152 samples,
+    value_sum = total framed bytes per the slot formula — sample-BODY
+    decode (Huffman audio) is the one remaining env-bound seam. At
     100 TB this is the canonical media-ingest shape: binary column in,
     mapInPandas decode, typed features out — one narrow map, no
     shuffle."""
     from ..functions.jpeg import decode_jpeg_gray
+    from ..functions.mp3 import SAMPLES_PER_FRAME, decode_mp3_frames
+    from ..functions.mp4 import decode_mp4_rawvideo
     from ..functions.png import decode_png
     from ..functions.wav import decode_wav
 
@@ -972,12 +1073,20 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["n_values"].append(w * h)
                     out["value_sum"].append(sum(sum(r) for r in grows))
                     out["decoder"].append("jpeg")
-                else:
+                elif mime == "audio/mpeg":
+                    _rate, frames = decode_mp3_frames(blob)
                     out["width"].append(None)
                     out["height"].append(None)
-                    out["n_values"].append(None)
-                    out["value_sum"].append(None)
-                    out["decoder"].append("env-stub-mp4")
+                    out["n_values"].append(SAMPLES_PER_FRAME * len(frames))
+                    out["value_sum"].append(sum(fl for _, _, fl in frames))
+                    out["decoder"].append("mp3-headers")
+                else:
+                    w, h, _ts, _dur, vframes = decode_mp4_rawvideo(blob)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_values"].append(sum(len(fr) for fr in vframes))
+                    out["value_sum"].append(sum(sum(fr) for fr in vframes))
+                    out["decoder"].append("mp4-rawvideo")
                 out["doc_id"].append(d)
                 out["mime"].append(mime)
             yield pd.DataFrame(out)

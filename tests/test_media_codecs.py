@@ -154,15 +154,21 @@ def test_wav_tolerates_extra_chunks():
 
 
 def test_multimodal_decode_real_op(spark, ops):
-    """The registered op end-to-end at smoke scale: PNG/WAV/JPEG rows
-    carry geometry + value sums matching an independent pure-Python
-    recompute of the closed-form generators; mp4 rows are the documented
-    env stub."""
+    """The registered op end-to-end at smoke scale: PNG/WAV/JPEG/MP4/MP3
+    rows carry geometry + value sums matching an independent pure-Python
+    recompute of the closed-form generators (MP4 frames demuxed from a
+    real box tree; MP3 lengths from a real header walk)."""
     from australis_indexer_spark.operators.multimodal import (
+        _MP3_KBPS,
+        _MP3_RATE,
+        _real_aframes,
+        _real_apad,
         _real_geom,
         _real_jblock,
         _real_pixel,
         _real_sample,
+        _real_vframes,
+        _real_vpixel,
     )
     from tests.conftest import SF_SMOKE
 
@@ -193,10 +199,26 @@ def test_multimodal_decode_real_op(spark, ops):
                 for y in range(h)
             )
             assert (r["n_values"], r["value_sum"]) == (w * h, expect)
+        elif r["decoder"] == "mp4-rawvideo":
+            nf = _real_vframes(d)
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["n_values"] == nf * w * h
+            assert r["value_sum"] == sum(
+                _real_vpixel(d, f, x, y)
+                for f in range(nf)
+                for x in range(w)
+                for y in range(h)
+            )
         else:
-            assert r["decoder"] == "env-stub-mp4"
-            assert r["value_sum"] is None
-    assert seen == {"png", "wav", "jpeg", "env-stub-mp4"}
+            assert r["decoder"] == "mp3-headers"
+            nf = _real_aframes(d)
+            assert (r["width"], r["height"]) == (None, None)
+            assert r["n_values"] == 1152 * nf
+            assert r["value_sum"] == sum(
+                144 * _MP3_KBPS * 1000 // _MP3_RATE + _real_apad(d, i)
+                for i in range(nf)
+            )
+    assert seen == {"png", "wav", "jpeg", "mp4-rawvideo", "mp3-headers"}
 
 
 def test_multimodal_resize_real_op(spark, ops):
@@ -315,3 +337,146 @@ def test_jpeg_decoder_rejects_non_baseline():
         jpeg.decode_jpeg_gray(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg_gray(b"not a jpeg")
+
+
+# --- ISO-BMFF MP4 demux (functions/mp4.py) -----------------------------------
+
+
+def _mp4_mod():
+    from australis_indexer_spark.functions import mp4
+
+    return mp4
+
+
+@given(st.integers(1, 12), st.integers(1, 10), st.integers(1, 7), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_mp4_roundtrip_property(w, h, nf, seed):
+    """Mux → demux inverts exactly for any geometry/frame count; odd frame
+    counts exercise the two-run stsc chunk plan."""
+    import random
+
+    mp4 = _mp4_mod()
+    rng = random.Random(seed)
+    frames = [bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(nf)]
+    w2, h2, ts, dur, out = mp4.decode_mp4_rawvideo(
+        mp4.encode_mp4_rawvideo(w, h, frames)
+    )
+    assert (w2, h2, ts, dur) == (w, h, 1000, nf * 100)
+    assert out == frames
+
+
+def test_mp4_structure_and_sample_tables():
+    """The container is a genuine box tree: leading ftyp, mdat holds the
+    raw frame bytes verbatim, and the demuxer reconstructs frames through
+    stsc/stco chunk runs (3 frames → chunks of [2, 1] → two stsc runs)."""
+    mp4 = _mp4_mod()
+    frames = [bytes([f] * 6) for f in range(3)]
+    blob = mp4.encode_mp4_rawvideo(3, 2, frames)
+    assert blob[4:8] == b"ftyp" and b"moov" in blob and b"mdat" in blob
+    assert b"".join(frames) in blob
+    # two stsc runs: entry_count 2 right after the stsc fullbox header
+    i = blob.find(b"stsc")
+    assert struct.unpack_from(">I", blob, i + 8)[0] == 2
+    assert mp4.decode_mp4_rawvideo(blob)[4] == frames
+
+
+def test_mp4_largesize_box_parses():
+    """A 64-bit largesize (size==1) mdat header must walk correctly."""
+    mp4 = _mp4_mod()
+    frames = [bytes(range(6))]
+    blob = mp4.encode_mp4_rawvideo(3, 2, frames)
+    i = blob.find(b"mdat") - 4
+    (sz,) = struct.unpack_from(">I", blob, i)
+    # rewrite mdat as largesize: 8 extra header bytes shift mdat body + moov
+    big = blob[:i] + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", sz + 8) + blob[i + 8 :]
+    # stco offsets moved by +8: patch the single chunk offset
+    j = big.find(b"stco")
+    (off,) = struct.unpack_from(">I", big, j + 12)
+    big = big[: j + 12] + struct.pack(">I", off + 8) + big[j + 16 :]
+    assert mp4.decode_mp4_rawvideo(big)[4] == frames
+
+
+def test_mp4_rejections():
+    """Garbage, truncation, compressed fourccs and inconsistent sample
+    tables all fail loudly instead of decoding nonsense."""
+    mp4 = _mp4_mod()
+    blob = mp4.encode_mp4_rawvideo(4, 3, [bytes(12), bytes(12)])
+    with pytest.raises(ValueError):
+        mp4.decode_mp4_rawvideo(b"not an mp4 file at all")
+    with pytest.raises(ValueError):
+        mp4.decode_mp4_rawvideo(blob[:40])
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4.decode_mp4_rawvideo(blob[blob.find(b"mdat") - 4 :])
+    with pytest.raises(ValueError, match="avc1"):
+        mp4.decode_mp4_rawvideo(blob.replace(b"raw ", b"avc1", 1))
+    # stsz count != stts count
+    i = blob.find(b"stsz")
+    bad = bytearray(blob)
+    struct.pack_into(">I", bad, i + 12, 5)
+    with pytest.raises(ValueError, match="mismatch"):
+        mp4.decode_mp4_rawvideo(bytes(bad))
+
+
+# --- MPEG-1 Layer III framing walk (functions/mp3.py) ------------------------
+
+
+def _mp3_mod():
+    from australis_indexer_spark.functions import mp3
+
+    return mp3
+
+
+@given(
+    st.sampled_from([44100, 48000, 32000]),
+    st.lists(
+        st.tuples(st.sampled_from([32, 64, 128, 192, 320]), st.integers(0, 1)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_header_walk_property(rate, specs, with_id3):
+    """The walker recovers every frame's (bitrate, padding) and the exact
+    slot-formula length from real packed headers, through an optional
+    ID3v2 prefix and ID3v1 trailer."""
+    mp3 = _mp3_mod()
+    blob = mp3.encode_mp3(
+        rate, specs, id3_payload=b"x" * 200 if with_id3 else None
+    )
+    blob += b"TAG" + bytes(125)  # ID3v1 trailer
+    rate2, frames = mp3.decode_mp3_frames(blob)
+    assert rate2 == rate
+    assert [(b, p) for b, p, _ in frames] == specs
+    assert all(
+        fl == 144 * b * 1000 // rate + p for b, p, fl in frames
+    )
+
+
+def test_mp3_frame_lengths_are_real():
+    """Pinned spot-check of the Layer III slot formula the oracle mirrors:
+    128 kbps @ 44100 Hz → 417 bytes, +1 when the padding bit is set."""
+    mp3 = _mp3_mod()
+    assert mp3.frame_length(128, 44100, 0) == 417
+    assert mp3.frame_length(128, 44100, 1) == 418
+    assert mp3.frame_length(320, 32000, 0) == 1440
+    blob = mp3.encode_mp3(44100, [(128, 0), (128, 1)])
+    assert len(blob) == 417 + 418
+
+
+def test_mp3_rejections():
+    """Lost sync, truncation, mid-stream samplerate changes and non-MPEG-1
+    headers fail loudly — the walker never guesses."""
+    mp3 = _mp3_mod()
+    blob = mp3.encode_mp3(44100, [(128, 0), (128, 0)])
+    with pytest.raises(ValueError, match="sync"):
+        mp3.decode_mp3_frames(b"\x00" + blob)
+    with pytest.raises(ValueError, match="truncated"):
+        mp3.decode_mp3_frames(blob[:-5])
+    mixed = blob + mp3.encode_mp3(48000, [(128, 0)])
+    with pytest.raises(ValueError, match="sample rate"):
+        mp3.decode_mp3_frames(mixed)
+    bad = bytearray(blob)
+    bad[1] &= ~(1 << 3)  # version bits 11 -> 01 (MPEG-2 reserved)
+    with pytest.raises(ValueError, match="MPEG-1"):
+        mp3.decode_mp3_frames(bytes(bad))

@@ -1105,8 +1105,12 @@ _RESIZE_ORACLE = f"""
 WITH geom AS (
   SELECT doc_id, source,
          CAST(8 + doc_id % 8 AS INTEGER) AS w,
-         CAST(8 + doc_id % 5 AS INTEGER) AS h
-  FROM documents WHERE source IN ('src0', 'src2')
+         CAST(8 + doc_id % 5 AS INTEGER) AS h,
+         CAST(2 + doc_id % 3 AS INTEGER) AS nfv
+  FROM documents
+  WHERE source IN ('src0', 'src2')
+     OR source IS NULL
+     OR source NOT IN ('src0', 'src1', 'src2', 'src3')
 ),
 png AS (
   SELECT g.doc_id, 'png' AS codec, g.w AS src_w, g.h AS src_h,
@@ -1134,8 +1138,26 @@ jpeg AS (
   JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) ty ON TRUE
   WHERE g.source = 'src2'
   GROUP BY g.doc_id, g.w, g.h
+),
+-- Video arm: the preprocessing hop is decode → FRAME SELECT (middle
+-- frame, nfv // 2) → resample. The Spark side can only match by demuxing
+-- the real container and slicing that exact frame out of mdat.
+mp4 AS (
+  SELECT g.doc_id, 'mp4' AS codec, g.w AS src_w, g.h AS src_h,
+         {_RESIZE_T} AS out_w, {_RESIZE_T} AS out_h,
+         CAST(SUM((g.doc_id * 41
+                   + (g.nfv // 2) * 97
+                   + (tx.i * g.w // {_RESIZE_T}) * 7
+                   + (ty.i * g.h // {_RESIZE_T}) * 13) % 256)
+              AS BIGINT) AS resized_sum
+  FROM geom g
+  JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) tx ON TRUE
+  JOIN LATERAL (SELECT UNNEST(range(0, {_RESIZE_T})) AS i) ty ON TRUE
+  WHERE g.source IS NULL OR g.source NOT IN ('src0', 'src1', 'src2', 'src3')
+  GROUP BY g.doc_id, g.nfv, g.w, g.h
 )
 SELECT * FROM png UNION ALL SELECT * FROM jpeg
+UNION ALL SELECT * FROM mp4
 """
 
 
@@ -1149,7 +1171,11 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/png.py, functions/jpeg.py — the latter a genuine Huffman
     entropy decode) and nearest-neighbor-resized to a {T}x{T} thumbnail
     inside the same Arrow batch — decode → transform → feature, the full
-    media-preprocessing hop a training pipeline runs per image. Integer
+    media-preprocessing hop a training pipeline runs per image. MP4
+    payloads run the video variant of that hop: DEMUX the real ISO-BMFF
+    container (functions/mp4.py), select the middle frame (nf // 2 — a
+    genuine frame slice out of mdat via the stsc/stco chunk runs), then
+    resample its raw-grayscale pixel grid the same way. Integer
     sampling positions (x_src = tx*w//T) make the result bit-deterministic
     (JPEG fixtures are block-constant, the lossy codec's exact subspace),
     and the oracle regenerates the resized pixel sum from the closed-form
@@ -1158,10 +1184,11 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_resize_plan, the metadata-phase planner that runs BEFORE
     pixel work at scale). One narrow map, no shuffle."""
     from ..functions.jpeg import decode_jpeg_gray
+    from ..functions.mp4 import decode_mp4_rawvideo
     from ..functions.png import decode_png
 
     media = real_media_table(spark, sf_dir).where(
-        F.col("mime").isin("image/png", "image/jpeg")
+        F.col("mime").isin("image/png", "image/jpeg", "video/mp4")
     )
     T_ = _RESIZE_T
 
@@ -1175,6 +1202,13 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if mime == "image/png":
                     w, h, ch, rows = decode_png(bytes(payload))
                     codec = "png"
+                elif mime == "video/mp4":
+                    w, h, _ts, _dur, vframes = decode_mp4_rawvideo(
+                        bytes(payload)
+                    )
+                    mid = vframes[len(vframes) // 2]
+                    rows = [mid[y * w : (y + 1) * w] for y in range(h)]
+                    ch, codec = 1, "mp4"
                 else:
                     w, h, rows = decode_jpeg_gray(bytes(payload))
                     ch, codec = 1, "jpeg"

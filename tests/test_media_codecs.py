@@ -222,13 +222,16 @@ def test_multimodal_decode_real_op(spark, ops):
 
 
 def test_multimodal_resize_real_op(spark, ops):
-    """Nearest-neighbor resample of decoded PNGs AND JPEGs matches an
-    independent pure-Python recompute at the integer sampling positions."""
+    """Nearest-neighbor resample of decoded PNGs, JPEGs AND the middle
+    frame of demuxed MP4s matches an independent pure-Python recompute at
+    the integer sampling positions."""
     from australis_indexer_spark.operators.multimodal import (
         _RESIZE_T,
         _real_geom,
         _real_jblock,
         _real_pixel,
+        _real_vframes,
+        _real_vpixel,
     )
     from tests.conftest import SF_SMOKE
 
@@ -247,6 +250,15 @@ def test_multimodal_resize_real_op(spark, ops):
                 for ty in range(_RESIZE_T)
                 for c in range(3)
             )
+        elif r["codec"] == "mp4":
+            fm = _real_vframes(d) // 2
+            expect = sum(
+                _real_vpixel(
+                    d, fm, tx * w // _RESIZE_T, ty * h // _RESIZE_T
+                )
+                for tx in range(_RESIZE_T)
+                for ty in range(_RESIZE_T)
+            )
         else:
             expect = sum(
                 _real_jblock(
@@ -256,7 +268,7 @@ def test_multimodal_resize_real_op(spark, ops):
                 for ty in range(_RESIZE_T)
             )
         assert r["resized_sum"] == expect
-    assert codecs == {"png", "jpeg"}
+    assert codecs == {"png", "jpeg", "mp4"}
 
 
 # --- baseline JPEG (functions/jpeg.py) ---------------------------------------

@@ -41,6 +41,7 @@ GEOMETRY_SENSITIVE_OPS = [
     "agg_percentiles_exact",      # exact order statistics across partitions
     "udf_pandas_grouped_agg",     # pandas kernel — group may arrive in many batches
     "udf_pandas_scalar_batch",    # scalar pandas UDF — Arrow batch boundaries
+    "multimodal_decode_real",     # per-row codecs inside mapInPandas batches
 ]
 
 

@@ -36,6 +36,19 @@ CHUNK_TOKENS = 64  # training chunk window
 CHUNK_STRIDE = 48  # overlap = 16 tokens
 
 
+def _canonical_text() -> "F.Column":
+    """lower → collapse every maximal run of non-alphanumerics to ONE
+    space → trim. Single regexp pass; provably identical to the oracles'
+    two-pass form (`[^a-z0-9 ]`→' ' then `' +'`→' '): any input is an
+    alternation of kept runs ([a-z0-9]) and other runs — both forms map
+    each other-run to exactly one space. At 100 TB the normalize pass
+    touches every text byte, so one regex traversal instead of two is a
+    direct scan-cost win."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+
+
 def _tok(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", F.split("text", " ").alias("toks")
@@ -236,13 +249,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse runs of spaces → trim): the map-only pass that runs before
     hashing/shingling so near-dup detection is casing/punctuation-blind.
     Pure JVM regexp — whole-stage codegen, no Python, no shuffle."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    norm = _canonical_text()
     return lt(spark, sf_dir, "documents").select(
         "doc_id",
         norm.alias("norm_text"),
@@ -357,13 +364,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) — so the only corpus-wide shuffles are the doc_id
     repartition and the dedup hash on canonical text; the eval-split gram
     set rides a broadcast."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    norm = _canonical_text()
     docs = (
         lt(spark, sf_dir, "documents")
         .select("doc_id", norm.alias("t"))
@@ -569,13 +570,7 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    norm = _canonical_text()
     curated = (
         src.select("doc_id", norm.alias("norm_text"))
         .withColumn("toks", F.split("norm_text", " "))

@@ -1,0 +1,149 @@
+"""Mutation sensitivity of the strict differential comparator.
+
+Every correctness claim in this repo rides on tools/diffcheck.run_ops —
+so the comparator itself must be proven to REJECT near-miss outputs, not
+just accept matching ones (a comparator that normalized too aggressively
+would wave wrong answers through every sweep). Each case here feeds the
+REAL run_ops gate a fabricated op whose Spark output deviates from its
+VALUES oracle by exactly one minimal mutation and asserts the gate fails;
+the unmutated control and a row-order permutation (the one difference the
+gate must IGNORE) assert pass.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.diffcheck import run_ops  # noqa: E402
+
+SF = "/root/testdata/sf0.001"  # unused by the fabricated ops
+
+
+def _gate(spark, fn, oracle):
+    ops = {"probe": SimpleNamespace(fn=fn, oracle=oracle)}
+    con = duckdb.connect()
+    n_pass, n_fail, _n_rowsonly, failures = run_ops(spark, con, ops, SF)
+    return n_pass, n_fail
+
+
+ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'alpha', 1.5),
+  (CAST(2 AS BIGINT), 'beta',  2.5),
+  (CAST(3 AS BIGINT), NULL,    3.5)
+) t(k, name, score)
+"""
+
+
+def _base_rows():
+    return [(1, "alpha", 1.5), (2, "beta", 2.5), (3, None, 3.5)]
+
+
+def _df(spark, rows, schema="k long, name string, score double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_control_passes_and_row_order_is_ignored(spark):
+    n_pass, n_fail = _gate(spark, lambda s, _: _df(s, _base_rows()), ORACLE)
+    assert (n_pass, n_fail) == (1, 0)
+    permuted = [_base_rows()[2], _base_rows()[0], _base_rows()[1]]
+    n_pass, n_fail = _gate(spark, lambda s, _: _df(s, permuted), ORACLE)
+    assert (n_pass, n_fail) == (1, 0)
+
+
+@pytest.mark.parametrize(
+    "mutation",
+    [
+        pytest.param(lambda r: r[:-1], id="dropped-row"),
+        pytest.param(lambda r: r + [r[-1]], id="duplicated-row"),
+        pytest.param(
+            lambda r: [(2, "alpha", 1.5)] + r[1:], id="int-plus-one"
+        ),
+        pytest.param(
+            lambda r: [(1, "alpha", math.nextafter(1.5, 2.0))] + r[1:],
+            id="float-one-ulp",
+        ),
+        pytest.param(
+            lambda r: [(1, "Alpha", 1.5)] + r[1:], id="string-case"
+        ),
+        pytest.param(
+            lambda r: [(1, None, 1.5)] + r[1:], id="value-to-null"
+        ),
+        pytest.param(
+            lambda r: r[:2] + [(3, "gamma", 3.5)], id="null-to-value"
+        ),
+    ],
+)
+def test_value_mutations_fail(spark, mutation):
+    rows = mutation(_base_rows())
+    n_pass, n_fail = _gate(spark, lambda s, _: _df(s, rows), ORACLE)
+    assert (n_pass, n_fail) == (0, 1)
+
+
+def test_column_rename_fails(spark):
+    n_pass, n_fail = _gate(
+        spark,
+        lambda s, _: _df(
+            s, _base_rows(), schema="k long, label string, score double"
+        ),
+        ORACLE,
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+
+def test_int_float_dtype_drift_fails(spark):
+    """1 (int) vs 1.0 (float) must NOT be normalized into equality — the
+    driver's pandas-dtype hash distinguishes them, so the local gate must
+    too."""
+    rows = [(1.0, "alpha", 1.5), (2.0, "beta", 2.5), (3.0, None, 3.5)]
+    n_pass, n_fail = _gate(
+        spark,
+        lambda s, _: _df(s, rows, schema="k double, name string, score double"),
+        ORACLE,
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+
+def test_decimal_output_is_rejected_outright(spark):
+    """DecimalType is forbidden in oracle-checked outputs (engine-specific
+    pandas coercion — the agg_grouping_sets r2 red); the gate must fail it
+    even when the values would match."""
+    from pyspark.sql import functions as F
+
+    def fn(s, _):
+        return _df(s, _base_rows()).select(
+            F.col("k").cast("decimal(10,0)").alias("k"), "name", "score"
+        )
+
+    n_pass, n_fail = _gate(spark, fn, ORACLE)
+    assert (n_pass, n_fail) == (0, 1)
+
+
+def test_spark_exception_is_a_fail_not_a_crash(spark):
+    def fn(s, _):
+        raise RuntimeError("operator blew up")
+
+    n_pass, n_fail = _gate(spark, fn, ORACLE)
+    assert (n_pass, n_fail) == (0, 1)
+
+
+def test_binary_value_mutation_fails(spark):
+    oracle = "SELECT * FROM (VALUES (CAST(1 AS BIGINT), '\\xDE\\xAD'::BLOB)) t(k, payload)"
+    good = [(1, bytes([0xDE, 0xAD]))]
+    bad = [(1, bytes([0xDE, 0xAE]))]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, good, schema="k long, payload binary"), oracle
+    )
+    assert (n_pass, n_fail) == (1, 0)
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, bad, schema="k long, payload binary"), oracle
+    )
+    assert (n_pass, n_fail) == (0, 1)

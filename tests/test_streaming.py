@@ -527,3 +527,45 @@ def test_stateful_cep_cross_batch_conversions(spark, ops):
     for uid, want_clicks in click_map.items():
         assert rows[uid]["n_clicks"] == want_clicks
         assert rows[uid]["n_converted"] == conv_map.get(uid, 0)
+
+
+def test_custom_publish_abort_leaves_nothing_visible(spark, ops):
+    """The negative half of the sink's exactly-once contract: when the
+    publish JOB fails (one task raises mid-stream), the two-phase commit
+    must leave NOTHING visible at the sink root — no part files, no
+    manifest, and no orphaned temp objects from the tasks that had
+    already staged (DataSourceWriter.abort must sweep them). A polling
+    reader keyed on _MANIFEST.json therefore observes either the full
+    publish or the state before it, never a partial one."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from australis_indexer_spark.sources.blockstream import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="tst_pub_abort_") + "/published"
+    src = (
+        spark.read.format("australis_blocks")
+        .option("start", 63600)
+        .option("end", 63700)
+        .option("numPartitions", 4)
+        .load()
+    )
+
+    @F.udf(returnType=IntegerType())
+    def poison(seq):  # deterministic: retries fail identically
+        if seq == 63650:
+            raise RuntimeError("injected task failure mid-publish")
+        return 1
+
+    bad = src.withColumn("shard_count", poison("sequence_id"))
+    with pytest.raises(Exception, match="injected task failure"):
+        bad.write.format("australis_blocks").option("path", out).mode(
+            "append"
+        ).save()
+    leftovers = glob.glob(os.path.join(out, "*")) if os.path.isdir(out) else []
+    assert leftovers == [], f"aborted publish left visible state: {leftovers}"

@@ -52,6 +52,42 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
     )
 
 
+def apply_batch(state: str, batch: DataFrame) -> None:
+    """Fold one change batch into the bucket-partitioned state at `state`:
+    read only the touched buckets, argmax-merge, dynamic-partition
+    overwrite those buckets. Module-level (not a closure) so the replay /
+    out-of-order convergence properties the foreachBatch contract relies
+    on are directly testable — the stream calls exactly this function."""
+    incoming = _latest_per_key(batch)
+    touched = [r["bucket"] for r in incoming.select("bucket").distinct().collect()]
+    sp = batch.sparkSession
+    if os.path.isdir(state):  # single-filesystem check; on object
+        # storage this would be a state-manifest existence probe
+        old = sp.read.parquet(state).filter(F.col("bucket").isin(touched))
+        old = old.select(*incoming.columns)
+    else:  # first batch: no state yet
+        old = sp.createDataFrame([], incoming.schema)
+    merged = _latest_per_key(
+        old.unionByName(incoming)
+        .select(
+            "o_custkey",
+            "bucket",
+            F.col("last_orderdate").alias("o_orderdate"),
+            F.col("last_orderkey").alias("o_orderkey"),
+            F.col("last_totalprice").alias("o_totalprice"),
+        )
+    )
+    # lineage reads the same path we overwrite — truncate it first so
+    # Spark's self-overwrite guard doesn't (rightly) reject the write
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(state)
+    )
+
+
 def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     """Drive the upsert: orders split into 4 chronological change files,
     streamed one file per micro-batch (availableNow + maxFilesPerTrigger),
@@ -79,34 +115,7 @@ def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     merged_schema = orders.schema
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        incoming = _latest_per_key(batch)
-        touched = [r["bucket"] for r in incoming.select("bucket").distinct().collect()]
-        sp = batch.sparkSession
-        if os.path.isdir(state):  # single-filesystem check; on object
-            # storage this would be a state-manifest existence probe
-            old = sp.read.parquet(state).filter(F.col("bucket").isin(touched))
-            old = old.select(*incoming.columns)
-        else:  # first batch: no state yet
-            old = sp.createDataFrame([], incoming.schema)
-        merged = _latest_per_key(
-            old.unionByName(incoming)
-            .select(
-                "o_custkey",
-                "bucket",
-                F.col("last_orderdate").alias("o_orderdate"),
-                F.col("last_orderkey").alias("o_orderkey"),
-                F.col("last_totalprice").alias("o_totalprice"),
-            )
-        )
-        # lineage reads the same path we overwrite — truncate it first so
-        # Spark's self-overwrite guard doesn't (rightly) reject the write
-        merged = merged.localCheckpoint(eager=True)
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(state)
-        )
+        apply_batch(state, batch)
 
     q = (
         spark.readStream.schema(merged_schema)

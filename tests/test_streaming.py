@@ -569,3 +569,56 @@ def test_custom_publish_abort_leaves_nothing_visible(spark, ops):
         ).save()
     leftovers = glob.glob(os.path.join(out, "*")) if os.path.isdir(out) else []
     assert leftovers == [], f"aborted publish left visible state: {leftovers}"
+
+
+def test_cdc_upsert_replay_and_out_of_order_converge(spark):
+    """The foreachBatch contract is at-least-once: a batch may be applied
+    AGAIN after its state was already merged (retry after a crash between
+    state write and checkpoint commit), and in a backfill the change files
+    may fold in any order. Both must converge to the same state because
+    the merge is an argmax under the (o_orderdate, o_orderkey) total
+    order. This drives the EXACT function the stream calls
+    (cdc.apply_batch), not a reimplementation."""
+    import os
+    import shutil
+    import tempfile
+
+    from australis_indexer_spark.streaming.cdc import (
+        N_STATE_BUCKETS,
+        apply_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(N_STATE_BUCKETS))
+        )
+    )
+    batches = [
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == i).localCheckpoint()
+        for i in range(3)
+    ]
+
+    def state_rows(path):
+        df = spark.read.parquet(path)
+        return sorted(map(tuple, df.collect()))
+
+    base = tempfile.mkdtemp(prefix="tst_cdc_replay_")
+    forward = os.path.join(base, "fwd")
+    for b in batches:
+        apply_batch(forward, b)
+    expect = state_rows(forward)
+
+    # replay: re-apply every batch after the stream "finished"
+    for b in batches:
+        apply_batch(forward, b)
+    assert state_rows(forward) == expect, "replayed batches changed state"
+
+    # out-of-order backfill: reversed application on a fresh state
+    backward = os.path.join(base, "bwd")
+    for b in reversed(batches):
+        apply_batch(backward, b)
+    assert state_rows(backward) == expect, "fold order changed the state"
+    shutil.rmtree(base, ignore_errors=True)

@@ -710,3 +710,84 @@ def test_stateful_state_survives_query_restart(spark):
         .collect()
     }
     assert got == want, "state did not survive the restart"
+
+
+def test_cep_pending_click_survives_query_restart(spark):
+    """The sharpest stateful-restart shape: a PARTIAL pattern match must
+    cross a checkpoint restart. Wave 1 delivers clicks with no purchase
+    (they sit in per-user pending state when the query terminates); a
+    SECOND query on the same checkpoint delivers the purchases. The
+    conversion whose click and purchase straddle the restart must be
+    counted, a purchase arriving outside the 30-minute window must not
+    convert its pre-restart click, and a same-run pair still works —
+    proving the pending-click NFA state lives in the state store, so a
+    mid-pattern deploy restart loses nothing."""
+    import os
+    import tempfile
+
+    from australis_indexer_spark.streaming.stateful import (
+        _CEP_SCHEMA,
+        _CEP_STATE,
+        _CEP_TOL_US,
+        _cep_matcher,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    MIN_US = 60_000_000
+    t0 = 1_700_000_000_000_000
+    schema = "user_id long, event_id long, event_type string, ts_us long"
+    wave1 = [  # clicks only: all end the run as pending state
+        (1, 10, "click", t0),
+        (1, 11, "click", t0 + 5 * MIN_US),
+        (2, 20, "click", t0),
+    ]
+    wave2 = [
+        (1, 12, "purchase", t0 + 10 * MIN_US),   # converts BOTH user-1 clicks
+        (2, 21, "purchase", t0 + _CEP_TOL_US + 5 * MIN_US),  # too late
+        (3, 30, "click", t0),
+        (3, 31, "purchase", t0 + MIN_US),        # same-run control
+    ]
+
+    base = tempfile.mkdtemp(prefix="tst_cep_restart_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    def run_wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        updates = stream.groupBy("user_id").applyInPandasWithState(
+            _cep_matcher,
+            outputStructType=_CEP_SCHEMA,
+            stateStructType=_CEP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            updates.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_wave(wave1)
+    run_wave(wave2)
+
+    final = {
+        r["user_id"]: (r["n_clicks"], r["n_converted"])
+        for r in spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_clicks").alias("n_clicks"),
+            F.max("n_converted").alias("n_converted"),
+        )
+        .collect()
+    }
+    assert final[1] == (2, 2), "cross-restart conversions lost"
+    assert final[2] == (1, 0), "expired click converted after restart"
+    assert final[3] == (1, 1), "same-run conversion broken"

@@ -791,3 +791,69 @@ def test_cep_pending_click_survives_query_restart(spark):
     assert final[1] == (2, 2), "cross-restart conversions lost"
     assert final[2] == (1, 0), "expired click converted after restart"
     assert final[3] == (1, 1), "same-run conversion broken"
+
+
+def test_gap_tracker_watermark_survives_query_restart(spark):
+    """The resume-point analog (FromInterruption): the gap tracker's
+    (high-watermark, seen-count) state must carry across a checkpoint
+    restart — wave 2 alone would report seen=5, only recovered state can
+    report the full 10 — and a real gap introduced in wave 2 must be
+    measurable against the recovered count."""
+    import os
+    import tempfile
+
+    from australis_indexer_spark.streaming.stateful import _gap_tracker
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = "bucket long, sequence_id long"
+    wave1 = [(0, h) for h in range(5)] + [(1, h) for h in range(3)]
+    # bucket 0 continues gap-free; bucket 1 SKIPS height 3 (a real gap)
+    wave2 = [(0, h) for h in range(5, 10)] + [(1, h) for h in (4, 5)]
+
+    base = tempfile.mkdtemp(prefix="tst_gap_restart_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    def run_wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        updates = stream.groupBy("bucket").applyInPandasWithState(
+            _gap_tracker,
+            outputStructType=(
+                "bucket BIGINT, high_watermark BIGINT, n_seen BIGINT, "
+                "n_missing BIGINT"
+            ),
+            stateStructType="hw BIGINT, seen BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            updates.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_wave(wave1)
+    run_wave(wave2)
+
+    final = {
+        r["bucket"]: (r["high_watermark"], r["n_seen"])
+        for r in spark.read.parquet(out)
+        .groupBy("bucket")
+        .agg(
+            F.max("high_watermark").alias("high_watermark"),
+            F.max("n_seen").alias("n_seen"),
+        )
+        .collect()
+    }
+    assert final[0] == (9, 10), "watermark/count state lost at restart"
+    hw, seen = final[1]
+    assert (hw, seen) == (5, 5), "gap bucket state wrong after restart"
+    assert hw - 0 + 1 - seen == 1, "the skipped height must surface as a gap"

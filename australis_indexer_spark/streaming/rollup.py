@@ -136,8 +136,8 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOPK_ORACLE = """
 WITH wc AS (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
-           AS window_start,
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+              AS TIMESTAMP) AS window_start,
          event_type, COUNT(*) AS n_events
   FROM events GROUP BY 1, 2
 )
@@ -201,7 +201,8 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_events").desc(),
                 F.col("event_type").asc_nulls_last(),
             )
-        ),
+        # long, matching DuckDB's BIGINT ROW_NUMBER in the oracle
+        ).cast("long"),
     )
     return ranked.where(F.col("rk") <= 3)
 

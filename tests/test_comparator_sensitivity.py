@@ -135,6 +135,76 @@ def test_spark_exception_is_a_fail_not_a_crash(spark):
     assert (n_pass, n_fail) == (0, 1)
 
 
+def test_timestamptz_vs_naive_fails(spark):
+    """DuckDB's bare to_timestamp() yields TIMESTAMP WITH TIME ZONE while
+    Spark's window().start is a naive TIMESTAMP — the driver's strict schema
+    check fails that pair even when the instants agree. The r5 red
+    (stream_windowed_topk) slipped through every local sweep because _norm
+    used to strip tzinfo; the gate must now reject naive-vs-aware."""
+    from datetime import datetime
+
+    # Same instant on both sides; only tz-awareness differs.
+    oracle_tz = "SELECT to_timestamp(1704096000) AS ts, CAST(1 AS BIGINT) AS k"
+    rows = [(datetime(2024, 1, 1, 8, 0, 0), 1)]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, rows, schema="ts timestamp, k long"), oracle_tz
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+    # Control: CAST(... AS TIMESTAMP) — the repo-wide oracle convention —
+    # strips the tz and the same Spark output passes.
+    oracle_naive = (
+        "SELECT CAST(to_timestamp(1704096000) AS TIMESTAMP) AS ts, "
+        "CAST(1 AS BIGINT) AS k"
+    )
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, rows, schema="ts timestamp, k long"), oracle_naive
+    )
+    assert (n_pass, n_fail) == (1, 0)
+
+
+def test_naive_timestamp_value_shift_fails(spark):
+    """A one-second shift in a naive timestamp value must fail."""
+    from datetime import datetime
+
+    oracle = (
+        "SELECT CAST('2024-01-01 08:00:00' AS TIMESTAMP) AS ts, "
+        "CAST(1 AS BIGINT) AS k"
+    )
+    good = [(datetime(2024, 1, 1, 8, 0, 0), 1)]
+    bad = [(datetime(2024, 1, 1, 8, 0, 1), 1)]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, good, schema="ts timestamp, k long"), oracle
+    )
+    assert (n_pass, n_fail) == (1, 0)
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, bad, schema="ts timestamp, k long"), oracle
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+
+def test_norm_tz_semantics():
+    """_norm unit contract: aware values normalize to the UTC instant but
+    keep a distinct "tz" tag; equal instants in different offsets compare
+    equal, different instants differ, and aware never equals naive even at
+    the same wall-clock reading."""
+    from datetime import datetime, timedelta, timezone
+
+    from tools.diffcheck import _norm
+
+    utc = timezone.utc
+    plus2 = timezone(timedelta(hours=2))
+    aware_utc = datetime(2024, 1, 1, 12, 0, tzinfo=utc)
+    same_instant_plus2 = datetime(2024, 1, 1, 14, 0, tzinfo=plus2)
+    other_instant_plus2 = datetime(2024, 1, 1, 12, 0, tzinfo=plus2)
+    naive_same_wallclock = datetime(2024, 1, 1, 12, 0)
+
+    assert _norm(aware_utc) == _norm(same_instant_plus2)
+    assert _norm(aware_utc) != _norm(other_instant_plus2)
+    assert _norm(aware_utc) != _norm(naive_same_wallclock)
+    assert isinstance(_norm(aware_utc), tuple) and _norm(aware_utc)[0] == "tz"
+
+
 def test_binary_value_mutation_fails(spark):
     oracle = "SELECT * FROM (VALUES (CAST(1 AS BIGINT), '\\xDE\\xAD'::BLOB)) t(k, payload)"
     good = [(1, bytes([0xDE, 0xAD]))]

@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 import sys
 import time
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 from pathlib import Path
 
@@ -53,7 +53,15 @@ def _norm(v):
         # hash would. Coercing to ("f", float) masked agg_grouping_sets in r2.
         return ("dec", str(v))
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # Distinct tag for tz-aware values: DuckDB's TIMESTAMPTZ (e.g. bare
+        # to_timestamp()) vs Spark's naive TIMESTAMP is a SCHEMA divergence
+        # the driver's strict check fails — stripping tzinfo here waved the
+        # stream_windowed_topk r5 red through every local sweep. Mirror the
+        # Decimal precedent: normalize the instant to UTC but keep an
+        # "aware" marker so naive-vs-aware never compares equal.
+        if v.tzinfo is not None:
+            return ("tz", v.astimezone(timezone.utc).replace(tzinfo=None).isoformat())
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):

@@ -95,73 +95,21 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 
 
 # The correctness driver walks ops in registration order with a ~50-op
-# per-round budget. Rounds 1-4 certified 186/246 (ever-green); 60 ops have
-# never been inside a driver window. This tuple is now the FULL explicit
-# walk order for all 246 ops (VERDICT r4 "What's wrong" #3: no implicit
-# tail that a future insertion could silently reorder):
-#   slots   1-50  — r5 window: first 50 of the 60 never-driver-seen ops
-#   slots  51-60  — r6 residue: the final 10 never-seen ops
-#   slots  61-246 — driver-green ops ordered by FIRST certification round
-#                   ascending (r1 greens first), so r6's ~40 spare window
-#                   slots re-certify the oldest evidence (VERDICT r4 #3).
-# The committed per-round window plan lives in CERTIFICATION.md.
+# per-round budget. Rounds 1-5 certified 235/246 ever-green; 10 ops have
+# never been inside a driver window and 1 (stream_windowed_topk) is
+# red-latest (r5 oracle-type bug, fixed this round). This tuple is the
+# FULL explicit walk order for all 246 ops, re-pinned for the r6 window
+# (VERDICT r5 'Next round' #1/#5):
+#   slots   1-10  — the final 10 never-driver-seen ops (closing the ledger)
+#   slot      11  — stream_windowed_topk re-certification after the fix
+#   slots  12-246 — driver-green ops ordered by LATEST green round
+#                   ascending (stalest driver evidence first, name-sorted
+#                   within a round), so the ~39 spare r6 window slots
+#                   re-certify the oldest r1 evidence. The committed
+#                   per-round window plan lives in CERTIFICATION.md.
 _PRIORITY = (
-    # --- r5 window (slots 1-50): the first 50 of the 60 never-driver-seen
-    # ops (VERDICT r4 #1). Zero repeats: every slot below had NO driver row
-    # through CORRECTNESS_r04.
-    "text_langid_quality",
-    "pipeline_dataset_card",
-    "udf_pandas_grouped_agg",
-    "join_self_temporal_overlap",
-    "agg_hll_daily_merge",
-    "agg_listagg_ordered",
-    "scalar_null_semantics",
-    "scan_binary_files",
-    "agg_unpivot_roundtrip",
-    "stats_degree_distribution",
-    "agg_weighted_average_exact",
-    "pipeline_index_build",
-    "text_cooccurrence_pairs",
-    "dedup_minhash_quality",
-    "agg_bitmap_set_ops",
-    "agg_argmax_latest_order",
-    "agg_bitmap_distinct",
-    "stream_late_data_policy",
-    "stats_join_fanout_estimate",
-    "text_boolean_search",
-    "sink_zorder_stats",
-    "scan_schema_evolution",
-    "join_pit_temporal_dim",
-    "scan_jsonl_corrupt_tolerant",
-    "table_snapshot_diff",
-    "pipeline_tombstone_delete",
-    "project_props_json",
-    "join_dpp_partition_pruned",
-    "agg_mode_per_group",
-    "pipeline_shard_manifest",
-    "join_bloom_prefilter",
-    "join_fuzzy_name",
-    "text_inverted_index",
-    "stream_cdc_upsert",
-    "stream_incremental_rollup",
-    "multimodal_phash_neardup",
-    "sample_importance_weighted",
-    "embedding_gram_matrix",
-    "stream_windowed_topk",
-    "text_tfidf_topterms",
-    "join_asof_nearest",
-    "udf_pandas_scalar_batch",
-    "scalar_higher_order_arrays",
-    "sim_ann_quality_curve",
-    "stream_ivm_join_view",
-    "pipeline_mixture_plan",
-    "multimodal_pair_alignment",
-    "sample_epoch_shuffle",
-    "stream_stateful_cep",
-    "udf_python_udtf_chunks",
-    # --- r6 residue (slots 51-60): the 10 ops that stay never-seen after
-    # r5; r6's window certifies these first, then re-certifies the oldest
-    # greens below (VERDICT r4 #3).
+    # --- slots 1-10: never-driver-seen through r5 (VERDICT r5 #1) —
+    # pre-validated in DRIVERSIM_r5 and judge-diffchecked exact in r5.
     "text_langid_margin",
     "stats_ab_experiment_readout",
     "join_strategy_hint_shuffle_hash",
@@ -172,7 +120,10 @@ _PRIORITY = (
     "text_novelty_by_source",
     "multimodal_decode_real",
     "multimodal_resize_real",
-    # --- driver-green, first certified r1 (oldest first for r6 re-cert)
+    # --- slot 11: the r5 red (oracle declared TIMESTAMPTZ, values were
+    # right; CAST fix at streaming/rollup.py) — re-certify first.
+    "stream_windowed_topk",
+    # --- driver-green, latest green r1 (stalest-first for rotation)
     "agg_approx_distinct_users",
     "agg_cube_order_status",
     "agg_distinct_active_users",
@@ -186,7 +137,6 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "envelope_roundtrip",
     "explode_actions",
     "explode_chunks",
     "explode_outcomes",
@@ -219,7 +169,7 @@ _PRIORITY = (
     "window_lag_order_gap",
     "window_rank_top_customers",
     "window_time_hourly_events",
-    # --- driver-green, first certified r2 (oldest first for r6 re-cert)
+    # --- driver-green, latest green r2 (stalest-first for rotation)
     "agg_hll_sketch_users",
     "agg_percentiles_approx",
     "agg_percentiles_exact",
@@ -227,6 +177,7 @@ _PRIORITY = (
     "dedup_embedding_lsh",
     "dedup_window",
     "embedding_quantize_int8",
+    "envelope_roundtrip",
     "init_config",
     "join_broadcast_dims",
     "join_bucketed_colocated",
@@ -260,7 +211,7 @@ _PRIORITY = (
     "window_ntile_percentile",
     "window_session_stream",
     "window_time_stream_complete",
-    # --- driver-green, first certified r3 (oldest first for r6 re-cert)
+    # --- driver-green, latest green r3 (stalest-first for rotation)
     "agg_anomalous_hours",
     "agg_cohort_retention",
     "agg_funnel_steps",
@@ -311,7 +262,7 @@ _PRIORITY = (
     "window_session_user",
     "window_time_hierarchical_rollup",
     "window_time_sliding_events",
-    # --- driver-green, first certified r4 (oldest first for r6 re-cert)
+    # --- driver-green, latest green r4 (stalest-first for rotation)
     "agg_countmin_heavyhitters",
     "agg_dau_wau_mau",
     "agg_decimal_money_exact",
@@ -362,6 +313,56 @@ _PRIORITY = (
     "window_time_ohlc_bars",
     "window_time_rate_of_change",
     "window_value_functions",
+    # --- driver-green, latest green r5 (stalest-first for rotation)
+    "agg_argmax_latest_order",
+    "agg_bitmap_distinct",
+    "agg_bitmap_set_ops",
+    "agg_hll_daily_merge",
+    "agg_listagg_ordered",
+    "agg_mode_per_group",
+    "agg_unpivot_roundtrip",
+    "agg_weighted_average_exact",
+    "dedup_minhash_quality",
+    "embedding_gram_matrix",
+    "join_asof_nearest",
+    "join_bloom_prefilter",
+    "join_dpp_partition_pruned",
+    "join_fuzzy_name",
+    "join_pit_temporal_dim",
+    "join_self_temporal_overlap",
+    "multimodal_pair_alignment",
+    "multimodal_phash_neardup",
+    "pipeline_dataset_card",
+    "pipeline_index_build",
+    "pipeline_mixture_plan",
+    "pipeline_shard_manifest",
+    "pipeline_tombstone_delete",
+    "project_props_json",
+    "sample_epoch_shuffle",
+    "sample_importance_weighted",
+    "scalar_higher_order_arrays",
+    "scalar_null_semantics",
+    "scan_binary_files",
+    "scan_jsonl_corrupt_tolerant",
+    "scan_schema_evolution",
+    "sim_ann_quality_curve",
+    "sink_zorder_stats",
+    "stats_degree_distribution",
+    "stats_join_fanout_estimate",
+    "stream_cdc_upsert",
+    "stream_incremental_rollup",
+    "stream_ivm_join_view",
+    "stream_late_data_policy",
+    "stream_stateful_cep",
+    "table_snapshot_diff",
+    "text_boolean_search",
+    "text_cooccurrence_pairs",
+    "text_inverted_index",
+    "text_langid_quality",
+    "text_tfidf_topterms",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_scalar_batch",
+    "udf_python_udtf_chunks",
 )
 
 

@@ -78,6 +78,32 @@ def test_priority_covers_registry_prefix(ops):
     assert len(set(window)) == 50
 
 
+def test_no_oracle_emits_timestamptz(ops):
+    """No registered oracle's DuckDB result schema may contain TIMESTAMP
+    WITH TIME ZONE (or TIME WITH TIME ZONE). Spark's DataFrame timestamps
+    arrive naive (session tz UTC), so a TIMESTAMPTZ oracle column is a
+    guaranteed driver schema_match red even when the instants agree — the
+    r5 `stream_windowed_topk` failure, caused by DuckDB's bare
+    to_timestamp() typing as TIMESTAMPTZ where the repo convention is
+    CAST(... AS TIMESTAMP). DESCRIBE binds the schema without executing,
+    so this audits all 246 oracles in seconds."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.diffcheck import connect_oracle
+
+    con = connect_oracle("/root/testdata/sf0.001")
+    offenders = []
+    for name, spec in ops.items():
+        if spec.oracle is None:
+            continue
+        schema = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        bad = [c for c, t, *_ in schema if "WITH TIME ZONE" in t.upper()]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"oracles with tz-aware output columns: {offenders}"
+
+
 def _certification_module():
     import importlib.util as ilu
 
@@ -133,25 +159,48 @@ def test_r4_window_was_pure_rotation():
         assert not (rows and rows[-1][1]), f"window repeat of already-green op: {n}"
 
 
-def test_r5_window_is_pure_rotation(ops):
-    """Walk slots 1-60 are EXACTLY the 60 ops with no driver row through
-    round 4 (never-driver-seen), so the r5 ~50-op window certifies 50 fresh
-    ops with zero repeats and slots 51-60 queue the final 10 for r6
-    (VERDICT r4 #1/#3). Slots 61+ are driver-green ordered by first
-    certification round ascending — oldest evidence re-certifies first."""
+def test_r5_window_was_pure_rotation():
+    """The round-5 driver window contained ZERO already-green ops AS PLANNED
+    FROM rounds 1-4 (VERDICT r4 #1 'zero repeats'). The r5 walk order was
+    since re-pinned for r6, so — like the r4 check above — this reads the
+    r5 window from the r5 artifact itself: every op the driver touched in
+    r5 must have had no driver row at all through r4 (they were the first
+    50 of the 60 never-seen)."""
     mod = _certification_module()
+    import json
+
+    r5_window = list(json.load(open(REPO / "CORRECTNESS_r05.json")))
+    assert len(r5_window) == 50
     hist = mod.collect_rows(max_round=4)
+    for n in r5_window:
+        assert n not in hist, f"r5 window op had a prior driver row: {n}"
+
+
+def test_r6_window_plan(ops):
+    """The live walk order IS the committed r6 window plan (VERDICT r5
+    #1/#5): slots 1-10 are exactly the 10 ops with no driver row through
+    r5 (closing the ledger), slot 11 is the r5 red
+    (stream_windowed_topk, oracle-type bug fixed this round), and slots
+    12+ are driver-green ordered by LATEST green round ascending — so the
+    ~39 spare window slots re-certify the stalest r1 evidence first."""
+    mod = _certification_module()
+    hist = mod.collect_rows(max_round=5)
     names = list(ops)
     never = {n for n in names if n not in hist}
-    assert len(never) == 60
-    assert set(names[:60]) == never, "slots 1-60 must be the never-seen 60"
-    # slots 61+ ordered by first-green round ascending
-    first_green = {
-        n: next(r for r, g, _ in rows if g)
+    assert len(never) == 10
+    assert set(names[:10]) == never, "slots 1-10 must be the never-seen 10"
+    reds = {n for n, rows in hist.items() if not rows[-1][1]}
+    assert reds == {"stream_windowed_topk"}
+    assert names[10] == "stream_windowed_topk", "slot 11 re-certifies the red"
+    latest_green = {
+        n: max(r for r, g, _ in rows if g)
         for n, rows in hist.items()
         if any(g for _, g, _ in rows)
     }
-    tail_rounds = [first_green[n] for n in names[60:]]
+    tail_rounds = [latest_green[n] for n in names[11:]]
     assert tail_rounds == sorted(tail_rounds), (
-        "slots 61+ must order greens oldest-certification-first"
+        "slots 12+ must order greens stalest-latest-evidence-first"
     )
+    # the full 50-slot window therefore covers: 10 never-seen + 1 red +
+    # 39 of the 45 ops whose latest green is r1
+    assert all(latest_green[n] == 1 for n in names[11:50])

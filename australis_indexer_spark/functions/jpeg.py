@@ -26,9 +26,12 @@ Scope and honesty notes:
   by tests/test_media_codecs.py).
 - The decoder is general: it trusts nothing from our encoder but the
   format — Huffman tables are rebuilt from the DHT segments in the byte
-  stream, quantization from DQT, geometry from SOF0, and the entropy
-  stream is bit-decoded with 0xFF00 unstuffing, DC prediction, ZRL/EOB
-  run handling, dezigzag, dequantize, float IDCT, level shift, clamp.
+  stream, quantization from DQT, geometry from SOF0, restart cadence from
+  DRI, and the entropy stream is bit-decoded with 0xFF00 unstuffing,
+  byte-aligned RSTn handling (DC predictor reset, sequence check), DC
+  prediction, ZRL/EOB run handling, dezigzag, dequantize, float IDCT,
+  level shift, clamp. Standalone markers (TEM, RSTn) and FF fill bytes in
+  the marker segment are parsed per T.81 B.1.1.2 — they carry no length.
 
 At 100 TB the per-payload entropy decode is inherently serial, but the
 corpus is embarrassingly parallel across payloads — the Spark shape
@@ -116,6 +119,14 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align with 1-bit padding, then emit RSTm (raw marker bytes —
+        markers are never byte-stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (m & 7)))
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -140,9 +151,16 @@ def _fdct_quant(block: list[list[int]]) -> list[int]:
     return [int(round(coeffs[ZIGZAG[k]])) for k in range(64)]
 
 
-def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, rows: list[bytes], restart_interval: int = 0
+) -> bytes:
     """Encode a grayscale image (rows = `height` bytes-objects of length
-    `width`) as a baseline JFIF JPEG with all-ones quantization."""
+    `width`) as a baseline JFIF JPEG with all-ones quantization.
+
+    ``restart_interval`` > 0 writes a DRI segment and emits byte-aligned
+    RSTn markers (DC predictor reset) every that-many MCUs — the T.81
+    error-resilience feature real encoders use so a corrupt byte only
+    loses one restart interval, not the rest of the scan."""
     if len(rows) != height or any(len(r) != width for r in rows):
         raise ValueError("rows must be height x width")
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
@@ -152,8 +170,19 @@ def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
     pred = 0
     bx_n = (width + 7) // 8
     by_n = (height + 7) // 8
+    mcu_count = 0
+    rst_idx = 0
     for by in range(by_n):
         for bx in range(bx_n):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.restart_marker(rst_idx)
+                rst_idx = (rst_idx + 1) & 7
+                pred = 0
+            mcu_count += 1
             # edge-replicated 8x8 block
             block = [
                 [
@@ -211,6 +240,8 @@ def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
     )  # SOF0: 8-bit, 1 component id=1, 1x1 sampling, qtable 0
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS[1:]) + bytes(DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS[1:]) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
     out += scan
     out += b"\xFF\xD9"  # EOI
@@ -244,6 +275,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, expected_m: int) -> None:
+        """Consume a byte-aligned RSTn marker (T.81 E.1.4): drop the
+        padding bits of the current partial byte, verify the marker index
+        matches the modulo-8 sequence, and resume on the next byte."""
+        self.nbits = 0  # discard padding bits — markers are byte-aligned
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("jpeg: expected RST marker")
+        got = self.data[self.pos + 1]
+        if got != 0xD0 + (expected_m & 7):
+            raise ValueError(
+                f"jpeg: restart marker out of sequence "
+                f"(got {got:#x}, want {0xD0 + (expected_m & 7):#x})"
+            )
+        self.pos += 2
 
 
 def _build_decode_table(bits, vals):
@@ -312,13 +358,21 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
     comp_qtab = 0
     comp_dc_tab = comp_ac_tab = 0
     scan_start = None
+    restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
         marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2: FF padding is legal)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn) carry NO length segment —
+            # treating them as length-prefixed would misparse the stream
+            continue
         ln = struct.unpack(">H", blob[pos : pos + 2])[0]
         payload = blob[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT (8-bit precision tables only)
@@ -347,20 +401,24 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
                 vals = list(payload[p + 17 : p + 17 + nv])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nv
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
             comp_dc_tab = payload[2] >> 4
             comp_ac_tab = payload[2] & 0x0F
             scan_start = pos + ln
             break
-        # APPn / COM / DRI etc.: skip
+        # APPn / COM etc.: skip
         pos += ln
     if width is None or scan_start is None:
         raise ValueError("jpeg: missing SOF0/SOS")
 
-    # entropy-coded data runs to the EOI marker (0xFF not followed by 0x00)
+    # entropy-coded data runs to the next non-scan marker: 0xFF followed by
+    # anything other than a stuffing 0x00 or an in-scan RSTn (0xD0-0xD7)
     end = scan_start
     while end + 1 < len(blob):
-        if blob[end] == 0xFF and blob[end + 1] != 0x00:
+        nxt = blob[end + 1]
+        if blob[end] == 0xFF and nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
             break
         end += 1
     br = _BitReader(blob[scan_start:end])
@@ -372,8 +430,19 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
     by_n = (height + 7) // 8
     padded = [[0] * (bx_n * 8) for _ in range(by_n * 8)]
     pred = 0
+    mcu_count = 0
+    rst_idx = 0
     for by in range(by_n):
         for bx in range(bx_n):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                br.restart(rst_idx)
+                rst_idx = (rst_idx + 1) & 7
+                pred = 0  # DC prediction resets at every restart
+            mcu_count += 1
             zz = [0] * 64
             cat = _huff_decode(br, dc_table)
             diff = _extend(br.bits(cat), cat) if cat else 0

@@ -173,7 +173,22 @@ def decode_mp4_rawvideo(
     reconstructed from the chunk runs, frame bytes sliced out of mdat and
     validated against the sample-entry geometry. Only the ``raw ``
     (uncompressed grayscale) sample entry is decodable; compressed codecs
-    raise with their fourcc named."""
+    raise with their fourcc named.
+
+    Malformed input ALWAYS raises ValueError — the variable-length sample
+    tables are explicitly bounds-checked against their box ends, and any
+    fixed-header read landing inside a too-small box is converted from
+    struct.error here so callers can rely on one exception type
+    (ADVICE r5)."""
+    try:
+        return _decode_mp4_rawvideo(data)
+    except struct.error as e:
+        raise ValueError(f"mp4: truncated structure ({e})") from e
+
+
+def _decode_mp4_rawvideo(
+    data: bytes,
+) -> tuple[int, int, int, int, list[bytes]]:
     top = list(_walk(data, 0, len(data)))
     if not top or top[0][0] != b"ftyp":
         raise ValueError("mp4: not an ISO-BMFF stream (no leading ftyp)")
@@ -222,8 +237,21 @@ def decode_mp4_rawvideo(
         ent = sd + 16  # VisualSampleEntry body
         width, height = struct.unpack_from(">HH", data, ent + 24)
 
+        def _table(tag: bytes, header: int, entry: int, count: int) -> int:
+            # Declared entry counts must fit inside the box — a truncated
+            # table must fail the module's ValueError contract, not leak
+            # struct.error from unpack_from (ADVICE r5).
+            bs, be = boxes[tag]
+            if bs + header + entry * count > be:
+                raise ValueError(
+                    f"mp4: truncated {tag.decode()} table "
+                    f"({count} entries declared, box too small)"
+                )
+            return bs
+
         ts = boxes[b"stts"][0]
         (n_runs,) = struct.unpack_from(">I", data, ts + 4)
+        _table(b"stts", 8, 8, n_runs)
         n_samples = sum(
             struct.unpack_from(">II", data, ts + 8 + 8 * k)[0]
             for k in range(n_runs)
@@ -233,6 +261,8 @@ def decode_mp4_rawvideo(
         fixed, cnt = struct.unpack_from(">II", data, szs + 4)
         if cnt != n_samples:
             raise ValueError("mp4: stsz/stts sample count mismatch")
+        if not fixed:
+            _table(b"stsz", 12, 4, cnt)
         sizes = (
             [fixed] * cnt
             if fixed
@@ -241,12 +271,14 @@ def decode_mp4_rawvideo(
 
         sc = boxes[b"stsc"][0]
         (n_sc,) = struct.unpack_from(">I", data, sc + 4)
+        _table(b"stsc", 8, 12, n_sc)
         sc_runs = [
             struct.unpack_from(">III", data, sc + 8 + 12 * k)[:2]
             for k in range(n_sc)
         ]
         co = boxes[b"stco"][0]
         (n_chunks,) = struct.unpack_from(">I", data, co + 4)
+        _table(b"stco", 8, 4, n_chunks)
         chunk_offs = list(struct.unpack_from(f">{n_chunks}I", data, co + 8))
 
         # Expand stsc runs: samples-per-chunk for each chunk 1..n_chunks.

@@ -56,3 +56,32 @@ def test_geometry_sensitive_ops_invariant(spark, ops):
         )
         assert n_fail == 0, f"{profile}: geometry-dependent answers: {failures}"
         assert n_pass == len(GEOMETRY_SENSITIVE_OPS)
+
+
+def test_cli_rejects_non_dataset_directories(tmp_path):
+    """Positional-arg classification must not adopt an arbitrary local
+    directory as the dataset (ADVICE r5): only a directory with the fixture
+    layout (orders.parquet inside) is a dataset, a profile name always wins
+    over a same-named directory, and anything else exits 2 BEFORE any Spark
+    work starts."""
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    tool = repo / "tools" / "config_invariance.py"
+
+    # an existing directory WITHOUT the fixture layout is rejected…
+    bare = tmp_path / "serial-ish"
+    bare.mkdir()
+    r = subprocess.run(
+        [sys.executable, str(tool), str(bare)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2
+    assert "orders.parquet" in r.stderr
+
+    # …and so is a token that is neither profile nor directory
+    r = subprocess.run(
+        [sys.executable, str(tool), "not_a_profile_or_dir"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2

@@ -338,6 +338,57 @@ def test_jpeg_byte_stuffing_and_structure():
     )
 
 
+@given(st.integers(1, 7), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_restart_markers_roundtrip(interval, seed):
+    """DRI/RSTn support (ADVICE r5): a legal baseline JPEG carrying restart
+    markers must decode — byte-aligned RSTn in the entropy stream, DC
+    predictor reset per restart interval, modulo-8 marker sequence. The
+    block-constant subspace keeps the check bit-exact, and small intervals
+    at 5x3 blocks force many restarts (including the RST index wrap past
+    RST7)."""
+    jpeg = _jpeg_mod()
+    w, h = 40, 24  # 5x3 = 15 MCUs
+    rows = [
+        bytes((seed + (x // 8) * 17 + (y // 8) * 29) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    blob = jpeg.encode_jpeg_gray(w, h, rows, restart_interval=interval)
+    assert b"\xff\xdd" in blob, "DRI segment must be present"
+    scan = blob[blob.find(b"\xff\xda") :]
+    assert any(
+        bytes((0xFF, 0xD0 + m)) in scan for m in range(8)
+    ), "scan must carry RSTn markers"
+    assert jpeg.decode_jpeg_gray(blob) == (w, h, rows)
+
+
+def test_jpeg_restart_marker_out_of_sequence_rejected():
+    """A restart marker with the wrong modulo-8 index means lost sync — the
+    decoder must fail loudly, not resynchronize silently."""
+    jpeg = _jpeg_mod()
+    w, h = 40, 24
+    rows = [bytes(((x // 8) * 31 + (y // 8) * 7) % 256 for x in range(w)) for y in range(h)]
+    blob = bytearray(jpeg.encode_jpeg_gray(w, h, rows, restart_interval=2))
+    i = blob.find(b"\xff\xd0", blob.find(b"\xff\xda"))
+    assert i > 0
+    blob[i + 1] = 0xD5  # RST0 -> RST5
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg.decode_jpeg_gray(bytes(blob))
+
+
+def test_jpeg_standalone_markers_and_fill_bytes_parse():
+    """TEM (0x01) and FF fill bytes between header segments carry NO length
+    field (T.81 B.1.1.2) — the marker loop must skip them instead of
+    misparsing the next two bytes as a length (ADVICE r5)."""
+    jpeg = _jpeg_mod()
+    w, h = 16, 8
+    rows = [bytes((x // 8 * 50 + 10) % 256 for x in range(w)) for _ in range(h)]
+    blob = jpeg.encode_jpeg_gray(w, h, rows)
+    i = blob.find(b"\xff\xdb")  # splice before DQT
+    spliced = blob[:i] + b"\xff\x01" + b"\xff\xff\xff" + blob[i:]
+    assert jpeg.decode_jpeg_gray(spliced) == (w, h, rows)
+
+
 def test_jpeg_decoder_rejects_non_baseline():
     """Progressive (SOF2) and multi-component streams are out of scope and
     must fail loudly, not decode garbage."""
@@ -426,6 +477,33 @@ def test_mp4_rejections():
     bad = bytearray(blob)
     struct.pack_into(">I", bad, i + 12, 5)
     with pytest.raises(ValueError, match="mismatch"):
+        mp4.decode_mp4_rawvideo(bytes(bad))
+
+
+def test_mp4_truncated_tables_raise_valueerror():
+    """A declared entry count exceeding its box body must surface as the
+    module's documented ValueError, never struct.error from unpack_from
+    (ADVICE r5) — callers catching ValueError are the rejection contract."""
+    mp4 = _mp4_mod()
+    blob = mp4.encode_mp4_rawvideo(4, 3, [bytes(12), bytes(12)])
+    # stco: inflate entry_count far past the box end (same count as stts
+    # is irrelevant here — stco's count is independent)
+    for tag, count_off in ((b"stco", 8), (b"stsc", 8), (b"stts", 8)):
+        i = blob.find(tag)
+        bad = bytearray(blob)
+        struct.pack_into(">I", bad, i + count_off, 10_000)
+        with pytest.raises(ValueError):
+            mp4.decode_mp4_rawvideo(bytes(bad))
+    # variable-size stsz (fixed==0): inflating its count must also fail as
+    # ValueError — but count is cross-checked against stts first, so patch
+    # both and expect the bounds check to fire
+    i_ts = blob.find(b"stts")
+    i_sz = blob.find(b"stsz")
+    bad = bytearray(blob)
+    struct.pack_into(">I", bad, i_ts + 12, 10_000)  # first run's count
+    struct.pack_into(">I", bad, i_sz + 8, 0)  # fixed=0 → per-sample table
+    struct.pack_into(">I", bad, i_sz + 12, 10_000)  # matches stts count
+    with pytest.raises(ValueError, match="truncated stsz"):
         mp4.decode_mp4_rawvideo(bytes(bad))
 
 

@@ -114,14 +114,23 @@ def main() -> int:
         sf_dir = "/root/testdata/sf0.01"
         only_profiles = []
         for a in args:
-            if os.path.isdir(a):
-                sf_dir = os.path.abspath(a)
-            elif a in PROFILES:
+            if a in PROFILES:
+                # profile names win outright: a stray local directory that
+                # happens to share a profile's name (or a cwd change) must
+                # not silently become the dataset (ADVICE r5 #4)
                 only_profiles.append(a)
+            elif os.path.isdir(a) and os.path.exists(
+                os.path.join(a, "orders.parquet")
+            ):
+                # only a directory with the fixture layout is a dataset —
+                # an arbitrary directory erroring here beats sweeping a
+                # wrong tree and reporting vacuous passes
+                sf_dir = os.path.abspath(a)
             else:
                 print(
-                    f"error: '{a}' is neither an existing dataset dir nor a "
-                    f"profile (known: {', '.join(sorted(PROFILES))})",
+                    f"error: '{a}' is neither a dataset dir (needs "
+                    f"orders.parquet inside) nor a profile "
+                    f"(known: {', '.join(sorted(PROFILES))})",
                     file=sys.stderr,
                 )
                 return 2

@@ -157,15 +157,31 @@ def ivf_trained_serve(
     """The composed train→serve path: k-means centroids from `train` feed
     the same IVF serving join as `sim_ann_ivf` (operators/similarity.py) —
     at 100 TB this is the centroid-refresh job publishing a new centroid
-    table that the serving query picks up atomically."""
+    table that the serving query picks up atomically.
+
+    Zero-norm centroids are dropped before serving: k-means trains on the
+    RAW corpus under L2 (zero vectors are legitimate training points and
+    the trainer's oracle counts them), but the serving join assigns by
+    COSINE, where a direction-less centroid is 0/0 — an ANSI-mode
+    DIVIDE_BY_ZERO job kill, found by fuzz chaos:601 (a zero init vector
+    whose cluster mean stayed exactly zero). Dropping mirrors the
+    corpus-side zero-vector exclusion (functions/vectors.with_norm); the
+    dead cell's would-be members re-assign to their next-nearest live
+    centroid. If EVERY centroid is zero-norm (fully degenerate corpus),
+    serving falls back to the exact brute-force top-k — the honest
+    degenerate quantizer (probe everything), same schema, mirroring the
+    empty-seed fallback precedent in operators/pq.py."""
     import math
 
-    from .similarity import ivf_serve, normed_corpus
+    from .similarity import ivf_serve, normed_corpus, sim_topk_bruteforce
 
     centroids, _ = train(spark, sf_dir)
     rows = [
         (cid, c, math.sqrt(sum(x * x for x in c))) for cid, c in enumerate(centroids)
     ]
+    rows = [r for r in rows if r[2] > 0.0]
+    if not rows:
+        return sim_topk_bruteforce(spark, sf_dir)
     c = spark.createDataFrame(
         rows, "cid int, cemb array<double>, cnrm double"
     )

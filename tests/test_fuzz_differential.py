@@ -186,6 +186,14 @@ REGRESSION_SLICES = [
     # the 0.80 recall SLO (2 -> 4 -> ... -> K_TRAIN, where probing every
     # cell IS exact search) — the gate holds by construction.
     ("husk", 164, {"sim_ann_ivf_trained"}),
+    # chaos:601 planted a zero vector among the first K_TRAIN vec_ids: it
+    # became a k-means init centroid whose cluster mean stayed exactly
+    # zero, and the cosine-assignment serving join then divided by
+    # cnrm = 0 — an ANSI DIVIDE_BY_ZERO job kill. ivf_trained_serve now
+    # drops zero-norm centroids before serving (mirroring the corpus-side
+    # zero-vector exclusion in vectors.with_norm) and falls back to exact
+    # brute force if NO centroid survives.
+    ("chaos", 601, {"sim_ann_ivf_trained", "kmeans_train_centroids"}),
     # nullstorm:141 (NULLs planted in every payload column a real ingest
     # can fail to supply) killed TWELVE ops across seven root causes:
     # a pandas grouped-agg kernel crashing on astype(int64) of NaN

@@ -106,8 +106,16 @@ def _enc(obj: Any, out: bytearray) -> None:
 
 def cbor_loads(data: bytes) -> Any:
     """C2: CBOR decode (reference `BorealisMessage::from_cbor`,
-    borealis-consumer/src/main.rs:263-264)."""
-    val, off = _dec(memoryview(data), 0)
+    borealis-consumer/src/main.rs:263-264).
+
+    Malformed input ALWAYS raises ValueError (the mp4.py convention,
+    ADVICE r5): truncated heads surface IndexError/struct.error from the
+    memoryview reads, converted here so callers can rely on one exception
+    type (UnicodeDecodeError from a bad text string already IS one)."""
+    try:
+        val, off = _dec(memoryview(data), 0)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"cbor: truncated input ({e})") from e
     if off != len(data):
         raise ValueError("cbor: trailing bytes")
     return val
@@ -138,9 +146,13 @@ def _dec(buf: memoryview, off: int) -> tuple[Any, int]:
         return -1 - n, off
     if major == 2:
         n, off = _dec_arg(buf, off, info)
+        if off + n > len(buf):
+            raise ValueError("cbor: truncated byte string")
         return bytes(buf[off : off + n]), off + n
     if major == 3:
         n, off = _dec_arg(buf, off, info)
+        if off + n > len(buf):
+            raise ValueError("cbor: truncated text string")
         return bytes(buf[off : off + n]).decode("utf-8"), off + n
     if major == 4:
         n, off = _dec_arg(buf, off, info)
@@ -194,15 +206,19 @@ def _zstd_frame_content_size(blob: bytes) -> int:
     fcs_flag, single_segment = fhd >> 6, (fhd >> 5) & 1
     i = 5 + (0 if single_segment else 1)  # Window_Descriptor
     i += (0, 1, 2, 4)[fhd & 3]  # Dictionary_ID
-    if fcs_flag == 0:
-        if not single_segment:
-            raise ValueError("zstd: frame does not carry content size")
-        return blob[i]
-    if fcs_flag == 1:
-        return struct.unpack_from("<H", blob, i)[0] + 256
-    if fcs_flag == 2:
-        return struct.unpack_from("<I", blob, i)[0]
-    return struct.unpack_from("<Q", blob, i)[0]
+    try:
+        if fcs_flag == 0:
+            if not single_segment:
+                raise ValueError("zstd: frame does not carry content size")
+            return blob[i]
+        if fcs_flag == 1:
+            return struct.unpack_from("<H", blob, i)[0] + 256
+        if fcs_flag == 2:
+            return struct.unpack_from("<I", blob, i)[0]
+        return struct.unpack_from("<Q", blob, i)[0]
+    except (IndexError, struct.error) as e:
+        # malformed input always raises ValueError (mp4.py convention)
+        raise ValueError(f"zstd: truncated frame header ({e})") from e
 
 
 CODECS: dict[str, tuple[Any, Any]] = {

@@ -77,6 +77,12 @@ ZIGZAG = (
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
 
+# Decode-side guard against adversarial SOF dimensions (a few corrupt bytes
+# must not be able to demand a multi-GB block buffer); generous for the
+# fixture corpus, and a production deployment swaps this pure-Python kernel
+# for libjpeg-turbo behind the same batch signature anyway.
+_MAX_PIXELS = 1 << 24  # 16.7M pixels
+
 _COS = [
     [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
     for x in range(8)
@@ -348,7 +354,20 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
     General baseline decoder for the 1-component case: everything —
     Huffman tables, quantization, geometry — comes from the byte stream,
     not from assumptions about our encoder.
+
+    Malformed input ALWAYS raises ValueError (the mp4.py convention,
+    ADVICE r5): marker/segment reads are bounds-checked explicitly, and
+    any residual short-read (struct.error), short-table (IndexError) or
+    missing-table (KeyError) surfaced by adversarial bytes is converted
+    here so callers can rely on one exception type.
     """
+    try:
+        return _decode_jpeg_gray(blob)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"jpeg: truncated or inconsistent structure ({e})") from e
+
+
+def _decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
     if blob[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -362,6 +381,8 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        if pos + 2 > len(blob):
+            raise ValueError("jpeg: truncated marker")
         marker = blob[pos + 1]
         if marker == 0xFF:  # fill byte (T.81 B.1.1.2: FF padding is legal)
             pos += 1
@@ -373,7 +394,11 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
             # standalone markers (TEM, RSTn) carry NO length segment —
             # treating them as length-prefixed would misparse the stream
             continue
+        if pos + 2 > len(blob):
+            raise ValueError("jpeg: truncated segment length")
         ln = struct.unpack(">H", blob[pos : pos + 2])[0]
+        if ln < 2 or pos + ln > len(blob):
+            raise ValueError("jpeg: segment length out of bounds")
         payload = blob[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT (8-bit precision tables only)
             p = 0
@@ -381,9 +406,13 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
                 if pq != 0:
                     raise ValueError("jpeg: 16-bit DQT unsupported")
+                if p + 65 > len(payload):
+                    raise ValueError("jpeg: truncated DQT table")
                 qtables[tq] = list(payload[p + 1 : p + 65])
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(payload) < 9:
+                raise ValueError("jpeg: truncated SOF0")
             _prec, height, width, ncomp = struct.unpack(
                 ">BHHB", payload[:6]
             )
@@ -396,14 +425,22 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
             p = 0
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0x0F
+                if p + 17 > len(payload):
+                    raise ValueError("jpeg: truncated DHT counts")
                 bits = [0] + list(payload[p + 1 : p + 17])
                 nv = sum(bits)
+                if p + 17 + nv > len(payload):
+                    raise ValueError("jpeg: truncated DHT values")
                 vals = list(payload[p + 17 : p + 17 + nv])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI — restart interval in MCUs
+            if len(payload) < 2:
+                raise ValueError("jpeg: truncated DRI")
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
+            if len(payload) < 3:
+                raise ValueError("jpeg: truncated SOS")
             comp_dc_tab = payload[2] >> 4
             comp_ac_tab = payload[2] & 0x0F
             scan_start = pos + ln
@@ -412,6 +449,13 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
         pos += ln
     if width is None or scan_start is None:
         raise ValueError("jpeg: missing SOF0/SOS")
+    if width == 0 or height == 0:
+        raise ValueError("jpeg: zero image dimension")
+    if width * height > _MAX_PIXELS:
+        # adversarial SOF dims would otherwise force the full padded-block
+        # allocation (pure-Python ints are ~28 bytes each) before a single
+        # entropy bit is read — reject the bomb shape up front
+        raise ValueError("jpeg: image dimensions exceed decoder cap")
 
     # entropy-coded data runs to the next non-scan marker: 0xFF followed by
     # anything other than a stuffing 0x00 or an in-scan RSTn (0xD0-0xD7)
@@ -422,6 +466,10 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
             break
         end += 1
     br = _BitReader(blob[scan_start:end])
+    if (0, comp_dc_tab) not in htables or (1, comp_ac_tab) not in htables:
+        raise ValueError("jpeg: missing Huffman table referenced by SOS")
+    if comp_qtab not in qtables:
+        raise ValueError("jpeg: missing quantization table referenced by SOF0")
     dc_table = htables[(0, comp_dc_tab)]
     ac_table = htables[(1, comp_ac_tab)]
     quant = qtables[comp_qtab]

@@ -88,6 +88,9 @@ def _block_decompress(src: bytes, dst: bytearray) -> None:
                 if b != 255:
                     break
         if lit_len:
+            if i + lit_len > n:
+                # explicit: the slice would silently shorten the literals
+                raise ValueError("lz4: truncated literal run")
             dst += src[i : i + lit_len]
             i += lit_len
         if i >= n:  # last sequence is literals-only
@@ -113,7 +116,19 @@ def _block_decompress(src: bytes, dst: bytearray) -> None:
 
 
 def lz4f_decompress(data: bytes) -> bytes:
-    """Parse an LZ4 frame (any compliant encoder's output) to its content."""
+    """Parse an LZ4 frame (any compliant encoder's output) to its content.
+
+    Malformed input ALWAYS raises ValueError (the mp4.py convention,
+    ADVICE r5): a truncated frame or block body surfaces struct.error /
+    IndexError from the offset reads, converted here so callers can rely
+    on one exception type."""
+    try:
+        return _lz4f_decompress(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"lz4f: truncated frame ({e})") from e
+
+
+def _lz4f_decompress(data: bytes) -> bytes:
     if len(data) < 7 or struct.unpack_from("<I", data, 0)[0] != _MAGIC:
         raise ValueError("lz4f: bad magic")
     i = 4
@@ -145,6 +160,10 @@ def lz4f_decompress(data: bytes) -> bytes:
             break
         uncompressed = bool(bsize & 0x80000000)
         bsize &= 0x7FFFFFFF
+        if i + bsize > len(data):
+            # explicit: a silently-short slice would otherwise pass a frame
+            # with no block/content checksum and return truncated content
+            raise ValueError("lz4f: truncated block")
         block = data[i : i + bsize]
         i += bsize
         if b_checksum:

@@ -257,6 +257,12 @@ def _decode_mp4_rawvideo(
             for k in range(n_runs)
         )
 
+        if n_samples > mdat[1] - mdat[0]:
+            # run COUNT VALUES are not bounded by the stts box size the way
+            # entry counts are — without this, a few corrupt bytes could
+            # declare billions of samples and force the [fixed]*cnt
+            # allocation below before any per-sample validation runs
+            raise ValueError("mp4: sample count implausible for mdat size")
         szs = boxes[b"stsz"][0]
         fixed, cnt = struct.unpack_from(">II", data, szs + 4)
         if cnt != n_samples:

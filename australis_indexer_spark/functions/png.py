@@ -27,6 +27,11 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 
+# Decode-side guard against adversarial IHDR dimensions (same rationale as
+# jpeg._MAX_PIXELS): a few corrupt-but-CRC-valid bytes must not be able to
+# demand a multi-GB scanline buffer.
+_MAX_PIXELS = 1 << 24  # 16.7M pixels
+
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (
@@ -61,14 +66,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
-    """PNG bytes → (width, height, channels, unfiltered rows)."""
+    """PNG bytes → (width, height, channels, unfiltered rows).
+
+    Malformed input ALWAYS raises ValueError (the mp4.py convention,
+    ADVICE r5): chunk reads are bounds-checked against the buffer end
+    before any struct read, and a corrupt IDAT's zlib.error is converted
+    here so callers can rely on one exception type."""
     if data[:8] != _SIG:
         raise ValueError("png: bad signature")
     i = 8
     width = height = color_type = -1
     idat = bytearray()
     while i < len(data):
+        if i + 8 > len(data):
+            raise ValueError("png: truncated chunk header")
         (ln,) = struct.unpack_from(">I", data, i)
+        if i + 12 + ln > len(data):
+            raise ValueError("png: truncated chunk body")
         tag = data[i + 4 : i + 8]
         body = data[i + 8 : i + 8 + ln]
         (crc,) = struct.unpack_from(">I", data, i + 8 + ln)
@@ -76,6 +90,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
             raise ValueError(f"png: CRC mismatch in {tag!r}")
         i += 12 + ln
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("png: bad IHDR length")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -92,9 +108,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
     if width < 0:
         raise ValueError("png: missing IHDR")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    if width * height > _MAX_PIXELS:
+        # IHDR dims drive every allocation below; reject bomb-shaped
+        # headers before decompressing anything
+        raise ValueError("png: image dimensions exceed decoder cap")
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    try:
+        # bounded decompress: a zlib bomb (tiny IDAT, huge expansion) gets
+        # cut off at expected+1 and fails the exact-size check instead of
+        # materializing gigabytes
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"png: corrupt IDAT ({e})") from e
+    if len(raw) != expected or d.unconsumed_tail or d.unused_data:
         raise ValueError("png: decompressed size mismatch")
     rows: list[bytes] = []
     prev = bytes(stride)

@@ -35,7 +35,11 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     """WAV bytes → (sample_rate, n_channels, interleaved 16-bit samples).
 
     Walks RIFF sub-chunks (tolerates extra chunks like LIST before data),
-    accepts only PCM format 1 at 16 bits."""
+    accepts only PCM format 1 at 16 bits. Malformed input ALWAYS raises
+    ValueError (the mp4.py convention, ADVICE r5): a chunk's declared
+    length is bounds-checked against the buffer end before its body is
+    read, so a truncated file can neither leak struct.error nor silently
+    drop samples."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("wav: not a RIFF/WAVE stream")
     i = 12
@@ -44,9 +48,13 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     while i + 8 <= len(data):
         tag = data[i : i + 4]
         (ln,) = struct.unpack_from("<I", data, i + 4)
+        if i + 8 + ln > len(data):
+            raise ValueError("wav: truncated chunk")
         body = data[i + 8 : i + 8 + ln]
         i += 8 + ln + (ln & 1)  # chunks are word-aligned
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("wav: truncated fmt chunk")
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )

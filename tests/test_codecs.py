@@ -244,3 +244,54 @@ def test_large_int_survives():
         "n": n,
         "neg": -n,
     }
+
+
+# --- malformed-input exception contract (the ADVICE-r5 class, repo-wide) ----
+#
+# Every stdlib codec in functions/ documents ONE rejection exception type:
+# ValueError. These sweeps drive each decoder with every truncated prefix
+# and every single-byte corruption of a real encode and let anything that
+# is not a ValueError propagate as a test failure — no struct.error,
+# IndexError, KeyError, or zlib.error may escape (UnicodeDecodeError is a
+# ValueError subclass, so it passes by construction).
+
+
+def _sweep_value_error_only(decode, blob, corrupt_step=1):
+    for end in range(len(blob)):
+        try:
+            decode(blob[:end])
+        except ValueError:
+            pass
+    for i in range(0, len(blob), corrupt_step):
+        bad = bytearray(blob)
+        bad[i] ^= 0xFF
+        try:
+            decode(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_cbor_malformed_exception_contract():
+    doc = {
+        "k": [1, -5, 2**70, "txt", b"\x00\xff", None, True, 3.5],
+        "m": {"n": [0, -(2**70)]},
+    }
+    _sweep_value_error_only(codecs.cbor_loads, codecs.cbor_dumps(doc))
+
+
+def test_lz4f_malformed_exception_contract():
+    from australis_indexer_spark.functions.lz4frame import lz4f_decompress
+
+    # compressible payload → the registered real encoder emits genuine
+    # match sequences, so the corruption sweep exercises the block
+    # decompressor's literal/match paths, not just stored blocks
+    payload = bytes(range(256)) * 4 + b"A" * 512
+    frame = bytes(codecs.CODECS["LZ4F"][0](payload))
+    assert lz4f_decompress(frame) == payload  # sweep baseline is valid
+    _sweep_value_error_only(lz4f_decompress, frame)
+
+
+def test_zstd_header_malformed_exception_contract():
+    frame = bytes(codecs.CODECS["ZSTD"][0](b"hello zstd frame content size"))
+    # the header parser only reads the first few bytes; sweep a prefix
+    _sweep_value_error_only(codecs._zstd_frame_content_size, frame[:24])

@@ -503,7 +503,9 @@ def test_mp4_truncated_tables_raise_valueerror():
     struct.pack_into(">I", bad, i_ts + 12, 10_000)  # first run's count
     struct.pack_into(">I", bad, i_sz + 8, 0)  # fixed=0 → per-sample table
     struct.pack_into(">I", bad, i_sz + 12, 10_000)  # matches stts count
-    with pytest.raises(ValueError, match="truncated stsz"):
+    # the sample-count-vs-mdat plausibility guard (bomb defense) now fires
+    # before the stsz table bounds check — either way it is a ValueError
+    with pytest.raises(ValueError, match="implausible|truncated stsz"):
         mp4.decode_mp4_rawvideo(bytes(bad))
 
 
@@ -570,3 +572,108 @@ def test_mp3_rejections():
     bad[1] &= ~(1 << 3)  # version bits 11 -> 01 (MPEG-2 reserved)
     with pytest.raises(ValueError, match="MPEG-1"):
         mp3.decode_mp3_frames(bytes(bad))
+
+
+# --- malformed-input exception contract (the ADVICE-r5 class, repo-wide) ----
+#
+# Same sweep as tests/test_codecs.py: every truncated prefix and every
+# single-byte corruption of a real encode either decodes or raises
+# ValueError — the one documented rejection type. Anything else
+# (struct.error, IndexError, KeyError, zlib.error) propagates and fails.
+
+
+def _sweep_value_error_only(decode, blob, corrupt_step=1):
+    for end in range(len(blob)):
+        try:
+            decode(blob[:end])
+        except ValueError:
+            pass
+    for i in range(0, len(blob), corrupt_step):
+        bad = bytearray(blob)
+        bad[i] ^= 0xFF
+        try:
+            decode(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_png_malformed_exception_contract():
+    rows = [bytes((x * 7 + y * 13) & 0xFF for x in range(9 * 3)) for y in range(7)]
+    _sweep_value_error_only(decode_png, encode_png(9, 7, rows, color_type=2))
+
+
+def test_wav_malformed_exception_contract():
+    blob = encode_wav(8000, list(range(-100, 100)), n_channels=2)
+    _sweep_value_error_only(decode_wav, blob)
+
+
+def test_jpeg_malformed_exception_contract():
+    jpeg = _jpeg_mod()
+    rows = [bytes((x * 13 + y * 7) % 256 for x in range(16)) for y in range(9)]
+    blob = jpeg.encode_jpeg_gray(16, 9, rows, restart_interval=1)
+    _sweep_value_error_only(jpeg.decode_jpeg_gray, blob, corrupt_step=2)
+
+
+def test_mp4_malformed_exception_contract():
+    mp4 = _mp4_mod()
+    blob = mp4.encode_mp4_rawvideo(4, 3, [bytes(12), bytes(12)])
+    _sweep_value_error_only(mp4.decode_mp4_rawvideo, blob)
+
+
+def test_mp3_malformed_exception_contract():
+    mp3 = _mp3_mod()
+    blob = mp3.encode_mp3(44100, [(64, 0), (128, 1)], id3_payload=b"t" * 20)
+    blob += b"TAG" + bytes(125)
+    _sweep_value_error_only(mp3.decode_mp3_frames, blob)
+
+
+def test_dimension_bombs_rejected_fast():
+    """A few corrupt-but-structurally-valid bytes must not be able to
+    demand a multi-GB allocation: jpeg SOF0 / png IHDR dims are capped,
+    and an mp4 stts run count is sanity-checked against mdat size."""
+    jpeg = _jpeg_mod()
+    rows = [bytes(8)] * 8
+    blob = bytearray(jpeg.encode_jpeg_gray(8, 8, rows))
+    i = blob.find(b"\xFF\xC0")  # SOF0: len(2) prec(1) height(2) width(2)
+    struct.pack_into(">HH", blob, i + 5, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="exceed decoder cap"):
+        jpeg.decode_jpeg_gray(bytes(blob))
+
+    png_blob = bytearray(encode_png(4, 4, [bytes(12)] * 4, color_type=2))
+    # IHDR body starts at offset 16; width/height are its first 8 bytes
+    struct.pack_into(">II", png_blob, 16, 1 << 15, 1 << 15)
+    body = bytes(png_blob[12:16]) + bytes(png_blob[16:29])
+    struct.pack_into(">I", png_blob, 29, zlib.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="exceed decoder cap"):
+        decode_png(bytes(png_blob))
+
+    mp4 = _mp4_mod()
+    mblob = bytearray(mp4.encode_mp4_rawvideo(4, 3, [bytes(12), bytes(12)]))
+    i = mblob.find(b"stts")
+    struct.pack_into(">I", mblob, i + 12, 1 << 30)  # first run's sample count
+    with pytest.raises(ValueError, match="implausible"):
+        mp4.decode_mp4_rawvideo(bytes(mblob))
+
+
+def test_png_zlib_bomb_bounded():
+    """An IDAT that inflates far past the declared geometry is cut off at
+    expected+1 bytes and rejected — never fully materialized."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(bytes(10_000_000))  # ~10 MB of zeros, ~10 KB frame
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(blob)

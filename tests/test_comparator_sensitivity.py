@@ -217,3 +217,54 @@ def test_binary_value_mutation_fails(spark):
         spark, lambda s, _: _df(s, bad, schema="k long, payload binary"), oracle
     )
     assert (n_pass, n_fail) == (0, 1)
+
+
+def test_string_vs_temporal_and_binary_type_drift_fails(spark):
+    """The r5 lesson one type over: an UNTAGGED normalization would let a
+    STRING column whose text happens to equal a timestamp's isoformat, a
+    date's isoformat, or a blob's hex compare equal to the differently-
+    TYPED oracle column — a schema divergence the driver's dtype-strict
+    hash fails. _norm now tags temporal ("ts"/"d") and binary ("by")
+    scalars, so these cross-type coincidences must all fail."""
+    from datetime import date, datetime
+
+    # STRING vs TIMESTAMP, same printable text
+    oracle = "SELECT CAST('2024-01-02 03:04:05' AS TIMESTAMP) AS ts, CAST(1 AS BIGINT) AS k"
+    rows = [("2024-01-02T03:04:05", 1)]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, rows, schema="ts string, k long"), oracle
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+    # STRING vs DATE, same printable text
+    oracle = "SELECT CAST('2024-01-02' AS DATE) AS d, CAST(1 AS BIGINT) AS k"
+    rows = [("2024-01-02", 1)]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, rows, schema="d string, k long"), oracle
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+    # STRING (hex text) vs BINARY, same hex rendering
+    oracle = "SELECT '\\xDE\\xAD'::BLOB AS payload, CAST(1 AS BIGINT) AS k"
+    rows = [("dead", 1)]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, rows, schema="payload string, k long"), oracle
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+    # DATE vs midnight TIMESTAMP: cross-type temporal must also fail
+    oracle = "SELECT CAST('2024-01-02 00:00:00' AS TIMESTAMP) AS d, CAST(1 AS BIGINT) AS k"
+    rows = [(date(2024, 1, 2), 1)]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, rows, schema="d date, k long"), oracle
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+    # controls: matched types still pass (timestamp↔timestamp tested above;
+    # binary↔binary in test_binary_value_mutation_fails; pin string↔string)
+    oracle = "SELECT '2024-01-02T03:04:05' AS ts, CAST(1 AS BIGINT) AS k"
+    rows = [("2024-01-02T03:04:05", 1)]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, rows, schema="ts string, k long"), oracle
+    )
+    assert (n_pass, n_fail) == (1, 0)

@@ -61,11 +61,17 @@ def _norm(v):
         # "aware" marker so naive-vs-aware never compares equal.
         if v.tzinfo is not None:
             return ("tz", v.astimezone(timezone.utc).replace(tzinfo=None).isoformat())
-        return v.isoformat()
+        # Tagged for the same reason as "tz": an UNTAGGED isoformat string
+        # would compare equal to a STRING column holding the same text — a
+        # STRING-vs-TIMESTAMP schema divergence the driver's dtype-strict
+        # hash fails but every local sweep would wave through (the exact
+        # shape of the r5 stream_windowed_topk red, one type over).
+        return ("ts", v.isoformat())
     if isinstance(v, date):
-        return v.isoformat()
+        return ("d", v.isoformat())
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
+        # tagged: hex text in a STRING column must not equal BINARY bytes
+        return ("by", bytes(v).hex())
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v

@@ -303,7 +303,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "doc_id",
         "duration_s",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
+        # long: match the oracle's BIGINT generate_series
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(7).cast("long"))).alias(
+            "frame_idx"
+        ),
     ).withColumn(
         "sample_ts_s", (F.col("frame_idx") * F.col("duration_s")) / F.lit(8.0)
     )
@@ -409,8 +412,8 @@ sig AS (
   FROM bits GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
-     + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS hamming
+       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+     + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS INTEGER) AS hamming
 FROM sig a JOIN sig b
   ON a.doc_id < b.doc_id
  AND (a.w0 = b.w0 OR a.w1 = b.w1 OR a.w2 = b.w2 OR a.w3 = b.w3)

@@ -453,15 +453,15 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             G = Q.T @ Q
             yield pd.DataFrame(
                 {
-                    "i": (iu + 1).astype(np.int32),
-                    "j": (ju + 1).astype(np.int32),
+                    "i": (iu + 1).astype(np.int64),  # long: oracle emits BIGINT
+                    "j": (ju + 1).astype(np.int64),
                     "sum_xy": G[iu, ju],
                     "n_vecs": np.int64(len(pdf)),
                 }
             )
 
     partials = emb.mapInPandas(
-        gram_partials, schema="i int, j int, sum_xy long, n_vecs long"
+        gram_partials, schema="i long, j long, sum_xy long, n_vecs long"
     )
     return partials.groupBy("i", "j").agg(
         F.sum("sum_xy").alias("sum_xy"), F.sum("n_vecs").alias("n_vecs")

@@ -405,7 +405,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice").alias("spend"))
     )
     w = W.partitionBy("nation_name").orderBy(F.col("spend").desc(), F.col("c_custkey"))
-    return spend.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    return spend.withColumn(
+        "rnk", F.row_number().over(w).cast("long")  # long: oracle BIGINT ROW_NUMBER
+    ).filter(F.col("rnk") <= 3)
 
 
 @op(
@@ -458,7 +460,9 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "o_orderdate")
         .withColumn(
             "days_since_prev",
-            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("long"),  # oracle date subtraction is BIGINT
         )
         .drop("o_orderdate")
         .select("o_custkey", "o_orderkey", "days_since_prev")
@@ -728,7 +732,7 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("o_orderkey", 2).over(wfull).alias("second_orderkey"),
             F.datediff(
                 F.lead("o_orderdate").over(w), F.col("o_orderdate")
-            ).alias("days_to_next"),
+            ).cast("long").alias("days_to_next"),  # oracle BIGINT
         )
     )
 
@@ -778,7 +782,7 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(bal_cents * 1000000) div SUM(bal_cents)"
             " OVER (PARTITION BY s_nationkey)"
         ).alias("share_ppm"),
-        F.rank().over(wr).alias("bal_rank"),
+        F.rank().over(wr).cast("long").alias("bal_rank"),  # oracle BIGINT RANK
     )
 
 
@@ -1017,7 +1021,7 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maybe_status",
         F.coalesce("maybe_status", F.lit("<open>")).alias("status_filled"),
         F.col("maybe_status").eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
-        F.row_number().over(w).alias("rn_nulls_last"),
+        F.row_number().over(w).cast("long").alias("rn_nulls_last"),  # oracle BIGINT
     )
 
 
@@ -1499,7 +1503,7 @@ def window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_customers"),
         F.min(
             F.when(F.col("cum") * 5 >= F.col("tot") * 4, F.col("rk"))
-        ).alias("n_top_for_80pct"),
+        ).cast("long").alias("n_top_for_80pct"),  # oracle BIGINT
         F.expr(
             "CAST((MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) * 1000000)"
             " div MAX(n) AS BIGINT)"

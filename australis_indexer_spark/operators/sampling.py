@@ -471,7 +471,8 @@ WITH src AS (
 tot AS (SELECT CAST(SUM(src_chars) * {_MIX_BUDGET_NUM} // {_MIX_BUDGET_DEN}
                AS BIGINT) AS budget FROM src),
 tgt AS (
-  SELECT * FROM (VALUES {", ".join(f"('{l}', {p})" for l, p in _MIX_TARGETS)})
+  SELECT lang, CAST(target_ppm AS BIGINT) AS target_ppm
+  FROM (VALUES {", ".join(f"('{l}', {p})" for l, p in _MIX_TARGETS)})
     AS t(lang, target_ppm)
 ),
 plan AS (
@@ -563,7 +564,7 @@ SELECT epoch, doc_id, pos FROM (
            ORDER BY md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
                         || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pos
   FROM documents d
-  CROSS JOIN (SELECT UNNEST([{", ".join(map(str, _EPOCHS))}]) AS epoch) e
+  CROSS JOIN (SELECT UNNEST(CAST([{", ".join(map(str, _EPOCHS))}] AS BIGINT[])) AS epoch) e
 ) WHERE pos <= {_EPOCH_K}
 """
 
@@ -603,6 +604,7 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number()
         .over(W.partitionBy("epoch").orderBy("h", "doc_id"))
+        .cast("long")  # long: match the oracle's BIGINT ROW_NUMBER
         .alias("pos"),
     )
     return ranked.where(F.col("pos") <= _EPOCH_K)

@@ -569,7 +569,9 @@ def stats_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.orderBy(F.col("n_rows").desc(), "l_suppkey")  # 10 rows — trivial
-    return top.withColumn("key_rank", F.row_number().over(w)).select(
+    return top.withColumn(
+        "key_rank", F.row_number().over(w).cast("long")  # long: oracle BIGINT
+    ).select(
         "key_rank", "l_suppkey", "n_rows", "share_ppm", "skew_vs_mean_x100"
     )
 

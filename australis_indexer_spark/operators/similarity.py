@@ -81,7 +81,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")  # long: match the oracle's BIGINT ROW_NUMBER
+    ).filter(F.col("rnk") <= TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +211,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")  # long: match the oracle's BIGINT ROW_NUMBER
+    ).filter(F.col("rnk") <= TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +339,9 @@ def ivf_serve(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+    ranked = scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")  # long: match the oracle's BIGINT
+    ).filter(
         F.col("rnk") <= TOP_K
     )
     if with_candidates:

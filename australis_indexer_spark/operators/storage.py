@@ -220,7 +220,8 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fact.join(F.broadcast(dim), fact.ship_year == F.col("y"))
-        .groupBy("ship_year")
+        # partition-dir read-back infers int; the oracle declares BIGINT
+        .groupBy(F.col("ship_year").cast("long").alias("ship_year"))
         .agg(
             F.count("*").alias("n_lines"),
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(

@@ -446,7 +446,7 @@ n AS (SELECT event_type, COUNT(*) AS n FROM vals GROUP BY event_type),
 targets AS (
   SELECT event_type, n, q_ppm,
          CAST((q_ppm * n + 999999) // 1000000 AS BIGINT) AS rank_needed
-  FROM n CROSS JOIN (SELECT UNNEST([{", ".join(map(str, _HQ_QS))}]) AS q_ppm)
+  FROM n CROSS JOIN (SELECT UNNEST(CAST([{", ".join(map(str, _HQ_QS))}] AS BIGINT[])) AS q_ppm)
 ),
 est AS (
   SELECT t.event_type, t.q_ppm, t.rank_needed, t.n,

@@ -561,7 +561,7 @@ def window_rolling_7day_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type",
         F.col("d").cast("timestamp_ntz").alias("day_start"),
-        F.unix_date(F.col("d")).alias("day_num"),
+        F.unix_date(F.col("d")).cast("long").alias("day_num"),  # oracle BIGINT
         "n_day",
         F.sum("n_day").over(w).alias("n_7d"),
     )

@@ -104,6 +104,52 @@ def test_no_oracle_emits_timestamptz(ops):
     assert not offenders, f"oracles with tz-aware output columns: {offenders}"
 
 
+def test_oracle_vs_spark_schema_parity(ops, spark):
+    """Full schema-parity audit, the driver's schema_match gate at test
+    time: for every op, the DuckDB oracle's DESCRIBE types and the Spark
+    DataFrame's schema must agree column-for-column under the EXACT
+    bridge mapping — same column names, and only these type pairs:
+    BIGINT↔bigint, VARCHAR↔string, DOUBLE↔double, INTEGER↔int,
+    BOOLEAN↔boolean, TIMESTAMP↔timestamp(_ntz). No width drift is
+    tolerated (a BIGINT oracle column vs a Spark int row_number is the
+    class the r5 verdict called 'free insurance' to align); HUGEINT /
+    DECIMAL / DATE / BLOB oracle outputs are rejected outright since no
+    op emits their Spark counterparts through the pandas bridge today.
+    Both sides bind schemas lazily, so all 246 ops audit in one pass."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.diffcheck import connect_oracle
+
+    sf = "/root/testdata/sf0.001"
+    con = connect_oracle(sf)
+    allowed = {
+        ("BIGINT", "bigint"),
+        ("VARCHAR", "string"),
+        ("DOUBLE", "double"),
+        ("INTEGER", "int"),
+        ("BOOLEAN", "boolean"),
+        ("TIMESTAMP", "timestamp_ntz"),
+        ("TIMESTAMP", "timestamp"),
+    }
+    offenders = []
+    for name, spec in sorted(ops.items()):
+        if spec.oracle is None:
+            continue
+        duck = {r[0]: r[1] for r in con.execute(f"DESCRIBE {spec.oracle}").fetchall()}
+        sfields = {
+            f.name: f.dataType.simpleString()
+            for f in spec.fn(spark, sf).schema.fields
+        }
+        if set(duck) != set(sfields):
+            offenders.append((name, "column-set", sorted(duck), sorted(sfields)))
+            continue
+        for c in duck:
+            if (duck[c], sfields[c]) not in allowed:
+                offenders.append((name, c, duck[c], sfields[c]))
+    assert not offenders, f"oracle/Spark schema drift: {offenders}"
+
+
 def _certification_module():
     import importlib.util as ilu
 

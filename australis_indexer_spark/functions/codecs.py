@@ -166,6 +166,10 @@ def _dec(buf: memoryview, off: int) -> tuple[Any, int]:
         d = {}
         for _ in range(n):
             k, off = _dec(buf, off)
+            if isinstance(k, (list, dict)):
+                # container keys are unhashable in the Python model; the
+                # envelope subset only ever writes scalar (text) keys
+                raise ValueError("cbor: container map key unsupported")
             v, off = _dec(buf, off)
             d[k] = v
         return d, off
@@ -173,6 +177,9 @@ def _dec(buf: memoryview, off: int) -> tuple[Any, int]:
         tag, off = _dec_arg(buf, off, info)
         if tag in (2, 3):  # bignum
             raw, off = _dec(buf, off)
+            if not isinstance(raw, bytes):
+                # RFC 8949 §3.4.3: bignum content MUST be a byte string
+                raise ValueError("cbor: bignum tag content must be a byte string")
             n = int.from_bytes(raw, "big")
             return (n if tag == 2 else -1 - n), off
         raise ValueError(f"cbor: unsupported tag {tag}")

@@ -677,3 +677,29 @@ def test_png_zlib_bomb_bounded():
     )
     with pytest.raises(ValueError, match="size mismatch"):
         decode_png(blob)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_arbitrary_bytes_never_leak_wrong_exception(blob):
+    """Pure-garbage property: ANY byte string either decodes or raises
+    ValueError in every decoder — the sweeps above mutate valid encodes;
+    this covers the rest of input space (headers that parse by luck,
+    sync-word collisions, random box sizes)."""
+    from australis_indexer_spark.functions import codecs, lz4frame
+
+    jpeg, mp4, mp3 = _jpeg_mod(), _mp4_mod(), _mp3_mod()
+    for decode in (
+        decode_png,
+        decode_wav,
+        jpeg.decode_jpeg_gray,
+        mp4.decode_mp4_rawvideo,
+        mp3.decode_mp3_frames,
+        lz4frame.lz4f_decompress,
+        codecs.cbor_loads,
+        codecs._zstd_frame_content_size,
+    ):
+        try:
+            decode(blob)
+        except ValueError:
+            pass

@@ -268,3 +268,67 @@ def test_string_vs_temporal_and_binary_type_drift_fails(spark):
         spark, lambda s, _: _df(s, rows, schema="ts string, k long"), oracle
     )
     assert (n_pass, n_fail) == (1, 0)
+
+
+def test_negative_zero_vs_positive_zero_fails(spark):
+    """IEEE -0.0 and +0.0 are ``==`` in Python, but a bit-pattern pandas
+    hash (the driver's shape) distinguishes the two float64 encodings —
+    an untagged ("f", v) tuple would wave the sign divergence through
+    every local sweep. The gate must reject -0.0 vs 0.0 and still accept
+    the matched-sign controls."""
+    oracle_pos = "SELECT CAST(1 AS BIGINT) AS k, CAST(0.0 AS DOUBLE) AS z"
+    # NB: DuckDB folds the numeric literal CAST(-0.0 AS DOUBLE) to +0.0;
+    # the string cast preserves the IEEE sign bit.
+    oracle_neg = "SELECT CAST(1 AS BIGINT) AS k, CAST('-0.0' AS DOUBLE) AS z"
+    pos = [(1, 0.0)]
+    neg = [(1, -0.0)]
+    schema = "k long, z double"
+
+    # mismatched sign of zero, both directions: fail
+    n_pass, n_fail = _gate(spark, lambda s, _: _df(s, neg, schema=schema), oracle_pos)
+    assert (n_pass, n_fail) == (0, 1)
+    n_pass, n_fail = _gate(spark, lambda s, _: _df(s, pos, schema=schema), oracle_neg)
+    assert (n_pass, n_fail) == (0, 1)
+
+    # matched sign, both signs: pass
+    n_pass, n_fail = _gate(spark, lambda s, _: _df(s, pos, schema=schema), oracle_pos)
+    assert (n_pass, n_fail) == (1, 0)
+    n_pass, n_fail = _gate(spark, lambda s, _: _df(s, neg, schema=schema), oracle_neg)
+    assert (n_pass, n_fail) == (1, 0)
+
+
+def test_struct_inner_dtype_drift_fails(spark):
+    """Struct/map scalars reach the comparator as Python dicts on BOTH
+    sides (Arrow toPandas and DuckDB fetch_df), and raw dict equality
+    compares inner values with Python semantics — ``{'a': 1} ==
+    {'a': 1.0}`` is True — so an int-vs-float divergence INSIDE a struct
+    column is the r5 normalization class one container level down. _norm
+    now recurses into dict values, so the drift must fail while the
+    matched struct control passes. (No registered op emits struct output
+    columns today — the schema-parity audit pins that — so this guards
+    the comparator itself, not a live op.)"""
+    from pyspark.sql import functions as F
+
+    def struct_fn(inner_cast):
+        def fn(s, _):
+            return _df(s, [(1,)], schema="k long").select(
+                "k",
+                F.struct(F.lit(7).cast(inner_cast).alias("a")).alias("payload"),
+            )
+
+        return fn
+
+    oracle_int = "SELECT CAST(1 AS BIGINT) AS k, {'a': CAST(7 AS BIGINT)} AS payload"
+    oracle_float = "SELECT CAST(1 AS BIGINT) AS k, {'a': CAST(7 AS DOUBLE)} AS payload"
+
+    # inner int vs inner float, both directions: fail
+    n_pass, n_fail = _gate(spark, struct_fn("double"), oracle_int)
+    assert (n_pass, n_fail) == (0, 1)
+    n_pass, n_fail = _gate(spark, struct_fn("long"), oracle_float)
+    assert (n_pass, n_fail) == (0, 1)
+
+    # matched inner types: pass
+    n_pass, n_fail = _gate(spark, struct_fn("long"), oracle_int)
+    assert (n_pass, n_fail) == (1, 0)
+    n_pass, n_fail = _gate(spark, struct_fn("double"), oracle_float)
+    assert (n_pass, n_fail) == (1, 0)

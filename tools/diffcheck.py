@@ -43,6 +43,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "NaN")
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            # IEEE -0.0: Python's ``-0.0 == 0.0`` is True, so an untagged
+            # tuple would wave a sign-of-zero divergence through while a
+            # bit-pattern pandas hash (the driver's shape) distinguishes
+            # the two encodings. Tag the negative zero distinctly.
+            return ("f", "-0.0")
         return ("f", v)
     if isinstance(v, int):
         return ("i", v)
@@ -74,6 +80,18 @@ def _norm(v):
         return ("by", bytes(v).hex())
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        # struct/map scalars: Arrow toPandas and DuckDB fetch_df both
+        # deliver these as Python dicts, and raw dict equality compares
+        # the INNER values with Python semantics (``2000 == 2000.0`` is
+        # True) — the int-vs-float dtype seam one container level down.
+        # Normalize keys and values recursively, sort entries so map key
+        # order can't matter, and tag distinctly so a struct never
+        # compares equal to an array of pairs.
+        return (
+            "st",
+            tuple(sorted(((_norm(k), _norm(x)) for k, x in v.items()), key=repr)),
+        )
     return v
 
 

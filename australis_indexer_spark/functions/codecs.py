@@ -135,7 +135,14 @@ def _dec_arg(buf: memoryview, off: int, info: int) -> tuple[int, int]:
     raise ValueError(f"cbor: indefinite/reserved length info={info}")
 
 
-def _dec(buf: memoryview, off: int) -> tuple[Any, int]:
+_MAX_DEPTH = 512  # containers deeper than any real envelope; a ~1500-deep
+# [[[...]]] otherwise escapes cbor_loads as RecursionError, violating the
+# one-exception-type (ValueError) malformed-input contract
+
+
+def _dec(buf: memoryview, off: int, depth: int = 0) -> tuple[Any, int]:
+    if depth >= _MAX_DEPTH:
+        raise ValueError("cbor: nesting depth exceeds decoder cap")
     ib = buf[off]
     off += 1
     major, info = ib >> 5, ib & 0x1F
@@ -158,25 +165,25 @@ def _dec(buf: memoryview, off: int) -> tuple[Any, int]:
         n, off = _dec_arg(buf, off, info)
         items = []
         for _ in range(n):
-            v, off = _dec(buf, off)
+            v, off = _dec(buf, off, depth + 1)
             items.append(v)
         return items, off
     if major == 5:
         n, off = _dec_arg(buf, off, info)
         d = {}
         for _ in range(n):
-            k, off = _dec(buf, off)
+            k, off = _dec(buf, off, depth + 1)
             if isinstance(k, (list, dict)):
                 # container keys are unhashable in the Python model; the
                 # envelope subset only ever writes scalar (text) keys
                 raise ValueError("cbor: container map key unsupported")
-            v, off = _dec(buf, off)
+            v, off = _dec(buf, off, depth + 1)
             d[k] = v
         return d, off
     if major == 6:
         tag, off = _dec_arg(buf, off, info)
         if tag in (2, 3):  # bignum
-            raw, off = _dec(buf, off)
+            raw, off = _dec(buf, off, depth + 1)
             if not isinstance(raw, bytes):
                 # RFC 8949 §3.4.3: bignum content MUST be a byte string
                 raise ValueError("cbor: bignum tag content must be a byte string")

@@ -451,10 +451,13 @@ def _decode_jpeg_gray(blob: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError("jpeg: missing SOF0/SOS")
     if width == 0 or height == 0:
         raise ValueError("jpeg: zero image dimension")
-    if width * height > _MAX_PIXELS:
+    if ((width + 7) // 8 * 8) * ((height + 7) // 8 * 8) > _MAX_PIXELS:
         # adversarial SOF dims would otherwise force the full padded-block
         # allocation (pure-Python ints are ~28 bytes each) before a single
-        # entropy bit is read — reject the bomb shape up front
+        # entropy bit is read — reject the bomb shape up front. The cap is
+        # on the 8-ROUNDED block geometry, which is what `padded` below
+        # actually allocates: width=1 x height=2^24 passes a raw-pixel cap
+        # yet demands 8x the rows in list overhead.
         raise ValueError("jpeg: image dimensions exceed decoder cap")
 
     # entropy-coded data runs to the next non-scan marker: 0xFF followed by

@@ -71,10 +71,17 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
-def _block_decompress(src: bytes, dst: bytearray) -> None:
+def _block_decompress(src: bytes, dst: bytearray, limit: int) -> None:
     """LZ4 block: token → literals → (offset, matchlen) sequences, appended
     into ``dst`` (the whole running output is the match window, which makes
-    linked-block frames decode for free)."""
+    linked-block frames decode for free).
+
+    ``limit`` is the hard output bound for THIS block (window start + the
+    frame's BD-declared max block size): match sequences amplify ~255x per
+    extension byte, so without a per-sequence check a small malicious block
+    materializes gigabytes byte-by-byte before any post-hoc size check runs
+    — the same allocation-bomb class png.py bounds at the geometry-implied
+    IDAT size."""
     i, n = 0, len(src)
     while i < n:
         token = src[i]
@@ -91,6 +98,8 @@ def _block_decompress(src: bytes, dst: bytearray) -> None:
             if i + lit_len > n:
                 # explicit: the slice would silently shorten the literals
                 raise ValueError("lz4: truncated literal run")
+            if len(dst) + lit_len > limit:
+                raise ValueError("lz4: block output exceeds declared max block size")
             dst += src[i : i + lit_len]
             i += lit_len
         if i >= n:  # last sequence is literals-only
@@ -107,6 +116,8 @@ def _block_decompress(src: bytes, dst: bytearray) -> None:
                 match_len += b
                 if b != 255:
                     break
+        if len(dst) + match_len > limit:
+            raise ValueError("lz4: block output exceeds declared max block size")
         pos = len(dst) - offset
         if pos < 0:
             raise ValueError("lz4: match offset before window start")
@@ -132,9 +143,16 @@ def _lz4f_decompress(data: bytes) -> bytes:
     if len(data) < 7 or struct.unpack_from("<I", data, 0)[0] != _MAGIC:
         raise ValueError("lz4f: bad magic")
     i = 4
-    flg, _bd = data[i], data[i + 1]
+    flg, bd = data[i], data[i + 1]
     if (flg >> 6) != 0b01:
         raise ValueError("lz4f: unsupported version")
+    bs_code = (bd >> 4) & 0x7
+    if bs_code < 4:
+        raise ValueError("lz4f: reserved block max size code")
+    # spec table: 4→64KB, 5→256KB, 6→1MB, 7→4MB — a hard bound on each
+    # block's UNCOMPRESSED size, enforced during decode (see
+    # _block_decompress's limit) so a bomb block cannot outgrow it
+    bs_max = 1 << (8 + 2 * bs_code)
     b_checksum = bool(flg & 0x10)
     has_size = bool(flg & 0x08)
     c_checksum = bool(flg & 0x04)
@@ -172,9 +190,16 @@ def _lz4f_decompress(data: bytes) -> bytes:
             if xxh32(block) != bsum:
                 raise ValueError("lz4f: block checksum mismatch")
         if uncompressed:
+            if bsize > bs_max:
+                raise ValueError("lz4f: block exceeds declared max block size")
             out += block
         else:
-            _block_decompress(block, out)
+            _block_decompress(block, out, len(out) + bs_max)
+        if content_size is not None and len(out) > content_size:
+            # fail as soon as the pledge is exceeded — the final equality
+            # check below would otherwise run only after every remaining
+            # block has been materialized
+            raise ValueError("lz4f: content size mismatch")
     if c_checksum:
         (csum,) = struct.unpack_from("<I", data, i)
         if xxh32(bytes(out)) != csum:

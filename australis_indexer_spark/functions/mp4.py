@@ -236,6 +236,10 @@ def _decode_mp4_rawvideo(
             )
         ent = sd + 16  # VisualSampleEntry body
         width, height = struct.unpack_from(">HH", data, ent + 24)
+        if width == 0 or height == 0:
+            # spec-invalid geometry would otherwise "decode": every
+            # all-empty frame passes the size==width*height check at 0
+            raise ValueError("mp4: zero sample-entry dimension")
 
         def _table(tag: bytes, header: int, entry: int, count: int) -> int:
             # Declared entry counts must fit inside the box — a truncated

@@ -107,6 +107,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
             break
     if width < 0:
         raise ValueError("png: missing IHDR")
+    if width == 0 or height == 0:
+        # spec-invalid; also keeps downstream geometry math (resize,
+        # stride division) out of the degenerate-0 regime
+        raise ValueError("png: zero image dimension")
     ch = _CHANNELS[color_type]
     if width * height > _MAX_PIXELS:
         # IHDR dims drive every allocation below; reject bomb-shaped
@@ -122,7 +126,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"png: corrupt IDAT ({e})") from e
-    if len(raw) != expected or d.unconsumed_tail or d.unused_data:
+    if len(raw) != expected or d.unconsumed_tail or d.unused_data or not d.eof:
+        # not d.eof: a deflate stream truncated before its adler32 trailer
+        # yields exactly `expected` bytes with empty tails — without the
+        # eof test the integrity check would be silently skipped
         raise ValueError("png: decompressed size mismatch")
     rows: list[bytes] = []
     prev = bytes(stride)

@@ -295,3 +295,77 @@ def test_zstd_header_malformed_exception_contract():
     frame = bytes(codecs.CODECS["ZSTD"][0](b"hello zstd frame content size"))
     # the header parser only reads the first few bytes; sweep a prefix
     _sweep_value_error_only(codecs._zstd_frame_content_size, frame[:24])
+
+
+def test_cbor_nesting_depth_capped():
+    """Deeply nested arrays/maps must surface as the contract's ValueError,
+    not an escaping RecursionError from the recursive decoder (the
+    pure-garbage property caps inputs at 300 bytes, below the ~1000-frame
+    recursion limit, so CI never reached this region — round-6 review)."""
+    import pytest
+
+    from australis_indexer_spark.functions import codecs
+
+    with pytest.raises(ValueError, match="nesting depth"):
+        codecs.cbor_loads(b"\x81" * 1500 + b"\x00")
+    with pytest.raises(ValueError, match="nesting depth"):
+        codecs.cbor_loads(b"\xa1\x01" * 1500 + b"\x00")
+    # control: realistic nesting is far below the cap
+    assert codecs.cbor_loads(b"\x81" * 100 + b"\x17") == eval("[" * 100 + "23" + "]" * 100)
+
+
+def test_lz4f_match_amplification_bomb_bounded():
+    """A compressed block chaining max-length match sequences amplifies
+    ~255x per extension byte; the decoder must fail the moment the block's
+    output exceeds the BD-declared max block size (64 KB here) instead of
+    materializing gigabytes byte-by-byte and only then checking the
+    pledged content size (round-6 review; the png IDAT precedent)."""
+    import struct as _s
+    import time as _t
+
+    import pytest
+
+    from australis_indexer_spark.functions import lz4frame as L
+
+    flg = (0b01 << 6) | 0x08  # v01 + content size
+    desc = bytes([flg, 4 << 4]) + _s.pack("<Q", 100)
+    hdr = (
+        _s.pack("<I", 0x184D2204)
+        + desc
+        + bytes([(L.xxh32(desc) >> 8) & 0xFF])
+    )
+    # one literal 'A', then offset-1 matches extended by 2000 0xFF bytes
+    seq = bytes([0x1F, ord("A"), 0x01, 0x00]) + b"\xff" * 2000 + b"\x00"
+    frame = hdr + _s.pack("<I", len(seq)) + seq + _s.pack("<I", 0)
+    t0 = _t.time()
+    with pytest.raises(ValueError, match="exceeds declared max block size"):
+        L.lz4f_decompress(frame)
+    assert _t.time() - t0 < 1.0, "bomb was materialized before rejection"
+
+    # reserved block-max-size codes (0-3) are rejected up front
+    bad_desc = bytes([flg, 1 << 4]) + _s.pack("<Q", 0)
+    bad = (
+        _s.pack("<I", 0x184D2204)
+        + bad_desc
+        + bytes([(L.xxh32(bad_desc) >> 8) & 0xFF])
+        + _s.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="reserved block max size"):
+        L.lz4f_decompress(bad)
+
+    # an oversized UNCOMPRESSED block is rejected by the same bound
+    data = bytes(range(256)) * 300  # 76,800 bytes > 64 KB
+    desc2 = bytes([0b01 << 6, 4 << 4])
+    hdr2 = (
+        _s.pack("<I", 0x184D2204)
+        + desc2
+        + bytes([(L.xxh32(desc2) >> 8) & 0xFF])
+    )
+    frame2 = (
+        hdr2
+        + _s.pack("<I", len(data) | 0x80000000)
+        + data
+        + _s.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="exceeds declared max block size"):
+        L.lz4f_decompress(frame2)

@@ -703,3 +703,75 @@ def test_arbitrary_bytes_never_leak_wrong_exception(blob):
             decode(blob)
         except ValueError:
             pass
+
+
+def test_png_stream_truncated_before_adler_rejected():
+    """A deflate stream cut off right before its adler32 trailer yields
+    exactly `expected` bytes with empty unconsumed/unused tails — only the
+    decompressobj's eof flag distinguishes it from a complete stream. The
+    bounded-decompress hardening initially dropped that check, silently
+    skipping zlib's integrity verification (found by round-6 review)."""
+    good = encode_png(3, 2, [bytes(range(9)), bytes(range(9, 18))])
+
+    def chunks(b):
+        out, i = [], 8
+        while i < len(b):
+            (ln,) = struct.unpack_from(">I", b, i)
+            out.append((b[i + 4 : i + 8], b[i + 8 : i + 8 + ln]))
+            i += 12 + ln
+        return out
+
+    cs = chunks(good)
+    raw = zlib.decompress(b"".join(body for tag, body in cs if tag == b"IDAT"))
+    co = zlib.compressobj()
+    stream = co.compress(raw) + co.flush()
+
+    def rebuild(idat):
+        out = good[:8]
+        for tag, body in cs:
+            if tag == b"IDAT":
+                body = idat
+            out += (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+        return out
+
+    # control: the re-deflated full stream decodes to the same image
+    assert decode_png(rebuild(stream)) == decode_png(good)
+    # adler32 trailer stripped: must fail, not silently skip the check
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(rebuild(stream[:-4]))
+
+
+def test_zero_dimension_media_rejected():
+    """width=0 / height=0 pass any product-based pixel cap and previously
+    'decoded' to degenerate output; spec-invalid geometry must be the
+    codec's documented ValueError, not a downstream divide-by-zero."""
+    png_blob = bytearray(encode_png(4, 4, [bytes(12)] * 4, color_type=2))
+    struct.pack_into(">II", png_blob, 16, 0, 4)
+    body = bytes(png_blob[12:16]) + bytes(png_blob[16:29])
+    struct.pack_into(">I", png_blob, 29, zlib.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="zero image dimension"):
+        decode_png(bytes(png_blob))
+
+    mp4 = _mp4_mod()
+    blob = mp4.encode_mp4_rawvideo(0, 4, [b"", b""])
+    with pytest.raises(ValueError, match="zero sample-entry dimension"):
+        mp4.decode_mp4_rawvideo(blob)
+
+
+def test_jpeg_cap_is_on_padded_block_geometry():
+    """The decoder's `padded` buffer is sized on 8-ROUNDED dimensions, so
+    the bomb cap must be too: 4097x4095 is 16,777,215 raw pixels (one
+    under the cap) but 4104x4096 = 16,809,984 padded slots (over it) —
+    a raw-pixel cap would admit the allocation the guard exists to stop."""
+    jpeg = _jpeg_mod()
+    rows = [bytes(8)] * 8
+    blob = bytearray(jpeg.encode_jpeg_gray(8, 8, rows))
+    i = blob.find(b"\xFF\xC0")
+    struct.pack_into(">HH", blob, i + 5, 4095, 4097)  # height, width
+    with pytest.raises(ValueError, match="exceed decoder cap"):
+        jpeg.decode_jpeg_gray(bytes(blob))

@@ -115,7 +115,14 @@ def test_oracle_vs_spark_schema_parity(ops, spark):
     class the r5 verdict called 'free insurance' to align); HUGEINT /
     DECIMAL / DATE / BLOB oracle outputs are rejected outright since no
     op emits their Spark counterparts through the pandas bridge today.
-    Both sides bind schemas lazily, so all 246 ops audit in one pass."""
+
+    Cost note: oracle DESCRIBE always binds lazily, and so do most Spark
+    plans — but ~46 ops (streaming pipelines, iterative training, ops
+    that materialize files) EXECUTE inside spec.fn before returning the
+    DataFrame, so this audit runs them; that is inherent to their shape,
+    not an oversight. An op whose fn raises is reported as an EXECUTION
+    failure (investigate the op's own tests), distinct from schema
+    drift."""
     import sys
 
     sys.path.insert(0, str(REPO))
@@ -137,10 +144,16 @@ def test_oracle_vs_spark_schema_parity(ops, spark):
         if spec.oracle is None:
             continue
         duck = {r[0]: r[1] for r in con.execute(f"DESCRIBE {spec.oracle}").fetchall()}
-        sfields = {
-            f.name: f.dataType.simpleString()
-            for f in spec.fn(spark, sf).schema.fields
-        }
+        try:
+            sfields = {
+                f.name: f.dataType.simpleString()
+                for f in spec.fn(spark, sf).schema.fields
+            }
+        except Exception as e:  # noqa: BLE001
+            offenders.append(
+                (name, "EXECUTION failure (not schema drift)", type(e).__name__, str(e)[:200])
+            )
+            continue
         if set(duck) != set(sfields):
             offenders.append((name, "column-set", sorted(duck), sorted(sfields)))
             continue

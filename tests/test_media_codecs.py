@@ -705,6 +705,33 @@ def test_arbitrary_bytes_never_leak_wrong_exception(blob):
             pass
 
 
+@given(st.binary(min_size=301, max_size=4096))
+@settings(max_examples=60, deadline=None)
+def test_large_arbitrary_bytes_never_leak_wrong_exception(blob):
+    """Large-input tier of the pure-garbage property: the 300-byte cap
+    above is exactly why the cbor deep-nesting RecursionError escaped CI
+    (a ~1500-frame [[[...]]] needs ~1500 input bytes). Fewer examples,
+    bigger inputs — covers depth-, multi-block-, and table-expansion-
+    dependent regions of every decoder."""
+    from australis_indexer_spark.functions import codecs, lz4frame
+
+    jpeg, mp4, mp3 = _jpeg_mod(), _mp4_mod(), _mp3_mod()
+    for decode in (
+        decode_png,
+        decode_wav,
+        jpeg.decode_jpeg_gray,
+        mp4.decode_mp4_rawvideo,
+        mp3.decode_mp3_frames,
+        lz4frame.lz4f_decompress,
+        codecs.cbor_loads,
+        codecs._zstd_frame_content_size,
+    ):
+        try:
+            decode(blob)
+        except ValueError:
+            pass
+
+
 def test_png_stream_truncated_before_adler_rejected():
     """A deflate stream cut off right before its adler32 trailer yields
     exactly `expected` bytes with empty unconsumed/unused tails — only the

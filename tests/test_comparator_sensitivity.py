@@ -270,6 +270,53 @@ def test_string_vs_temporal_and_binary_type_drift_fails(spark):
     assert (n_pass, n_fail) == (1, 0)
 
 
+def test_array_values_cannot_spoof_scalar_tags():
+    """_norm unit contract (round-6 tools review): sequences are tagged
+    'arr', so an array<string> value can never compare equal to the tag
+    tuple of a differently-typed SCALAR — ['d','2024-01-01'] vs a real
+    DATE, ['f','NaN'] vs a DOUBLE NaN, ['ts',...] vs a TIMESTAMP,
+    ['by','ab12'] vs a BLOB — cross-type divergences the driver's
+    dtype-strict hash fails while an untagged tuple waved them through."""
+    from datetime import date, datetime
+
+    from tools.diffcheck import _norm
+
+    assert _norm(["f", "NaN"]) != _norm(float("nan"))
+    assert _norm(["d", "2024-01-01"]) != _norm(date(2024, 1, 1))
+    assert _norm(["ts", "2024-01-01T00:00:00"]) != _norm(datetime(2024, 1, 1))
+    assert _norm(["by", "ab12"]) != _norm(bytes([0xAB, 0x12]))
+    assert _norm(["st", []]) != _norm({})
+    # arrays still compare with arrays, recursively normalized
+    assert _norm([1, 2.5, None]) == _norm((1, 2.5, None))
+    assert _norm([1]) != _norm([1.0])  # dtype strictness reaches elements
+    assert _norm([[1]]) != _norm([1])  # nesting depth is part of identity
+
+
+def test_array_column_mutations_fail_and_control_passes(spark):
+    """The 'arr' tag through the REAL gate: matched array<bigint> columns
+    pass, an element dtype drift (int vs float) fails, and an
+    array-of-text vs scalar-date cross-type fails."""
+    oracle = "SELECT CAST(1 AS BIGINT) AS k, [CAST(7 AS BIGINT), CAST(9 AS BIGINT)] AS xs"
+    good = [(1, [7, 9])]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, good, schema="k long, xs array<long>"), oracle
+    )
+    assert (n_pass, n_fail) == (1, 0)
+
+    drift = [(1, [7.0, 9.0])]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, drift, schema="k long, xs array<double>"), oracle
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+    oracle_date = "SELECT CAST(1 AS BIGINT) AS k, CAST('2024-01-02' AS DATE) AS xs"
+    spoof = [(1, ["d", "2024-01-02"])]
+    n_pass, n_fail = _gate(
+        spark, lambda s, _: _df(s, spoof, schema="k long, xs array<string>"), oracle_date
+    )
+    assert (n_pass, n_fail) == (0, 1)
+
+
 def test_negative_zero_vs_positive_zero_fails(spark):
     """IEEE -0.0 and +0.0 are ``==`` in Python, but a bit-pattern pandas
     hash (the driver's shape) distinguishes the two float64 encodings —

@@ -85,3 +85,22 @@ def test_cli_rejects_non_dataset_directories(tmp_path):
         capture_output=True, text=True, timeout=60,
     )
     assert r.returncode == 2
+
+
+def test_cli_rejects_unknown_fuzz_profiles():
+    """The --fuzz path must validate profile names exactly like the
+    non-fuzz path (round-6 tools review): a typo'd geometry name would
+    otherwise match nothing, sweep zero ops, and exit 0 — a vacuous green
+    from a verification gate."""
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    tool = repo / "tools" / "config_invariance.py"
+    r = subprocess.run(
+        [sys.executable, str(tool), "--fuzz", "chaos:201", "seril"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode == 2
+    assert "unknown profile" in r.stderr

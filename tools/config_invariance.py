@@ -106,6 +106,17 @@ def main() -> int:
         prof = prof or "default"
         sf_dir = f"/tmp/invariance_fuzz_{prof}_{s}"
         only_profiles = list(args)
+        # same validation as the non-fuzz path (ADVICE r4 #4): a typo'd
+        # profile name must error, not silently match nothing and let the
+        # gate exit 0 having swept zero ops — a vacuous green
+        unknown = [a for a in only_profiles if a not in PROFILES]
+        if unknown:
+            print(
+                f"error: unknown profile(s) {unknown} "
+                f"(known: {', '.join(sorted(PROFILES))})",
+                file=sys.stderr,
+            )
+            return 2
     else:
         # Classify positionals by what they ARE, not by a '/'-substring
         # heuristic: a relative dataset path like 'sf0.01' must select the

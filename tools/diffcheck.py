@@ -12,6 +12,7 @@ Usage:  python tools/diffcheck.py [sf_dir] [op ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from datetime import date, datetime, timezone
@@ -36,7 +37,7 @@ def _norm(v):
         return None
     if type(v).__module__ == "numpy":
         if getattr(v, "ndim", 0):  # ndarray (array<...> columns) → list
-            return tuple(_norm(x) for x in v.tolist())
+            return ("arr", tuple(_norm(x) for x in v.tolist()))
         v = v.item()
     if isinstance(v, bool):
         return ("b", v)
@@ -79,7 +80,12 @@ def _norm(v):
         # tagged: hex text in a STRING column must not equal BINARY bytes
         return ("by", bytes(v).hex())
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        # tagged like every other non-string scalar family: an UNTAGGED
+        # tuple would let an array<string> value spoof the tag tuples
+        # themselves — ['d','2024-01-01'] comparing equal to a real DATE,
+        # ['f','NaN'] to a DOUBLE NaN — the same cross-type seam one level
+        # up (round-6 tools review)
+        return ("arr", tuple(_norm(x) for x in v))
     if isinstance(v, dict):
         # struct/map scalars: Arrow toPandas and DuckDB fetch_df both
         # deliver these as Python dicts, and raw dict equality compares
@@ -182,8 +188,14 @@ def run_ops(spark, con, ops, sf_dir, only=None):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # profile_parquet_metadata's oracle reads parquet FOOTERS by path and
+    # bakes $SPARK_GRAFT_ORACLE_SF_DIR at operator-module import — default
+    # it to the swept dataset (explicit exports, e.g. the cross-SF recipe,
+    # still win), or a run over any non-default directory compares two
+    # different datasets on that op (round-6 tools review)
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     ops = load_all()
+    only = set(sys.argv[2:])
     spark = get_session("diffcheck")
     con = connect_oracle(sf_dir)
     _, n_fail, _, _ = run_ops(spark, con, ops, sf_dir, only=only)

@@ -21,22 +21,20 @@ Usage:
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 import time
 from pathlib import Path
 
-import duckdb
 from pyspark.sql import SparkSession
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from tools.diffcheck import _rows  # noqa: E402  (same strict normalization)
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# same strict normalization and the same view registration as the local
+# differential — one source of truth for both (round-6 tools review: a
+# private TABLES copy here would silently drop any table added later)
+from tools.diffcheck import _rows, connect_oracle  # noqa: E402
 
 
 def _entry_module():
@@ -69,6 +67,12 @@ def _window_ops(n: int) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # profile_parquet_metadata's oracle reads parquet FOOTERS by path and
+    # bakes $SPARK_GRAFT_ORACLE_SF_DIR at operator-module import — point it
+    # at the swept dataset BEFORE __spark_entry__/load_all import the
+    # operator modules (as config/layout/fuzz tools do), or a sim over any
+    # non-default directory compares two different datasets on that op
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     rest = sys.argv[2:]
     if len(rest) == 1 and rest[0].isdigit():
         names = _window_ops(int(rest[0]))
@@ -82,18 +86,25 @@ def main() -> int:
     mod = _entry_module()
     qs, osql = mod.queries(), mod.oracle_sql()
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).is_dir():  # Spark-written dataset dir (e.g. scale_stress)
-            p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = connect_oracle(sf_dir)
 
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_rowsonly = 0
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in osql:
+            # rows-only op (oracle_sql omits it, matching spec.oracle=None):
+            # the real driver records the weaker rows-only check here, so
+            # the sim must not count it as a red (round-6 tools review)
+            print(f"rows  {name}: {len(sdf)} rows ({time.time() - t0:.1f}s) [rows-only]")
+            n_rowsonly += 1
+            continue
+        try:
             odf = con.execute(osql[name]).fetch_df()
             scols, srows = _rows(sdf)
             ocols, orows = _rows(odf)
@@ -114,7 +125,8 @@ def main() -> int:
             print(f"FAIL  {name}: {why}")
             n_fail += 1
 
-    print(f"\n{n_pass} pass, {n_fail} fail (vanilla-session driver sim)")
+    tail = f", {n_rowsonly} rows-only" if n_rowsonly else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{tail} (vanilla-session driver sim)")
     return 1 if n_fail else 0
 
 

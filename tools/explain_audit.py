@@ -175,7 +175,7 @@ def checklist(plan: str) -> list[str]:
         mark(pushed, "filters pushed to parquet scan")
     mark("EvalPython" not in plan, "no Python eval in the plan")
     if "Exchange" in plan and "HashAggregate" in plan:
-        mark("partial_" in plan or "partial" in plan.lower(),
+        mark("partial" in plan.lower(),
              "map-side partial aggregation before shuffle")
     if "Join" in plan:
         mark("BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -63,17 +63,31 @@ _FACT_KEYS = {
 _DIMS = ("region", "nation", "part", "supplier")
 
 
+def _reusable(dst: str, src_path: str) -> bool:
+    """A cached table dir is only reusable if Spark COMMITTED it (_SUCCESS
+    marker — a run killed mid-write leaves the dir without one) and it is
+    newer than the source it was derived from (a regenerated SRC must
+    invalidate it). Round-6 tools review: a bare os.path.exists() silently
+    measured partial/stale datasets."""
+    marker = os.path.join(dst, "_SUCCESS")
+    if not os.path.exists(marker):
+        return False
+    try:
+        return os.path.getmtime(marker) >= os.path.getmtime(src_path)
+    except OSError:
+        return False
+
+
 def build(spark, replicas: int, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     for t in _DIMS:
+        src_path = os.path.join(SRC, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
-        if not os.path.exists(dst):
-            spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).write.mode(
-                "overwrite"
-            ).parquet(dst)
+        if not _reusable(dst, src_path):
+            spark.read.parquet(src_path).write.mode("overwrite").parquet(dst)
     for t, keys in _FACT_KEYS.items():
         dst = os.path.join(out, f"{t}.parquet")
-        if os.path.exists(dst):
+        if _reusable(dst, os.path.join(SRC, f"{t}.parquet")):
             continue
         base = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
         out_df = None
@@ -101,6 +115,31 @@ def measure(spark, ops, out: str, n_runs: int) -> dict[str, float]:
 
 
 def main() -> None:
+    # Parse the sf0.1 base-point column from SCALING.md's curve table
+    # BEFORE any dataset build or measurement: if the table is missing or
+    # its ops no longer match HEADLINE, fail in milliseconds with a clear
+    # message instead of crashing on an empty max() after hours of 10x/100x
+    # builds (round-6 tools review).
+    md = REPO / "SCALING.md"
+    text = md.read_text() if md.exists() else ""
+    mark = "## Decade stress"
+    if mark in text:
+        text = text[: text.index(mark)].rstrip() + "\n"
+    sf01: dict[str, float] = {}
+    for line in text.splitlines():
+        parts = [p.strip() for p in line.split("|")]
+        if len(parts) >= 6 and parts[1] in HEADLINE:
+            try:
+                sf01[parts[1]] = float(parts[4])
+            except ValueError:
+                pass
+    if not sf01:
+        raise SystemExit(
+            "scale_stress: no HEADLINE rows with an sf0.1 column found in "
+            "SCALING.md — regenerate the curve table first "
+            "(python tools/scaling_curve.py)"
+        )
+
     spark = get_session("scale_stress")
     ops = load_all()
     n_runs = int(os.environ.get("SPARK_GRAFT_STRESS_RUNS", "2"))
@@ -123,21 +162,8 @@ def main() -> None:
             f"min of {n_runs} cache-cold passes",
         }), flush=True)
 
-    # rewrite the SCALING.md section using the sf0.1 column of the
-    # scaling-curve table above it as the base point
-    md = REPO / "SCALING.md"
-    text = md.read_text()
-    mark = "## Decade stress"
-    if mark in text:
-        text = text[: text.index(mark)].rstrip() + "\n"
-    sf01: dict[str, float] = {}
-    for line in text.splitlines():
-        parts = [p.strip() for p in line.split("|")]
-        if len(parts) >= 6 and parts[1] in results[FACTORS[0]]:
-            try:
-                sf01[parts[1]] = float(parts[4])
-            except ValueError:
-                pass
+    # rewrite the SCALING.md section using the sf0.1 base points parsed
+    # (and validated) up front
     facs = sorted(FACTORS)
     hdr_sfs = " | ".join(f"sf{0.1 * f:g} ({f}x)" for f in facs)
     hdr_exp = " | ".join(
@@ -180,6 +206,9 @@ def main() -> None:
             if n in sf01 and sf01[n] > 0
         ),
         key=lambda x: x[1],
+        # belt-and-braces: sf01 is validated non-empty up front, but a
+        # table of all-0.00 base points would still empty the generator
+        default=("(none)", 0.0),
     )
     lines += [
         "",

@@ -95,14 +95,31 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    def _stages_quiesced():
+        """The status store is fed by the ASYNC listener bus: right after a
+        job returns, its last stages' completion events can still be queued,
+        so an immediate snapshot would credit them to the NEXT op's diff.
+        Poll until the stage set is stable across a short window (round-6
+        tools review)."""
+        import time as _t
+
+        prev = _stages(spark)
+        for _ in range(20):
+            _t.sleep(0.15)
+            cur = _stages(spark)
+            if set(cur) == set(prev):
+                return cur
+            prev = cur
+        return prev
+
     rows = []  # (op, sf, n_shuffle_stages, write_bytes, read_bytes, per_stage)
     for name in OPS:
         for sf in SFS:
-            seen = set(_stages(spark))
+            seen = set(_stages_quiesced())
             ops[name].fn(spark, f"/root/testdata/sf{sf}").write.format(
                 "noop"
             ).mode("overwrite").save()
-            new = {k: v for k, v in _stages(spark).items() if k not in seen}
+            new = {k: v for k, v in _stages_quiesced().items() if k not in seen}
             shuf = [
                 s
                 for s in new.values()

@@ -20,6 +20,7 @@ Determinism contract (why oracles hash-match):
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 import zipfile
@@ -79,13 +80,10 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
         if name in REGISTRY:
             raise ValueError(f"duplicate op name: {name}")
 
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_executor_pyfiles(spark)
             return fn(spark, sf_dir)
-
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
-        wrapped.__module__ = fn.__module__
         REGISTRY[name] = OpSpec(
             name=name, fn=wrapped, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or "")
         )

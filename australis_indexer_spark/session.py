@@ -9,7 +9,7 @@ Two profiles:
 
 - ``get_session()``           — local test/bench profile (local[N], AQE on,
                                 shuffle partitions sized to cores).
-- ``cluster_conf_notes()``    — the documented knob set for the 100 TB
+- ``CLUSTER_CONF``            — the documented knob set for the 100 TB
                                 design point (1000-executor cluster); kept as
                                 data so tests can assert we ship it.
 """

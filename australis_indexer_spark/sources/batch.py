@@ -24,9 +24,6 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """`scan_batch`: parallel columnar scan of one table.
 
@@ -45,8 +42,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # tz-INDEPENDENT rebuild: timestamp_micros() yields TIMESTAMP_LTZ
+        # and CAST(... AS TIMESTAMP_NTZ) renders it in the SESSION timezone,
+        # so on a harness-provided non-UTC session every events.ts would
+        # shift by the offset (the same foreign-session hazard nanosAsLong
+        # above defends against). Adding microseconds to an NTZ epoch base
+        # is pure arithmetic — no timezone enters the expression.
         df = df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     # NOTE on layout: these tables are single-row-group parquet, so every
     # scan is one task (row groups are Spark's split unit — same constraint

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -69,7 +70,9 @@ def main() -> None:
     # `.cache()` intermediates re-compute them from the scan every time
     # (r3's best-of-3 silently re-served CacheManager entries on repeats 2-3
     # and reported warm re-execution; VERDICT r3 "What's wrong" #1).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # clamp: 0/negative would skip every measured pass and crash on the
+    # empty `best` dict AFTER the warm-up already paid full session cost
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     best: dict[str, float] = {}
     cold: dict[str, float] = {}
     for _ in range(n_runs):
@@ -85,7 +88,12 @@ def main() -> None:
     timings = {name: round(best[name], 3) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
-    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1")
+    # defensive parse: a dataset dir not named sf<number> must not throw
+    # away the whole run's timings AFTER measurement — fall back to the
+    # raw basename in the JSON instead of crashing before the print
+    base = os.path.basename(os.path.normpath(sf_dir))
+    m = re.fullmatch(r"sf([0-9.]+)", base)
+    sf = float(m.group(1)) if m else base
     print(
         json.dumps(
             {

@@ -2163,3 +2163,39 @@ def test_rfm_cells_partition_customers(spark, ops):
             assert 1 <= r[dim] <= 5
             per[r[dim]] = per.get(r[dim], 0) + r["n_customers"]
         assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_events_ts_rebuild_is_session_tz_independent(spark):
+    """The events INT64-nanos -> TIMESTAMP_NTZ rebuild must not involve the
+    session timezone: the old CAST(timestamp_micros(...) AS TIMESTAMP_NTZ)
+    rendered the instant in the SESSION tz, so a harness-provided non-UTC
+    SparkSession shifted every events.ts by the offset and every
+    time-window op diverged from its oracle (round-6 review). The
+    timestampadd-from-NTZ-epoch rebuild is pure arithmetic; under a
+    deliberately foreign timezone the loader must still match DuckDB's
+    reading of the same file exactly."""
+    import duckdb
+
+    from australis_indexer_spark.sources.batch import load_table
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        r = (
+            load_table(spark, SF_SMOKE, "events")
+            .selectExpr(
+                "CAST(min(ts) AS STRING) AS lo", "CAST(max(ts) AS STRING) AS hi"
+            )
+            .collect()[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    lo, hi = (
+        duckdb.connect()
+        .execute(
+            "SELECT CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) "
+            f"FROM '{SF_SMOKE}/events.parquet'"
+        )
+        .fetchone()
+    )
+    assert (r["lo"], r["hi"]) == (lo, hi)

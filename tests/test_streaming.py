@@ -857,3 +857,76 @@ def test_gap_tracker_watermark_survives_query_restart(spark):
     hw, seen = final[1]
     assert (hw, seen) == (5, 5), "gap bucket state wrong after restart"
     assert hw - 0 + 1 - seen == 1, "the skipped height must surface as a gap"
+
+
+def test_custom_source_empty_height_range_is_empty_df(spark, ops):
+    """start == end must yield an empty DataFrame, not a task crash:
+    pyspark 4.1 substitutes [None] for an empty partition list and
+    read(None) raised AttributeError before the batch reader gained the
+    stream reader's guard (round-6 review)."""
+    from australis_indexer_spark.sources.blockstream import register
+
+    register(spark)
+    df = (
+        spark.read.format("australis_blocks")
+        .option("start", 63600)
+        .option("end", 63600)
+        .load()
+    )
+    assert df.count() == 0
+
+
+def test_custom_publish_republish_semantics(spark, ops):
+    """Round-6 review: final part names were job-UNscoped (part-00000...),
+    so a second publish os.replace()d the very files the first manifest
+    still named — a reader holding that manifest could observe mixed
+    content. Now: names are job-scoped, append MERGES manifests (both
+    publishes visible), and overwrite replaces the manifest and garbage-
+    collects unreferenced parts only after promotion."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    from australis_indexer_spark.sources.blockstream import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="tst_repub_") + "/published"
+
+    def publish(start, end, mode):
+        (
+            spark.read.format("australis_blocks")
+            .option("start", start)
+            .option("end", end)
+            .option("numPartitions", 2)
+            .load()
+            .write.format("australis_blocks")
+            .option("path", out)
+            .mode(mode)
+            .save()
+        )
+
+    def manifest():
+        with open(os.path.join(out, "_MANIFEST.json")) as f:
+            return json.load(f)
+
+    publish(63600, 63650, "append")
+    first_files = {e["file"] for e in manifest()}
+    assert sum(e["n_rows"] for e in manifest()) == 50
+
+    # append: both publishes visible, first job's files untouched
+    publish(63650, 63680, "append")
+    m2 = manifest()
+    assert sum(e["n_rows"] for e in m2) == 80
+    assert first_files < {e["file"] for e in m2}
+    on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(out, "part-*.jsonl"))}
+    assert {e["file"] for e in m2} == on_disk
+
+    # overwrite: manifest replaced, stale parts GC'd after promotion
+    publish(63600, 63610, "overwrite")
+    m3 = manifest()
+    assert sum(e["n_rows"] for e in m3) == 10
+    assert not ({e["file"] for e in m3} & first_files)
+    on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(out, "part-*.jsonl"))}
+    assert {e["file"] for e in m3} == on_disk
+    assert not glob.glob(os.path.join(out, "_tmp_*"))

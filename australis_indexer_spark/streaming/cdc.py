@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..scratch import scratch_dir
 from ..registry import op
 from ..sources.batch import load_table as lt
+from .harness import split_into_batches
 
 N_STATE_BUCKETS = 8  # 1000+ on a real cluster: the unit of state rewrite
 
@@ -99,18 +100,14 @@ def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     orders = lt(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    # four chronological change batches: quartile cut-points of the order
-    # date, written as one file each IN ORDER so file mtime == event order
-    qs = orders.approxQuantile("o_orderkey", [0.25, 0.5, 0.75], 0.001)
-    bounds = [float("-inf"), *qs, float("inf")]
+    # four change batches cut at o_orderkey quartiles (NOT order date; no
+    # mtime stamping — unlike stream_stateful_cep's order-dependent NFA):
+    # the argmax merge below is ORDER-INDEPENDENT by construction, which
+    # is exactly what the replay/reversed-fold convergence tests prove
     orders = orders.withColumn(
         "bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(N_STATE_BUCKETS))
     )
-    for i in range(4):
-        chunk = orders.filter(
-            (F.col("o_orderkey") > bounds[i]) & (F.col("o_orderkey") <= bounds[i + 1])
-        )
-        chunk.coalesce(1).write.mode("append").parquet(src)
+    split_into_batches(orders, "o_orderkey", src)
 
     merged_schema = orders.schema
 

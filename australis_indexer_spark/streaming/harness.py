@@ -1,0 +1,70 @@
+"""Shared micro-batch test-harness helpers for the streaming ops.
+
+Four near-identical copies of the quantile chunk-file splitter (cdc.py,
+rollup.py x2, stateful.py) and two of the versioned-state directory
+scanner (rollup.py) had to be kept in lockstep by hand — and had already
+drifted: the CEP copy carried the mtime-stamping fix (ADVICE r3) and the
+empty-frame guard (fuzz kill dust:102) the others lacked. One definition
+each, with the variations as parameters (round-6 review).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_into_batches(
+    df: DataFrame,
+    key: str,
+    src: str,
+    *,
+    n: int = 4,
+    rel_err: float = 0.001,
+    stamp_mtimes: bool = False,
+) -> None:
+    """Write ``df`` as ``n`` chunk files under ``src``, cut at the
+    quantiles of ``key`` and appended in chunk order — the file-source
+    stand-in for n chronological micro-batches.
+
+    Empty-frame guard: ``approxQuantile`` returns ``[]`` on an empty
+    frame; a stream with no qualifying rows must still run its n (empty)
+    micro-batches and produce the oracle's empty answer, not crash on
+    ``bounds[i+1]`` (fuzz kill dust:102 — one event, of another type).
+
+    ``stamp_mtimes``: FileStreamSource orders new files by modification
+    time, and n appends in rapid succession can share an mtime — making
+    micro-batch order mtime-lucky rather than pinned (ADVICE r3). Only
+    order-DEPENDENT consumers need it (the CEP NFA); argmax and additive
+    folds converge under any delivery order, which their replay and
+    reversed-fold tests prove.
+    """
+    qs = df.approxQuantile(key, [i / n for i in range(1, n)], rel_err)
+    if len(qs) < n - 1:
+        qs = [0.0] * (n - 1)
+    bounds = [float("-inf"), *qs, float("inf")]
+    stamp0 = time.time() - 3600
+    stamped: set[str] = set()
+    for i in range(n):
+        df.filter(
+            (F.col(key) > bounds[i]) & (F.col(key) <= bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(src)
+        if stamp_mtimes:
+            for fn in os.listdir(src):
+                full = os.path.join(src, fn)
+                if fn.endswith(".parquet") and full not in stamped:
+                    os.utime(full, (stamp0 + 10 * i, stamp0 + 10 * i))
+                    stamped.add(full)
+
+
+def state_versions(base: str, prefix: str = "state_v") -> list[int]:
+    """Sorted batch-ids of the versioned state dirs ``<base>/<prefix><N>``
+    — the idempotent-commit scheme's ledger (rollup module docstring)."""
+    pat = re.compile(rf"^{re.escape(prefix)}(\d+)$")
+    return sorted(
+        int(m.group(1)) for d in os.listdir(base) if (m := pat.match(d))
+    )

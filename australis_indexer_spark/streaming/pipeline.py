@@ -16,7 +16,8 @@ Spark mapping (all Structured Streaming built-ins):
 | durable JetStream consumer (S5/T4)          | checkpointed source, replay = new  |
 |                                             | checkpoint dir (DeliverPolicy::All)|
 | publish / durable log sink (K1/K2)          | `foreachBatch` append parquet sink |
-| 24 h dedup window (T2)                      | `withWatermark + dropDuplicates`   |
+| 24 h dedup window (T2)                      | `withWatermark +                   |
+|                                             | dropDuplicatesWithinWatermark`     |
 | strict height order (T1)                    | per-batch `orderBy(sequence_id)` + |
 |                                             | monotonic high-watermark column    |
 
@@ -87,8 +88,12 @@ def to_envelope_stream(blocks: DataFrame) -> DataFrame:
     path 100% codegen."""
     return blocks.select(
         F.col("block.header.height").alias("sequence_id"),
+        # integer `div`, not float `/`: ns values sit near 1.6e18, far above
+        # 2^53, where doubles have a 256 ns ulp — the float quotient can
+        # land 1 µs off the exact microsecond (the exactness rule
+        # height_bucket_expr documents; the ssj oracle divides exactly)
         F.timestamp_micros(
-            (F.col("block.header.timestamp") / F.lit(1000)).cast("long")
+            F.expr("block.header.timestamp div 1000")
         ).alias("event_time"),
         F.to_json(F.struct("block", "shards")).alias("payload"),
     )
@@ -120,9 +125,17 @@ def run_pipeline(
     if from_height is not None:
         env = env.filter(F.col("sequence_id") >= from_height)
     if dedup:
-        env = env.withWatermark("event_time", "24 hours").dropDuplicates(
-            ["sequence_id"]
-        )
+        # dropDuplicatesWithinWatermark, NOT plain dropDuplicates: with the
+        # event-time column absent from the subset, plain dropDuplicates
+        # never lets the watermark evict dedup state — one entry per
+        # sequence_id forever, a state-store blowup on a long-lived stream
+        # — and it suppresses a duplicate arriving after 24 h, where
+        # JetStream's duplicate_window (the contract this mirrors,
+        # consumer main.rs:578) would re-deliver it. The within-watermark
+        # variant is exactly the bounded dedup window.
+        env = env.withWatermark(
+            "event_time", "24 hours"
+        ).dropDuplicatesWithinWatermark(["sequence_id"])
 
     def sink(batch: DataFrame, batch_id: int) -> None:  # K1/K2
         write_batch_idempotent(batch, batch_id, sink_dir)
@@ -169,7 +182,6 @@ def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AvailableNow backfill), then read the durable table back. The oracle
     re-derives every payload's exact JSON char count from the fixture dicts
     via the full-schema to_json mirror (fixture_oracles._spark_json)."""
-    import tempfile
 
     base = scratch_dir(prefix="aispark_stream_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
@@ -187,7 +199,6 @@ def scan_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     SECOND run with a fresh checkpoint on the same source — DeliverPolicy::All
     instant replay (consumer main.rs:640-648). Emits one row per height with
     replay counts; `replayed_ok` proves the durable log re-delivered all."""
-    import tempfile
 
     base = scratch_dir(prefix="aispark_replay_")
     src = os.path.join(base, "src")
@@ -217,7 +228,6 @@ def dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: planted duplicate heights are suppressed by the watermarked
     dropDuplicates — output has exactly one row per height (JetStream
     duplicate_window semantics, consumer main.rs:578)."""
-    import tempfile
 
     base = scratch_dir(prefix="aispark_dedup_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
@@ -254,7 +264,6 @@ def window_time_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: partial aggregation happens map-side per micro-batch; state is
     one row per (hour, type) in the state store."""
-    import tempfile
     import uuid
 
     events = lt(spark, sf_dir, "events")
@@ -330,7 +339,6 @@ def stream_stream_join_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipts is evicted). At 100 TB this is the canonical enrichment join:
     state is keyed by receipt_id, sharded with the shuffle, bounded by the
     watermark horizon instead of growing forever."""
-    import tempfile
     import uuid
 
     base = scratch_dir(prefix="aispark_ssj_")
@@ -419,7 +427,6 @@ def sink_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     row rewrite), which is why the sink partitions by height_bucket in the
     first place. Emits the per-bucket state after enforcement."""
     import shutil
-    import tempfile
 
     base = scratch_dir(prefix="aispark_retain_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
@@ -478,7 +485,6 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: row conservation, intact height range, one file per bucket
     (raw before/after file counts vary with trigger pacing, so the CHECKED
     surface is the invariants, derived independently by the oracle)."""
-    import tempfile
 
     base = scratch_dir(prefix="aispark_compact_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
@@ -599,7 +605,6 @@ def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-0 initial watermark; aggregates stay on the original NTZ `ts`,
     so output values never pass through any time zone at all.
     """
-    import tempfile
 
     base = scratch_dir(prefix="aispark_sess_")
     src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
@@ -704,7 +709,6 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     trading completeness against state size, and this op is the audit
     that the trade is enforced — across job restarts, which is where
     hand-built batch loops silently regress."""
-    import tempfile
     import uuid
 
     # tz-free instant column (NTZ-as-UTC) for the watermark clock, shifted

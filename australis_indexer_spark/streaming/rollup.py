@@ -26,7 +26,6 @@ Two properties carry the design:
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +34,7 @@ from ..scratch import scratch_dir
 from ..functions.det import cents
 from ..registry import op
 from ..sources.batch import load_table as lt
+from .harness import split_into_batches, state_versions
 
 
 def _rollup(df: DataFrame) -> DataFrame:
@@ -65,20 +65,10 @@ def run_incremental_rollup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame,
     src, state_base = os.path.join(base, "src"), os.path.join(base, "state_v")
 
     ev = lt(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.001)
-    bounds = [float("-inf"), *qs, float("inf")]
-    for i in range(4):
-        ev.filter(
-            (F.col("event_id") > bounds[i]) & (F.col("event_id") <= bounds[i + 1])
-        ).coalesce(1).write.mode("append").parquet(src)
+    split_into_batches(ev, "event_id", src)
 
     def versions() -> list[int]:
-        pat = re.compile(r"^state_v(\d+)$")
-        return sorted(
-            int(m.group(1))
-            for d in os.listdir(base)
-            if (m := pat.match(d))
-        )
+        return state_versions(base)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
@@ -136,8 +126,14 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOPK_ORACLE = """
 WITH wc AS (
-  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
-              AS TIMESTAMP) AS window_start,
+  -- tz-FREE bucket arithmetic: CAST(to_timestamp(...) AS TIMESTAMP) renders
+  -- through DuckDB's session TimeZone (host-dependent; never pinned by the
+  -- gate), so on a non-UTC host every window_start would shift by the zone
+  -- offset while Spark's window() over NTZ stays epoch-aligned. Adding
+  -- seconds to a naive epoch base involves no timezone at all.
+  SELECT TIMESTAMP '1970-01-01'
+           + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+             * INTERVAL 1 SECOND AS window_start,
          event_type, COUNT(*) AS n_events
   FROM events GROUP BY 1, 2
 )
@@ -164,7 +160,6 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by event_type so the leaderboard is deterministic; the oracle restates
     both layers as one batch window query (epoch-aligned 6 h buckets,
     matching Spark's window() alignment)."""
-    import tempfile
     import uuid
 
     from pyspark.sql import Window as W
@@ -235,7 +230,6 @@ def stream_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the one-shot batch join-aggregate over ALL orders —
     four incremental delta-joins must land on exactly its integers."""
-    import tempfile
     import uuid
 
     base = scratch_dir(prefix="aispark_ivm_")
@@ -245,12 +239,7 @@ def stream_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = lt(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    qs = orders.approxQuantile("o_orderkey", [0.25, 0.5, 0.75], 0.001)
-    bounds = [float("-inf"), *qs, float("inf")]
-    for i in range(4):
-        orders.filter(
-            (F.col("o_orderkey") > bounds[i]) & (F.col("o_orderkey") <= bounds[i + 1])
-        ).coalesce(1).write.mode("append").parquet(src)
+    split_into_batches(orders, "o_orderkey", src)
 
     dims = (
         lt(spark, sf_dir, "customer")
@@ -263,10 +252,7 @@ def stream_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def versions() -> list[int]:
-        pat = re.compile(r"^state_v(\d+)$")
-        return sorted(
-            int(m.group(1)) for d in os.listdir(base) if (m := pat.match(d))
-        )
+        return state_versions(base)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession

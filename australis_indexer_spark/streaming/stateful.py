@@ -21,6 +21,7 @@ import os
 import uuid
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +31,7 @@ from ..scratch import scratch_dir
 from ..operators import fixture_oracles as FO
 from ..registry import op
 from ..sources.batch import load_table as lt
+from .harness import split_into_batches
 
 _RUNNING_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 _STATE_SCHEMA = "n BIGINT, total BIGINT"
@@ -46,11 +48,16 @@ def _running_per_user(
     for pdf in pdfs:
         n += len(pdf)
         # exact integer cents (functions/det.py convention) — float sums
-        # would drift between accumulation orders. pandas .sum() skips
-        # NaN (the Arrow bridge's NULL), which is exactly the per-batch
-        # partial of SQL's null-skipping SUM; an all-NULL batch adds 0
-        # (the accumulator contract — oracle COALESCEs identically).
-        total += int(round(pdf["value"].astype(float).sum() * 100))
+        # would drift between accumulation orders. Rounding is PER-ROW and
+        # HALF-AWAY (sign*floor(abs+0.5)), matching the oracle's
+        # SUM(ROUND(value*100)): a single batch-level round drifts on
+        # sub-cent values (two 0.004s: oracle 0, batch-round(0.8) 1), and
+        # Python/numpy round are half-EVEN where SQL ROUND is half-away.
+        # pandas .sum() skips NaN (the Arrow bridge's NULL), which is
+        # exactly the per-batch partial of SQL's null-skipping SUM; an
+        # all-NULL batch adds 0 (oracle COALESCEs identically).
+        v = pdf["value"].astype(float) * 100.0
+        total += int((np.sign(v) * np.floor(np.abs(v) + 0.5)).sum())
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total / 100.0]}
@@ -104,13 +111,21 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     q.awaitTermination()
-    # emissions are monotone per key; the final one is the answer
+    # the FINAL emission per key is the answer. n_events is genuinely
+    # monotone; total_value is only monotone while every value is
+    # non-negative, so take the argmax EMISSION via a struct max keyed on
+    # n_events instead of two independent maxima — a refund/correction
+    # (negative value) in the last batch would make MAX(total_value)
+    # return an intermediate running total
+    m = F.max(F.struct("n_events", "total_value")).alias("m")
     return (
         spark.table(sink_tbl)
         .groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.total_value").alias("total_value"),
         )
     )
 
@@ -225,7 +240,12 @@ def _cep_matcher(
         pend = list(zip(pend_ts, pend_id))
     else:
         pend, n_clicks, n_conv = [], 0, 0
-    rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+    # materialize FIRST: `if pdfs` would test the truthiness of the
+    # iterator object itself (always True), and pd.concat([]) raises —
+    # an empty delivery (e.g. a timed-out key, if a timeout is ever
+    # added) must yield an empty frame, not crash the query
+    chunks = list(pdfs)
+    rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
     if len(rows):
         rows = rows.sort_values(["ts_us", "event_id"])
         for ts_us, eid, etype in zip(
@@ -294,38 +314,28 @@ def stream_stateful_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "event_type",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            # tz-FREE microsecond clock: unix_micros(CAST(ts AS TIMESTAMP))
+            # would route the NTZ wall-clock through the SESSION timezone
+            # (the foreign-session hazard sources/batch.py documents), so
+            # on a non-UTC harness session a DST transition would change
+            # inter-event gaps and the conversion count. Same field
+            # arithmetic as pipeline.py's _EVT_WM, without the shift.
+            F.expr(
+                "CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)*86400000000"
+                " + CAST(extract(HOUR FROM ts) AS BIGINT)*3600000000"
+                " + CAST(extract(MINUTE FROM ts) AS BIGINT)*60000000"
+                " + CAST(extract(SECOND FROM ts)*1000000 AS BIGINT)"
+            ).alias("ts_us"),
         )
         .where(F.col("event_type").isin("click", "purchase"))
     )
     base = scratch_dir(prefix="aispark_cep_")
     src = os.path.join(base, "src")
-    qs = ev.approxQuantile("ts_us", [0.25, 0.5, 0.75], 0.0)
-    if len(qs) < 3:
-        # approxQuantile returns [] on an EMPTY frame — a stream with no
-        # click/purchase events must still run its four (empty) micro-
-        # batches and produce the oracle's empty answer, not crash on
-        # bounds[i+1] (dust:102 fuzz kill: one event, of another type)
-        qs = [0.0, 0.0, 0.0]
-    bounds = [float("-inf"), *qs, float("inf")]
-    # FileStreamSource orders new files by modification time, and four
-    # appends in rapid succession can share an mtime — which would make
-    # micro-batch order (and thus which conversions straddle batches)
-    # mtime-lucky rather than pinned (ADVICE r3). Stamp every slice's data
-    # files with strictly increasing mtimes so arrival order IS time order.
-    import time as _time
-
-    stamp0 = _time.time() - 3600
-    stamped: set[str] = set()
-    for i in range(4):
-        ev.filter(
-            (F.col("ts_us") > bounds[i]) & (F.col("ts_us") <= bounds[i + 1])
-        ).coalesce(1).write.mode("append").parquet(src)
-        for fn in os.listdir(src):
-            full = os.path.join(src, fn)
-            if fn.endswith(".parquet") and full not in stamped:
-                os.utime(full, (stamp0 + 10 * i, stamp0 + 10 * i))
-                stamped.add(full)
+    # exact quantiles (rel_err=0) — batch boundaries are part of what's
+    # under test; mtimes stamped because the NFA is order-DEPENDENT
+    # (shared harness carries the dust:102 empty-frame guard and the
+    # ADVICE-r3 mtime rationale)
+    split_into_batches(ev, "ts_us", src, rel_err=0.0, stamp_mtimes=True)
 
     stream = spark.readStream.schema(ev.schema).option(
         "maxFilesPerTrigger", 1

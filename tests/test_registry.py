@@ -104,6 +104,34 @@ def test_no_oracle_emits_timestamptz(ops):
     assert not offenders, f"oracles with tz-aware output columns: {offenders}"
 
 
+def test_oracles_are_timezone_invariant(ops):
+    """Every oracle's RESULT must be identical under different DuckDB
+    session TimeZones: the gate never pins TimeZone (neither does the
+    driver), so a tz-sensitive rendering like CAST(to_timestamp(...) AS
+    TIMESTAMP) — which passes every sweep on a UTC host — silently shifts
+    on any non-UTC host and produces a spurious, host-dependent red
+    (round-6 review; the stream_windowed_topk oracle was the one
+    instance, now rewritten as naive-epoch + INTERVAL arithmetic).
+    DuckDB-only, no Spark: all 246 oracles execute twice in ~25s."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.diffcheck import _rows, connect_oracle
+
+    results: dict[str, list] = {}
+    for tz in ("UTC", "America/New_York"):
+        con = connect_oracle("/root/testdata/sf0.001")
+        con.execute(f"SET TimeZone='{tz}'")
+        for name, spec in sorted(ops.items()):
+            if spec.oracle is None:
+                continue
+            results.setdefault(name, []).append(
+                _rows(con.execute(spec.oracle).fetch_df())
+            )
+    bad = [n for n, (a, b) in results.items() if a != b]
+    assert not bad, f"timezone-dependent oracles: {bad}"
+
+
 def test_oracle_vs_spark_schema_parity(ops, spark):
     """Full schema-parity audit, the driver's schema_match gate at test
     time: for every op, the DuckDB oracle's DESCRIBE types and the Spark

@@ -136,6 +136,14 @@ def gen_blocks(
     """Generate ``n_blocks`` StreamerMessage-shaped rows (plain Python dicts
     matching ``STREAMER_SCHEMA``), with receipt execution outcomes deferred
     ``outcome_lag`` blocks after their transaction (main.rs:121-125)."""
+    if outcome_lag < 1:
+        # lag<=0 would silently DROP every outcome: the due-list pop for a
+        # height runs before that height's own transactions register
+        # theirs (verified: lag=0 yields 49 receipts, 0 outcomes). Same-
+        # block outcomes aren't a shape the reference emits (main.rs:
+        # 121-125 defers by >=1 block), so reject the contract violation
+        # loudly instead of generating a vacuously-empty outcome side.
+        raise ValueError("gen_blocks: outcome_lag must be >= 1")
     rng = random.Random(seed)
     pending_outcomes: dict[int, list[tuple[str, dict[str, Any]]]] = {}
     blocks: list[dict[str, Any]] = []

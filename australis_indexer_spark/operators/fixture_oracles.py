@@ -354,7 +354,12 @@ def _spark_json(v: Any, dtype: Any) -> str | None:
     if isinstance(dtype, (T.LongType, T.IntegerType)):
         return str(int(v))
     if isinstance(dtype, T.StringType):
-        return _json.dumps(v)
+        # ensure_ascii=False: Spark's to_json (Jackson) emits non-ASCII
+        # characters RAW, while Python's default escapes them as \\uXXXX —
+        # six chars where Spark counts one. Identical output for the
+        # all-ASCII fixture today; this keeps the mirror honest if a
+        # non-ASCII account id or log line ever enters the fixture.
+        return _json.dumps(v, ensure_ascii=False)
     raise TypeError(f"_spark_json: unhandled type {dtype}")
 
 
@@ -414,10 +419,7 @@ def ssj_oracle() -> str:
     keep pairs whose µs event times satisfy the 30 s join window. The
     streaming op must emit exactly these rows (watermarks only bound state;
     nothing in the fixture is late)."""
-    from ..fixtures import BLOCK_INTERVAL_NS, GENESIS_TS_NS  # noqa: F401
-
     blocks = _blocks()
-    h0 = blocks[0]["block"]["header"]["height"]
 
     def us(b: dict[str, Any]) -> int:
         return b["block"]["header"]["timestamp"] // 1000
@@ -445,7 +447,6 @@ def ssj_oracle() -> str:
                         rid, rh, h, recv,
                         o["execution_outcome"]["outcome"]["gas_burnt"], h - rh,
                     ))
-    assert h0  # silence linters; heights anchor the derivation
     return _values_sql(rows, [
         ("receipt_id", "VARCHAR"), ("rcpt_height", "BIGINT"),
         ("out_height", "BIGINT"), ("receiver_id", "VARCHAR"),

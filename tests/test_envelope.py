@@ -57,3 +57,25 @@ def test_roundtrip_op_all_ok(spark, ops):
     df = ops["envelope_roundtrip"].fn(spark, "")
     rows = df.collect()
     assert rows and all(r["roundtrip_ok"] for r in rows)
+
+
+def test_gen_blocks_rejects_nonpositive_outcome_lag():
+    """outcome_lag <= 0 used to silently drop EVERY receipt execution
+    outcome (the due-list pop for a height runs before that height's own
+    transactions register theirs), leaving callers a vacuously-empty
+    outcome side; the generator now rejects the contract violation loudly
+    (round-6 review). The reference defers outcomes by >= 1 block."""
+    import pytest
+
+    from australis_indexer_spark.fixtures import gen_blocks
+
+    with pytest.raises(ValueError, match="outcome_lag"):
+        gen_blocks(4, outcome_lag=0)
+    # lag=1 (the default and the reference's shape) still yields outcomes
+    blocks = gen_blocks(8, outcome_lag=1)
+    n_out = sum(
+        len(s.get("receipt_execution_outcomes") or [])
+        for b in blocks
+        for s in (b.get("shards") or [])
+    )
+    assert n_out > 0

@@ -93,74 +93,18 @@ def op(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 
 
 # The correctness driver walks ops in registration order with a ~50-op
-# per-round budget. Rounds 1-5 certified 235/246 ever-green; 10 ops have
-# never been inside a driver window and 1 (stream_windowed_topk) is
-# red-latest (r5 oracle-type bug, fixed this round). This tuple is the
-# FULL explicit walk order for all 246 ops, re-pinned for the r6 window
-# (VERDICT r5 'Next round' #1/#5):
-#   slots   1-10  — the final 10 never-driver-seen ops (closing the ledger)
-#   slot      11  — stream_windowed_topk re-certification after the fix
-#   slots  12-246 — driver-green ops ordered by LATEST green round
-#                   ascending (stalest driver evidence first, name-sorted
-#                   within a round), so the ~39 spare r6 window slots
-#                   re-certify the oldest r1 evidence. The committed
-#                   per-round window plan lives in CERTIFICATION.md.
+# per-round budget. Rounds 1-6 closed the ledger: 246/246 ops have a green
+# driver row as their LATEST evidence (CORRECTNESS_r06 certified the final
+# 10 never-seen ops, the fixed r5 red, and 39 of the 45 stalest r1 greens).
+# This tuple is the FULL explicit walk order for all 246 ops, re-pinned for
+# the r7 window (VERDICT r6 'Next round' #1): pure stalest-first rotation —
+# every op ordered by LATEST green round ascending (name-sorted within a
+# round), so the 50-op r7 window re-certifies the 6 leftover r1 greens
+# (judge pre-validated all six value-exact in r6), then the 41 r2 greens,
+# then the first 3 r3 greens. The committed per-round window plan lives in
+# CERTIFICATION.md.
 _PRIORITY = (
-    # --- slots 1-10: never-driver-seen through r5 (VERDICT r5 #1) —
-    # pre-validated in DRIVERSIM_r5 and judge-diffchecked exact in r5.
-    "text_langid_margin",
-    "stats_ab_experiment_readout",
-    "join_strategy_hint_shuffle_hash",
-    "dedup_boilerplate_ngrams",
-    "text_tokenizer_fertility",
-    "sink_csv_gzip_roundtrip",
-    "sim_embedding_drift",
-    "text_novelty_by_source",
-    "multimodal_decode_real",
-    "multimodal_resize_real",
-    # --- slot 11: the r5 red (oracle declared TIMESTAMPTZ, values were
-    # right; CAST fix at streaming/rollup.py) — re-certify first.
-    "stream_windowed_topk",
     # --- driver-green, latest green r1 (stalest-first for rotation)
-    "agg_approx_distinct_users",
-    "agg_cube_order_status",
-    "agg_distinct_active_users",
-    "agg_hash_pricing_summary",
-    "agg_pivot_returnflag",
-    "agg_rollup_sales",
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "explode_actions",
-    "explode_chunks",
-    "explode_outcomes",
-    "explode_receipts",
-    "explode_shards",
-    "explode_state_changes",
-    "explode_tokens",
-    "explode_transactions",
-    "filter_predicate",
-    "filter_shard",
-    "join_anti_customers_without_orders",
-    "join_asof_purchase_attribution",
-    "join_equi_revenue_by_nation",
-    "join_range_ship_lag",
-    "join_semi_customers_with_urgent_orders",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize_plan",
-    "project_counts",
-    "project_keys",
-    "project_paths_canonical",
-    "project_reencode_json",
-    "scan_from_offset",
-    "set_except_churned_buyers",
-    "set_intersect_repeat_buyers",
     "set_union_buyers",
     "sort_topk_orders",
     "window_frame_running_spend",
@@ -361,6 +305,57 @@ _PRIORITY = (
     "udf_pandas_grouped_agg",
     "udf_pandas_scalar_batch",
     "udf_python_udtf_chunks",
+    # --- driver-green, latest green r6 (stalest-first for rotation)
+    "agg_approx_distinct_users",
+    "agg_cube_order_status",
+    "agg_distinct_active_users",
+    "agg_hash_pricing_summary",
+    "agg_pivot_returnflag",
+    "agg_rollup_sales",
+    "dedup_boilerplate_ngrams",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "explode_actions",
+    "explode_chunks",
+    "explode_outcomes",
+    "explode_receipts",
+    "explode_shards",
+    "explode_state_changes",
+    "explode_tokens",
+    "explode_transactions",
+    "filter_predicate",
+    "filter_shard",
+    "join_anti_customers_without_orders",
+    "join_asof_purchase_attribution",
+    "join_equi_revenue_by_nation",
+    "join_range_ship_lag",
+    "join_semi_customers_with_urgent_orders",
+    "join_strategy_hint_shuffle_hash",
+    "multimodal_decode_features",
+    "multimodal_decode_real",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize_plan",
+    "multimodal_resize_real",
+    "project_counts",
+    "project_keys",
+    "project_paths_canonical",
+    "project_reencode_json",
+    "scan_from_offset",
+    "set_except_churned_buyers",
+    "set_intersect_repeat_buyers",
+    "sim_embedding_drift",
+    "sink_csv_gzip_roundtrip",
+    "stats_ab_experiment_readout",
+    "stream_windowed_topk",
+    "text_langid_margin",
+    "text_novelty_by_source",
+    "text_tokenizer_fertility",
 )
 
 
@@ -370,9 +365,9 @@ def load_all() -> dict[str, OpSpec]:
     the ops that most need (re-)certification.
 
     Decorator execution fixes the raw registration order per module; the
-    explicit ``_PRIORITY`` list then front-loads the never-driver-certified
-    ops, the two fixed former reds, and the newly-oracled ops. Everything
-    else keeps its prior relative order (all already driver-green in r1/r2).
+    explicit ``_PRIORITY`` list then imposes the committed walk order —
+    since r7 a pure stalest-first rotation (every op green, ordered by
+    latest green driver round ascending, name-sorted within a round).
     """
     from .operators import wire  # noqa: F401  (imports .envelope first)
     from .streaming import cdc, pipeline, rollup, stateful  # noqa: F401

@@ -263,31 +263,58 @@ def test_r5_window_was_pure_rotation():
         assert n not in hist, f"r5 window op had a prior driver row: {n}"
 
 
-def test_r6_window_plan(ops):
-    """The live walk order IS the committed r6 window plan (VERDICT r5
-    #1/#5): slots 1-10 are exactly the 10 ops with no driver row through
-    r5 (closing the ledger), slot 11 is the r5 red
-    (stream_windowed_topk, oracle-type bug fixed this round), and slots
-    12+ are driver-green ordered by LATEST green round ascending — so the
-    ~39 spare window slots re-certify the stalest r1 evidence first."""
+def test_r6_window_executed_plan():
+    """The round-6 driver window executed the committed plan (VERDICT r5
+    #1/#5). The walk order was since re-pinned for r7, so the check reads
+    the r6 window from the r6 artifact itself: exactly the 10 ops with no
+    driver row through r5, the r5 red (stream_windowed_topk), and 39 ops
+    whose latest green through r5 was r1 — and all 50 came back green."""
+    import json
+
     mod = _certification_module()
+    r6 = json.load(open(REPO / "CORRECTNESS_r06.json"))
+    assert len(r6) == 50
+    assert all(mod._is_green(row) for row in r6.values())
     hist = mod.collect_rows(max_round=5)
-    names = list(ops)
-    never = {n for n in names if n not in hist}
+    never = [n for n in r6 if n not in hist]
     assert len(never) == 10
-    assert set(names[:10]) == never, "slots 1-10 must be the never-seen 10"
-    reds = {n for n, rows in hist.items() if not rows[-1][1]}
-    assert reds == {"stream_windowed_topk"}
-    assert names[10] == "stream_windowed_topk", "slot 11 re-certifies the red"
-    latest_green = {
-        n: max(r for r, g, _ in rows if g)
-        for n, rows in hist.items()
-        if any(g for _, g, _ in rows)
-    }
-    tail_rounds = [latest_green[n] for n in names[11:]]
-    assert tail_rounds == sorted(tail_rounds), (
-        "slots 12+ must order greens stalest-latest-evidence-first"
+    assert "stream_windowed_topk" in r6
+    hist_reds = {n for n, rows in hist.items() if not rows[-1][1]}
+    assert hist_reds == {"stream_windowed_topk"}
+    r1_recerts = [
+        n for n in r6
+        if n in hist and n != "stream_windowed_topk"
+    ]
+    assert len(r1_recerts) == 39
+    assert all(max(r for r, g, _ in hist[n] if g) == 1 for n in r1_recerts)
+
+
+def test_r7_window_plan(ops):
+    """The live walk order IS the committed r7 window plan (VERDICT r6 #1):
+    the ledger is closed (246/246 green-latest through r6, 0 red, 0
+    never-seen), and the full walk is a pure stalest-first rotation —
+    ordered by latest green driver round ascending, name-sorted within a
+    round. Slots 1-6 are the six leftover r1 greens the judge
+    pre-validated in r6; the 50-op window then covers all 41 r2 greens
+    and the first 3 r3 greens."""
+    mod = _certification_module()
+    hist = mod.collect_rows(max_round=6)
+    names = list(ops)
+    assert all(n in hist for n in names), "no never-seen ops remain"
+    assert all(hist[n][-1][1] for n in names), "no red-latest ops remain"
+    latest_green = {n: max(r for r, g, _ in hist[n] if g) for n in names}
+    assert [
+        (latest_green[n], n) for n in names
+    ] == sorted((latest_green[n], n) for n in names), (
+        "walk must be latest-green-round ascending, name-sorted within"
     )
-    # the full 50-slot window therefore covers: 10 never-seen + 1 red +
-    # 39 of the 45 ops whose latest green is r1
-    assert all(latest_green[n] == 1 for n in names[11:50])
+    assert names[:6] == [
+        "set_union_buyers",
+        "sort_topk_orders",
+        "window_frame_running_spend",
+        "window_lag_order_gap",
+        "window_rank_top_customers",
+        "window_time_hourly_events",
+    ]
+    assert all(latest_green[n] == 2 for n in names[6:47])
+    assert all(latest_green[n] == 3 for n in names[47:50])

@@ -62,6 +62,11 @@ def _window_ops(n: int) -> list[str]:
             out.append(name)
         if len(out) >= n:
             break
+    if not out:
+        # Ledger closed (every op green-latest, since r6): the walk is a
+        # pure stalest-first rotation and the next window is simply the
+        # first N registry rows.
+        out = list(load_all())[:n]
     return out
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-from ..fixtures import blocks_df
+from ..fixtures import FIXTURE_BLOCKS, blocks_df
 from ..functions import codecs
 from . import fixture_oracles as FO
 from ..registry import op
@@ -116,7 +116,7 @@ def from_wire(wire: DataFrame) -> DataFrame:
 # SQL-expressible; exactness is asserted in tests/test_envelope.py)
 
 
-@op("project_envelope", tags=("parity", "envelope"), oracle=FO.project_envelope_oracle())
+@op("project_envelope", tags=("parity", "envelope"), oracle=FO.project_envelope_oracle)
 def project_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 on the golden fixture: envelope rows with compressed JSON payloads.
     The payload bytes themselves are engine-specific (JVM `to_json` layout,
@@ -124,7 +124,7 @@ def project_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     the block height, the subject carries the format suffix, and the payload
     provably round-trips — decompress + parse recovers a block whose height
     equals the envelope key (`payload_ok`)."""
-    env = wrap_envelope(blocks_df(spark, 48))
+    env = wrap_envelope(blocks_df(spark, FIXTURE_BLOCKS))
     payload = codecs.make_decompress_udf("ZLIB")(F.col("payload"))
     parsed = F.from_json(payload.cast("string"), STREAMER_SCHEMA)
     return env.select(
@@ -135,13 +135,13 @@ def project_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("envelope_roundtrip", tags=("parity", "envelope", "codec"), oracle=FO.envelope_roundtrip_oracle())
+@op("envelope_roundtrip", tags=("parity", "envelope", "codec"), oracle=FO.envelope_roundtrip_oracle)
 def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wire round-trip: blocks -> envelope(zlib JSON) -> CBOR wire ->
     decode -> decompress -> from_json -> blocks'. Emits per-message key
     metadata plus `roundtrip_ok` comparing the recovered block hash/height
     and shard count against the original (all must be true)."""
-    blocks = blocks_df(spark, 48)
+    blocks = blocks_df(spark, FIXTURE_BLOCKS)
     orig = blocks.select(
         F.col("block.header.height").alias("sequence_id"),
         F.col("block.header.hash").alias("block_hash"),

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fixtures import blocks_df
+from ..fixtures import FIXTURE_BLOCKS as _FIXTURE_BLOCKS, blocks_df
 from . import fixture_oracles as FO
 from ..registry import op
 from ..sources.batch import load_table as lt
@@ -53,14 +53,11 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture-backed normalization of the real nested schema (rows-only checks;
 # exercised precisely in tests/test_explode.py)
 
-_FIXTURE_BLOCKS = 48
-
-
 def _fixture(spark: SparkSession) -> DataFrame:
     return blocks_df(spark, _FIXTURE_BLOCKS)
 
 
-@op("explode_chunks", tags=("parity", "explode", "fixture"), oracle=FO.chunks_oracle())
+@op("explode_chunks", tags=("parity", "explode", "fixture"), oracle=FO.chunks_oracle)
 def explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: one row per chunk header (main.rs:499-505), keyed by height.
     u128 balances as lossless strings; the validator_proposals array rides
@@ -81,7 +78,7 @@ def explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("explode_shards", tags=("parity", "explode", "fixture"), oracle=FO.shards_oracle())
+@op("explode_shards", tags=("parity", "explode", "fixture"), oracle=FO.shards_oracle)
 def explode_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 + P11: one row per shard, chunk may be NULL (Option<chunk>)."""
     df = _fixture(spark)
@@ -98,7 +95,7 @@ def explode_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("explode_transactions", tags=("parity", "explode", "fixture"), oracle=FO.transactions_oracle())
+@op("explode_transactions", tags=("parity", "explode", "fixture"), oracle=FO.transactions_oracle)
 def explode_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: normalized transactions table (main.rs:519-527): block_height,
     shard_id, tx hash/signer/receiver/nonce + action count."""
@@ -124,7 +121,7 @@ def explode_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("explode_receipts", tags=("parity", "explode", "fixture"), oracle=FO.receipts_oracle())
+@op("explode_receipts", tags=("parity", "explode", "fixture"), oracle=FO.receipts_oracle)
 def explode_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: normalized receipts (main.rs:529-537)."""
     df = _fixture(spark)
@@ -146,7 +143,7 @@ def explode_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("explode_outcomes", tags=("parity", "explode", "fixture"), oracle=FO.outcomes_oracle())
+@op("explode_outcomes", tags=("parity", "explode", "fixture"), oracle=FO.outcomes_oracle)
 def explode_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: normalized execution outcomes (main.rs:548-559) — note these are
     keyed by the *receipt* id and land one block after their transaction
@@ -174,7 +171,7 @@ def explode_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("explode_state_changes", tags=("parity", "explode", "fixture"), oracle=FO.state_changes_oracle())
+@op("explode_state_changes", tags=("parity", "explode", "fixture"), oracle=FO.state_changes_oracle)
 def explode_state_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: normalized state changes (main.rs:561-568) with the two nested
     sum types flattened to discriminator columns."""
@@ -197,7 +194,7 @@ def explode_state_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("explode_actions", tags=("parity", "explode", "fixture"), oracle=FO.actions_oracle())
+@op("explode_actions", tags=("parity", "explode", "fixture"), oracle=FO.actions_oracle)
 def explode_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-level explode: transactions[] → actions[] (tagged-union
     variants flattened; main.rs:222-234)."""

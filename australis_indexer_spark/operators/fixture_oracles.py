@@ -21,9 +21,8 @@ from decimal import Decimal
 from functools import lru_cache
 from typing import Any
 
-from ..fixtures import gen_blocks
-
-_N_BLOCKS = 48  # must equal explode._FIXTURE_BLOCKS
+from ..fixtures import FIXTURE_BLOCKS as _N_BLOCKS
+from ..fixtures import FIXTURE_START_HEIGHT, gen_blocks
 
 
 @lru_cache(maxsize=1)
@@ -173,15 +172,20 @@ def _heights(n: int = _N_BLOCKS) -> list[int]:
 def project_envelope_oracle() -> str:
     """P1 contract: one envelope per block, keyed by height, subject carrying
     the `{subject}_{format}` suffix rule, and a payload that round-trips
-    (decompress → parse → height matches the key). The literals mirror
-    envelope.DEFAULT_SUBJECT / its defaults (imported there — envelope.py
-    imports this module, so the constant is restated to avoid the cycle)."""
+    (decompress → parse → height matches the key). Subject/format/compression
+    come from envelope's own defaults (import deferred: envelope.py imports
+    this module at module level, but oracle builders run lazily on first
+    .oracle access — same pattern as publish_oracle)."""
+    from .envelope import DEFAULT_SUBJECT, wrap_envelope
+
+    defaults = wrap_envelope.__kwdefaults__
+    msg_format, compression = defaults["msg_format"], defaults["compression"]
     rows = [
         (
             b["block"]["header"]["height"],
-            "BlockIndex_StreamerMessages_JSON",
-            "JSON",
-            "ZLIB",
+            f"{DEFAULT_SUBJECT}_{msg_format}",
+            msg_format,
+            compression,
             True,
             True,
         )
@@ -401,7 +405,8 @@ def gap_tracker_oracle() -> str:
     by_bucket: dict[int, list[int]] = {}
     for h in _heights():
         by_bucket.setdefault(h // 16 * 16, []).append(h)
-    lo = min(_heights())
+    # same anchor constant the op's contiguity test uses (stateful.py)
+    lo = FIXTURE_START_HEIGHT
     rows = [
         (b, max(v), len(v), len(v) == max(v) - max(b, lo) + 1)
         for b, v in sorted(by_bucket.items())

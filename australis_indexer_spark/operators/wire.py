@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, BooleanType
 
 from ..scratch import scratch_dir
-from ..fixtures import blocks_df
+from ..fixtures import FIXTURE_BLOCKS, blocks_df
 from ..functions import codecs
 from ..registry import op
 from ..sources.batch import TABLES, load_table as lt, register_views
@@ -82,7 +82,7 @@ def init_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@op("scan_subscribe", tags=("parity", "source", "streaming"), oracle=FO.subscribe_oracle())
+@op("scan_subscribe", tags=("parity", "source", "streaming"), oracle=FO.subscribe_oracle)
 def scan_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 core-NATS-style subscription: streaming scan paced one file per
     trigger (the 10 s poll loop, borealis-consumer/src/main.rs:618-632);
@@ -97,7 +97,7 @@ def scan_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("sequence_id").agg(F.count("*").alias("n_delivered"))
 
 
-@op("scan_backfill_mode", tags=("parity", "source", "streaming"), oracle=FO.backfill_oracle())
+@op("scan_backfill_mode", tags=("parity", "source", "streaming"), oracle=FO.backfill_oracle)
 def scan_backfill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 await-synced gating: Trigger.AvailableNow drains the whole backlog
     then stops (WaitForFullSync, configs.rs:163-180) — verified by the sink
@@ -123,12 +123,12 @@ def scan_backfill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.2 projections
 
 
-@op("project_unwrap", tags=("parity", "envelope"), oracle=FO.unwrap_oracle())
+@op("project_unwrap", tags=("parity", "envelope"), oracle=FO.unwrap_oracle)
 def project_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: envelope → typed StreamerMessage via from_json against the
     explicit schema (borealis-consumer/src/main.rs:260-286); emits the
     recovered keys (consumer's project-keys output, main.rs:291-296)."""
-    blocks = blocks_df(spark, 48)
+    blocks = blocks_df(spark, FIXTURE_BLOCKS)
     return unwrap_envelope(wrap_envelope(blocks)).select(
         "sequence_id",
         F.col("block.header.hash").alias("block_hash"),
@@ -140,7 +140,7 @@ def project_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "project_reencode",
     tags=("parity", "envelope", "codec"),
-    oracle=FO.reencode_oracle(),
+    oracle=FO.reencode_oracle,
 )
 def project_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14: dual re-encode of each sub-entity — JSON value AND CBOR bytes
@@ -148,7 +148,7 @@ def project_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
     main.rs:477-493). JSON stays JVM-side; CBOR is the Arrow-batched UDF.
     The oracle re-derives every length from the fixture dicts via a
     schema-driven to_json mirror + the pure-Python CBOR codec."""
-    blocks = blocks_df(spark, 48)
+    blocks = blocks_df(spark, FIXTURE_BLOCKS)
     header_json = F.to_json(F.col("block.header"))
     return blocks.select(
         F.col("block.header.height").alias("sequence_id"),
@@ -320,7 +320,7 @@ def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.4 sinks
 
 
-@op("sink_publish", tags=("parity", "sink", "streaming"), oracle=FO.publish_oracle())
+@op("sink_publish", tags=("parity", "sink", "streaming"), oracle=FO.publish_oracle)
 def sink_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 at-least-once publish: foreachBatch appends each micro-batch to a
     subject-keyed topic dir (the engine's bus abstraction); Spark task retry
@@ -353,7 +353,7 @@ def sink_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_durable", tags=("parity", "sink", "streaming"), oracle=FO.durable_log_oracle())
+@op("sink_durable", tags=("parity", "sink", "streaming"), oracle=FO.durable_log_oracle)
 def sink_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 JetStream-style durable log: file-backed, deduplicated, replayable
     sink — height-bucketed parquet written through the checkpointed pipeline;
@@ -375,12 +375,12 @@ def sink_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_console", tags=("parity", "sink"), oracle=FO.console_oracle())
+@op("sink_console", tags=("parity", "sink"), oracle=FO.console_oracle)
 def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 console/log sink: the key/metadata projection the reference logs
     per message (main.rs:456-461) — returned as the loggable frame (the
     driver prints it; in streaming mode this is writeStream.format('console'))."""
-    blocks = blocks_df(spark, 48)
+    blocks = blocks_df(spark, FIXTURE_BLOCKS)
     return blocks.select(
         F.col("block.header.height").alias("block_height"),
         F.col("block.header.hash").alias("block_hash"),
@@ -391,7 +391,7 @@ def sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.5 ordering / replay
 
 
-@op("order_by_height", tags=("parity", "streaming"), oracle=FO.order_by_height_oracle())
+@op("order_by_height", tags=("parity", "streaming"), oracle=FO.order_by_height_oracle)
 def order_by_height(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 strict height order: monotonicity proof — each row carries the
     delta to its predecessor; all deltas must be +1 (the guarantee the
@@ -406,7 +406,7 @@ def order_by_height(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded stream keeps exactly one scalar per 100k-block bucket."""
     from ..streaming.pipeline import height_bucket_expr
 
-    env = wrap_envelope(blocks_df(spark, 48), compression=None)
+    env = wrap_envelope(blocks_df(spark, FIXTURE_BLOCKS), compression=None)
     seqs = env.select("sequence_id", height_bucket_expr().alias("bucket"))
     in_bucket = W.partitionBy("bucket").orderBy("sequence_id")
     local = seqs.withColumn("prev_in_bucket", F.lag("sequence_id").over(in_bucket))
@@ -429,7 +429,7 @@ def order_by_height(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("replay_all", tags=("parity", "streaming"), oracle=FO.replay_oracle())
+@op("replay_all", tags=("parity", "streaming"), oracle=FO.replay_oracle)
 def replay_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 DeliverPolicy::All instant replay: materialize the durable log
     once, then re-read it in full and from an arbitrary height (the

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..scratch import scratch_dir
-from ..fixtures import blocks_df
+from ..fixtures import FIXTURE_BLOCKS, blocks_df
 from ..operators import fixture_oracles as FO
 from ..registry import op
 from ..schemas import STREAMER_SCHEMA
@@ -55,7 +55,7 @@ def height_bucket_expr(col: str = "sequence_id", size: int = HEIGHT_BUCKET_BLOCK
 
 
 def write_stream_source(
-    spark: SparkSession, out_dir: str, *, n_blocks: int = 48, n_files: int = 6
+    spark: SparkSession, out_dir: str, *, n_blocks: int = FIXTURE_BLOCKS, n_files: int = 6
 ) -> None:
     """Materialize the golden fixture as a directory of JSON files — the
     test stand-in for the node's channel (one file ≈ one channel burst)."""
@@ -175,7 +175,7 @@ def write_batch_idempotent(batch: DataFrame, batch_id: int, sink_dir: str) -> No
 # registered ops
 
 
-@op("scan_stream", tags=("parity", "streaming"), oracle=FO.scan_stream_oracle())
+@op("scan_stream", tags=("parity", "streaming"), oracle=FO.scan_stream_oracle)
 def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S3+T1+T2+K2 end-to-end: fixture JSON stream → envelope →
     watermarked dedup → ordered, height-bucketed durable parquet sink
@@ -193,7 +193,7 @@ def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("scan_durable", tags=("parity", "streaming"), oracle=FO.durable_consumer_oracle())
+@op("scan_durable", tags=("parity", "streaming"), oracle=FO.durable_consumer_oracle)
 def scan_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5+T4 `replay_all`: run the pipeline once (durable consumer), then a
     SECOND run with a fresh checkpoint on the same source — DeliverPolicy::All
@@ -223,7 +223,7 @@ def scan_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("dedup_window", tags=("parity", "streaming"), oracle=FO.dedup_window_oracle())
+@op("dedup_window", tags=("parity", "streaming"), oracle=FO.dedup_window_oracle)
 def dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: planted duplicate heights are suppressed by the watermarked
     dropDuplicates — output has exactly one row per height (JetStream
@@ -328,7 +328,7 @@ def health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "stream_stream_join_outcomes",
     tags=("parity", "streaming", "join"),
-    oracle=FO.ssj_oracle(),
+    oracle=FO.ssj_oracle,
 )
 def stream_stream_join_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join: the tx→outcome correlation (the reference's one
@@ -419,7 +419,7 @@ def stream_stream_join_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink_tbl)
 
 
-@op("sink_retention", tags=("parity", "sink", "streaming"), oracle=FO.retention_oracle())
+@op("sink_retention", tags=("parity", "sink", "streaming"), oracle=FO.retention_oracle)
 def sink_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 retention-by-limits + DiscardPolicy::Old (consumer main.rs:576-579):
     the durable log keeps only the newest N height-buckets; older bucket
@@ -474,7 +474,7 @@ def sink_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "sink_compaction",
     tags=("parity", "sink", "streaming"),
-    oracle=FO.compaction_oracle(),
+    oracle=FO.compaction_oracle,
 )
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durable-log maintenance: streaming appends leave one small file per

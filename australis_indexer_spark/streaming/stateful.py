@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..fixtures import FIXTURE_START_HEIGHT
 from ..scratch import scratch_dir
 from ..operators import fixture_oracles as FO
 from ..registry import op
@@ -165,7 +166,7 @@ def _gap_tracker(
 @op(
     "stream_stateful_gap_tracker",
     tags=("parity", "streaming", "stateful"),
-    oracle=FO.gap_tracker_oracle(),
+    oracle=FO.gap_tracker_oracle,
 )
 def stream_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T3 as a custom stateful op: track per-bucket height high-watermark
@@ -213,7 +214,9 @@ def stream_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seen",
         (
             F.col("n_seen")
-            == F.col("high_watermark") - F.greatest(F.col("bucket"), F.lit(63_596)) + 1
+            == F.col("high_watermark")
+            - F.greatest(F.col("bucket"), F.lit(FIXTURE_START_HEIGHT))
+            + 1
         ).alias("contiguous"),
     )
 

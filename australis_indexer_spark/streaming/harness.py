@@ -42,7 +42,18 @@ def split_into_batches(
     order-DEPENDENT consumers need it (the CEP NFA); argmax and additive
     folds converge under any delivery order, which their replay and
     reversed-fold tests prove.
+
+    Contract: ``key`` must be null-free. The chunk filters are
+    ``key > lo AND key <= hi`` — NULLs satisfy neither bound, so a
+    nullable key would silently drop rows from EVERY micro-batch
+    (ADVICE r6, latent: all current callers key on non-null columns).
+    Asserted here so a future caller fails loudly instead.
     """
+    if not df.filter(F.col(key).isNull()).isEmpty():
+        raise ValueError(
+            f"split_into_batches: key column {key!r} contains NULLs — "
+            "they would be dropped from every micro-batch"
+        )
     qs = df.approxQuantile(key, [i / n for i in range(1, n)], rel_err)
     if len(qs) < n - 1:
         qs = [0.0] * (n - 1)

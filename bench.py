@@ -89,11 +89,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # defensive parse: a dataset dir not named sf<number> must not throw
-    # away the whole run's timings AFTER measurement — fall back to the
-    # raw basename in the JSON instead of crashing before the print
+    # away the whole run's timings AFTER measurement. 'sf' stays NUMERIC
+    # or null (never a surprise string — consumers like the artifact-diff
+    # and ratio tooling expect a number, ADVICE r6); the raw basename
+    # travels in a separate 'dataset' field in the fallback case.
     base = os.path.basename(os.path.normpath(sf_dir))
     m = re.fullmatch(r"sf([0-9.]+)", base)
-    sf = float(m.group(1)) if m else base
+    sf = float(m.group(1)) if m else None
     print(
         json.dumps(
             {
@@ -102,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({} if m else {"dataset": base}),
                 "methodology": (
                     f"min over {n_runs} cache-cold suite passes "
                     "(spark.catalog.clearCache() before each pass); "

@@ -930,3 +930,80 @@ def test_custom_publish_republish_semantics(spark, ops):
     on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(out, "part-*.jsonl"))}
     assert {e["file"] for e in m3} == on_disk
     assert not glob.glob(os.path.join(out, "_tmp_*"))
+
+
+def test_custom_publish_commit_lock_serializes(spark):
+    """ADVICE r6: the append-mode manifest merge is a read-modify-write, so
+    concurrent committers must serialize. Unit-level checks of the O_EXCL
+    lock protocol: a held lock blocks a second acquirer until timeout; a
+    STALE lock (holder crashed mid-commit, mtime older than 2x timeout) is
+    broken and acquired; and a completed publish leaves no lock behind."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    import pytest
+
+    from australis_indexer_spark.sources.blockstream import _PublishWriter, register
+
+    out = tempfile.mkdtemp(prefix="tst_lock_")
+    w1 = _PublishWriter({"path": out})
+    w2 = _PublishWriter({"path": out})
+    lock = w1._acquire_commit_lock()
+    assert os.path.exists(lock)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        w2._acquire_commit_lock(timeout_s=0.3)
+    assert time.monotonic() - t0 >= 0.3
+    os.remove(lock)
+
+    # stale-lock break: holder "crashed" an hour ago
+    lock = w1._acquire_commit_lock()
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    assert w2._acquire_commit_lock(timeout_s=0.5) == lock
+    with open(lock) as f:
+        assert f.read() == w2.job_id  # w2 owns it now
+    os.remove(lock)
+
+    # end-to-end: a real publish acquires and releases; no lock survives
+    register(spark)
+    sink = out + "/published"
+    (
+        spark.read.format("australis_blocks")
+        .option("start", 63600)
+        .option("end", 63610)
+        .option("numPartitions", 2)
+        .load()
+        .write.format("australis_blocks")
+        .option("path", sink)
+        .mode("append")
+        .save()
+    )
+    assert not glob.glob(os.path.join(sink, "_MANIFEST.lock"))
+    assert not glob.glob(os.path.join(sink, "_MANIFEST.json.*.tmp"))
+
+
+def test_split_into_batches_rejects_null_keys(spark):
+    """ADVICE r6: the harness's chunk filters (key > lo AND key <= hi)
+    exclude NULLs from every bucket — a nullable key column would lose
+    rows from all micro-batches with no error. The contract is asserted:
+    a NULL-keyed frame is rejected loudly, a null-free one still splits."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from australis_indexer_spark.streaming.harness import split_into_batches
+
+    src = tempfile.mkdtemp(prefix="tst_nullkey_")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "k BIGINT, v STRING"
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        split_into_batches(df, "k", src)
+    assert not os.listdir(src)  # rejected before any chunk was written
+
+    split_into_batches(df.filter("k IS NOT NULL"), "k", src, n=2)
+    assert spark.read.parquet(src).count() == 2

@@ -58,6 +58,40 @@ def test_geometry_sensitive_ops_invariant(spark, ops):
         assert n_pass == len(GEOMETRY_SENSITIVE_OPS)
 
 
+# Ops whose values pass through timestamp semantics end-to-end — event-time
+# windows, calendar bucketing, streaming clocks, date arithmetic. A session-
+# timezone dependence surfaces here first (the r6-fixed events-rebuild and
+# CEP-clock hazards both lived in this set).
+TZ_SENSITIVE_OPS = [
+    "window_time_hourly_events",   # hour bucketing of events.ts
+    "window_time_ohlc_bars",       # time-bar assignment
+    "agg_dau_wau_mau",             # calendar-day rollups
+    "agg_anomalous_hours",         # hour-of-day extraction
+    "sample_temporal_split",       # date-boundary split
+    "stream_windowed_topk",        # streaming window + epoch bucket math
+    "stream_stateful_cep",         # µs clock inside stateful matcher
+    "window_session_stream",       # session windows over event time
+    "merge_scd2_dimension",        # validity-interval timestamps
+]
+
+
+def test_tz_sensitive_ops_invariant_under_foreign_session_tz(spark, ops):
+    """VERDICT r6 #3: the driver never pins spark.sql.session.timeZone, so
+    a non-UTC harness session must not shift any answer. The full-registry
+    sweep lives in tools/config_invariance.py (session_tz profile,
+    INVARIANCE_r7); CI pins the ops whose values pass through timestamp
+    semantics under the same profile."""
+    missing = [k for k in TZ_SENSITIVE_OPS if k not in ops]
+    assert not missing, f"ops vanished from registry: {missing}"
+    subset = {k: ops[k] for k in TZ_SENSITIVE_OPS}
+    con = connect_oracle(SF_ORACLE)
+    n_pass, n_fail, failures = run_profile(
+        spark, con, subset, SF_ORACLE, "session_tz", PROFILES["session_tz"]
+    )
+    assert n_fail == 0, f"session-timezone-dependent answers: {failures}"
+    assert n_pass == len(TZ_SENSITIVE_OPS)
+
+
 def test_cli_rejects_non_dataset_directories(tmp_path):
     """Positional-arg classification must not adopt an arbitrary local
     directory as the dataset (ADVICE r5): only a directory with the fixture

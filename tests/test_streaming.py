@@ -624,7 +624,11 @@ def test_cdc_upsert_replay_and_out_of_order_converge(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
-def test_stateful_state_survives_query_restart(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_stateful_state_survives_query_restart(spark, provider):
     """applyInPandasWithState state must live in the CHECKPOINT's state
     store, not the query object: run the running-totals stream over wave-1
     files (availableNow terminates), then drop wave-2 files and start a
@@ -633,83 +637,104 @@ def test_stateful_state_survives_query_restart(spark):
     user's (count, cents) accumulator where run 1 left it, so the
     combined final emissions equal the one-shot batch GROUP BY over all
     events. This is the restart a 100 TB live pipeline performs on every
-    deploy."""
+    deploy — parametrized over BOTH state store providers (VERDICT r6 #5:
+    the long-lived deployment runs RocksDB, so the restart proof must
+    cover snapshot+changelog recovery, not just the HDFS-backed default)."""
     import os
     import tempfile
 
-    from australis_indexer_spark.functions.det import dsum
-    from australis_indexer_spark.sources.batch import load_table
-    from australis_indexer_spark.streaming.stateful import (
-        _RUNNING_SCHEMA,
-        _STATE_SCHEMA,
-        _running_per_user,
+    _ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:  # noqa: BLE001 — unset
+        prev = None
+    if provider == "rocksdb":
+        spark.conf.set(conf_key, _ROCKS)
+    try:
 
-    sf = "/root/testdata/sf0.001"
-    events = load_table(spark, sf, "events")
-    base = tempfile.mkdtemp(prefix="tst_state_restart_")
-    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
-    out = os.path.join(base, "out")
-    wave1 = events.filter(F.col("event_id") % 2 == 0)
-    wave2 = events.filter(F.col("event_id") % 2 == 1)
-    wave1.coalesce(1).write.mode("append").parquet(src)
-
-    def run_wave():
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(src)
-        )
-        updates = stream.groupBy("user_id").applyInPandasWithState(
+        from australis_indexer_spark.functions.det import dsum
+        from australis_indexer_spark.sources.batch import load_table
+        from australis_indexer_spark.streaming.stateful import (
+            _RUNNING_SCHEMA,
+            _STATE_SCHEMA,
             _running_per_user,
-            outputStructType=_RUNNING_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        # memory sinks cannot recover from a checkpoint; foreachBatch can
-        q = (
-            updates.writeStream.foreachBatch(
-                lambda b, _id: b.write.mode("append").parquet(out)
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        sf = "/root/testdata/sf0.001"
+        events = load_table(spark, sf, "events")
+        base = tempfile.mkdtemp(prefix="tst_state_restart_")
+        src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+        out = os.path.join(base, "out")
+        wave1 = events.filter(F.col("event_id") % 2 == 0)
+        wave2 = events.filter(F.col("event_id") % 2 == 1)
+        wave1.coalesce(1).write.mode("append").parquet(src)
+
+        def run_wave():
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(src)
             )
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            updates = stream.groupBy("user_id").applyInPandasWithState(
+                _running_per_user,
+                outputStructType=_RUNNING_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            # memory sinks cannot recover from a checkpoint; foreachBatch can
+            q = (
+                updates.writeStream.foreachBatch(
+                    lambda b, _id: b.write.mode("append").parquet(out)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sum(p["numInputRows"] for p in q.recentProgress)
+
+        rows1 = run_wave()
+        wave2.coalesce(1).write.mode("append").parquet(src)
+        rows2 = run_wave()
+
+        assert rows1 == wave1.count(), "run 1 did not consume exactly wave 1"
+        assert rows2 == wave2.count(), (
+            "restarted query reprocessed old files instead of resuming from "
+            "the checkpoint"
         )
-        q.awaitTermination()
-        return sum(p["numInputRows"] for p in q.recentProgress)
 
-    rows1 = run_wave()
-    wave2.coalesce(1).write.mode("append").parquet(src)
-    rows2 = run_wave()
-
-    assert rows1 == wave1.count(), "run 1 did not consume exactly wave 1"
-    assert rows2 == wave2.count(), (
-        "restarted query reprocessed old files instead of resuming from "
-        "the checkpoint"
-    )
-
-    final = (
-        spark.read.parquet(out)
-        .groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
+        final = (
+            spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
         )
-    )
-    got = {
-        r["user_id"]: (r["n_events"], r["total_value"])
-        for r in final.collect()
-    }
-    want = {
-        r["user_id"]: (r["n_events"], r["total_value"])
-        for r in events.groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
-        .collect()
-    }
-    assert got == want, "state did not survive the restart"
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in final.collect()
+        }
+        want = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+            .collect()
+        }
+        assert got == want, "state did not survive the restart"
+    finally:
+        if provider == "rocksdb":
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
 
 
 def test_cep_pending_click_survives_query_restart(spark):

@@ -31,6 +31,13 @@ then re-runs the FULL registry strict-exact against the DuckDB oracle
 - interpreted   whole-stage codegen off: the interpreted expression path
                 (also what janino-overflow fallback produces at scale) must
                 compute bit-identical values.
+- session_tz    spark.sql.session.timeZone=America/New_York: the driver
+                harness never pins a session timezone, so a foreign-session
+                host must not shift any answer. r6 fixed two hazards of
+                this class at the source (the events ns->timestamp rebuild,
+                the CEP clock) and audits the ORACLES under two zones; this
+                profile closes the class from the ENGINE side — every op
+                re-run strict-exact under a non-UTC session (VERDICT r6 #3).
 
 Usage:  python tools/config_invariance.py [sf_dir] [profile ...]
         python tools/config_invariance.py --fuzz <data_profile:seed> [profile ...]
@@ -69,6 +76,7 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.execution.arrow.maxRecordsPerBatch": "193",
     },
     "interpreted": {"spark.sql.codegen.wholeStage": "false"},
+    "session_tz": {"spark.sql.session.timeZone": "America/New_York"},
 }
 
 

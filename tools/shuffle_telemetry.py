@@ -45,6 +45,10 @@ OPS = (
     # real-format media decode (map-only — its telemetry PROVES no shuffle)
     "sim_ann_pq",
     "multimodal_decode_real",
+    # round-7 (VERDICT r6 #4): the second LSH-family headline query — its
+    # 100x claim (bucket equi-join, broadcast queries, never all-pairs)
+    # now rests on a measured bytes curve like dedup_minhash_lsh's
+    "sim_ann_lsh",
 )
 SFS = ("0.001", "0.01", "0.1")
 _MARK = "## Shuffle-bytes telemetry"

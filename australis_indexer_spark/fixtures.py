@@ -17,7 +17,6 @@ join (SURVEY.md §2.6 join_asof) is genuinely cross-block.
 from __future__ import annotations
 
 import random
-import weakref
 from decimal import Decimal
 from typing import Any
 
@@ -252,13 +251,15 @@ def gen_blocks(
     return blocks
 
 
-# Keyed by the live SparkSession object (weakly — a collected session takes
-# its cached frames with it, where the old id(spark) key pinned DataFrames
-# and dead sessions for process life; VERDICT r6 What's-wrong #2), then by
-# the generator args.
-_DF_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]] = (
-    weakref.WeakKeyDictionary()
-)
+# The per-session fixture cache lives as an attribute ON the SparkSession
+# object itself, so it shares the session's lifetime exactly: when the
+# session object is collected, its cached DataFrames go with it. The r6
+# module-global cache keyed by id(spark) pinned frames and dead sessions
+# for process life (VERDICT r6 What's-wrong #2) — and a WeakKeyDictionary
+# cannot fix that here, because the cached DataFrames strongly reference
+# their session (df._session), keeping the weak key reachable from the
+# values forever (the documented WeakKeyDictionary caveat; round-7 review).
+_CACHE_ATTR = "_aispark_fixture_df_cache"
 
 
 def blocks_df(spark: SparkSession, n_blocks: int = 32, **kw: Any) -> DataFrame:
@@ -267,7 +268,10 @@ def blocks_df(spark: SparkSession, n_blocks: int = 32, **kw: Any) -> DataFrame:
     Cached (and Spark-`.cache()`d) per (session, args): the generator is
     driver-side Python, so repeated fixture-backed ops would otherwise pay
     the createDataFrame serialization on every call."""
-    per_session = _DF_CACHE.setdefault(spark, {})
+    per_session: dict[tuple, DataFrame] | None = getattr(spark, _CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _CACHE_ATTR, per_session)
     key = (n_blocks, tuple(sorted(kw.items())))
     df = per_session.get(key)
     if df is None:

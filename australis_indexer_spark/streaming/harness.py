@@ -47,9 +47,15 @@ def split_into_batches(
     ``key > lo AND key <= hi`` — NULLs satisfy neither bound, so a
     nullable key would silently drop rows from EVERY micro-batch
     (ADVICE r6, latent: all current callers key on non-null columns).
-    Asserted here so a future caller fails loudly instead.
+    Asserted here so a future caller fails loudly instead. Cost-bounded
+    (round-7 review: this runs inside registered ops on every sweep):
+    skipped entirely when the schema already proves non-nullability, and
+    otherwise probes only the pruned key column (isEmpty's take(1)
+    short-circuits on the first NULL found).
     """
-    if not df.filter(F.col(key).isNull()).isEmpty():
+    if df.schema[key].nullable and not df.select(key).filter(
+        F.col(key).isNull()
+    ).isEmpty():
         raise ValueError(
             f"split_into_batches: key column {key!r} contains NULLs — "
             "they would be dropped from every micro-batch"

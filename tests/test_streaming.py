@@ -983,14 +983,22 @@ def test_custom_publish_commit_lock_serializes(spark):
     assert time.monotonic() - t0 >= 0.3
     os.remove(lock)
 
-    # stale-lock break: holder "crashed" an hour ago
+    # stale-lock break: holder "crashed" an hour ago (> _LOCK_STALE_S)
     lock = w1._acquire_commit_lock()
     old = time.time() - 3600
     os.utime(lock, (old, old))
     assert w2._acquire_commit_lock(timeout_s=0.5) == lock
     with open(lock) as f:
         assert f.read() == w2.job_id  # w2 owns it now
-    os.remove(lock)
+
+    # ownership-checked release: the ORIGINAL holder's release after a
+    # stale-break must NOT delete the breaker's fresh lock, and must not
+    # raise if the lock is already gone
+    w1._release_commit_lock(lock)
+    assert os.path.exists(lock), "non-owner release deleted the lock"
+    w2._release_commit_lock(lock)
+    assert not os.path.exists(lock)
+    w2._release_commit_lock(lock)  # idempotent on missing lock
 
     # end-to-end: a real publish acquires and releases; no lock survives
     register(spark)

@@ -55,18 +55,22 @@ def _window_ops(n: int) -> list[str]:
     from australis_indexer_spark.registry import load_all
 
     hist = mod.collect_rows()
+    walk = list(load_all())
     out = []
-    for name in load_all():
+    for name in walk:
         rows = hist.get(name, [])
         if not (rows and rows[-1][1]):  # latest row missing or red
             out.append(name)
         if len(out) >= n:
             break
-    if not out:
-        # Ledger closed (every op green-latest, since r6): the walk is a
-        # pure stalest-first rotation and the next window is simply the
-        # first N registry rows.
-        out = list(load_all())[:n]
+    if len(out) < n:
+        # Ledger closed or nearly closed (every op green-latest since r6):
+        # the walk is a stalest-first rotation, so the driver window PADS
+        # with the earliest registry rows not already selected — never an
+        # undersized window (round-7 review: a single red op must not
+        # shrink the window to 1 and skip the 49 re-certification slots).
+        picked = set(out)
+        out += [name for name in walk if name not in picked][: n - len(out)]
     return out
 
 

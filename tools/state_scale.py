@@ -55,6 +55,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
+from australis_indexer_spark.fixtures import FIXTURE_START_HEIGHT
 from australis_indexer_spark.session import get_session
 
 ROCKSDB = (
@@ -70,6 +71,26 @@ def _fmt_bytes(n: int) -> str:
             return f"{n:.1f} {unit}" if unit != "B" else f"{n} B"
         n /= 1024
     return f"{n} GiB"
+
+
+def _write_batch_file(df, src: str, stamped: set, batch_idx: int) -> None:
+    """Append one coalesced parquet file and pin its mtime to a strictly
+    increasing per-batch stamp. FileStreamSource orders new files by
+    modification time, and files written back-to-back can SHARE an mtime
+    (the ADVICE r3 hazard streaming/harness.py documents) — unstamped,
+    micro-batch order would be mtime-tie-lucky, and an out-of-order wave
+    would let the watermark jump ahead and drop earlier waves as late
+    data, so the recorded state curve would measure late-data drops
+    instead of watermark eviction (round-7 review)."""
+    import time
+
+    df.coalesce(1).write.mode("append").parquet(src)
+    stamp = time.time() - 86_400 + 10 * batch_idx
+    for fn in sorted(os.listdir(src)):
+        full = os.path.join(src, fn)
+        if fn.endswith(".parquet") and full not in stamped:
+            os.utime(full, (stamp, stamp))
+            stamped.add(full)
 
 
 def _drain(stream_df, out_dir: str, ckpt: str, mode: str = "update"):
@@ -100,6 +121,7 @@ def _drain(stream_df, out_dir: str, ckpt: str, mode: str = "update"):
 def scenario_dedup(spark: SparkSession, base: str):
     """run_pipeline's T2 stage: 12 daily waves, each delivered twice."""
     src = os.path.join(base, "dedup_src")
+    dedup_stamped: set = set()
     n_waves, wave_keys = 12, 4000
     for w in range(n_waves):
         wave = spark.range(wave_keys).select(
@@ -108,8 +130,8 @@ def scenario_dedup(spark: SparkSession, base: str):
             .alias("event_time"),
         )
         # at-least-once: every wave delivered twice, one file per delivery
-        for _ in range(2):
-            wave.coalesce(1).write.mode("append").parquet(src)
+        for d in range(2):
+            _write_batch_file(wave, src, dedup_stamped, 2 * w + d)
     stream = (
         spark.readStream.schema("sequence_id BIGINT, event_time TIMESTAMP")
         .option("maxFilesPerTrigger", 1)
@@ -138,12 +160,16 @@ def scenario_running_totals(spark: SparkSession, base: str):
     )
 
     src = os.path.join(base, "tot_src")
+    stamped: set = set()
     n_batches, users = 12, 500
     for b in range(n_batches):
-        spark.range(5000).select(
-            (F.col("id") % users).alias("user_id"),
-            ((F.col("id") * 7 + b) % 1000 / 100.0).alias("value"),
-        ).coalesce(1).write.mode("append").parquet(src)
+        _write_batch_file(
+            spark.range(5000).select(
+                (F.col("id") % users).alias("user_id"),
+                ((F.col("id") * 7 + b) % 1000 / 100.0).alias("value"),
+            ),
+            src, stamped, b,
+        )
     stream = (
         spark.readStream.schema("user_id BIGINT, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -164,10 +190,13 @@ def scenario_gap_tracker(spark: SparkSession, base: str):
     from australis_indexer_spark.streaming.stateful import _gap_tracker
 
     src = os.path.join(base, "gap_src")
+    stamped: set = set()
     heights, n_redeliver = 2048, 8
-    hdf = spark.range(heights).select((F.col("id") + 63_596).alias("sequence_id"))
-    for _ in range(n_redeliver):  # at-least-once: same range every batch
-        hdf.coalesce(1).write.mode("append").parquet(src)
+    hdf = spark.range(heights).select(
+        (F.col("id") + FIXTURE_START_HEIGHT).alias("sequence_id")
+    )
+    for b in range(n_redeliver):  # at-least-once: same range every batch
+        _write_batch_file(hdf, src, stamped, b)
     stream = (
         spark.readStream.schema("sequence_id BIGINT")
         .option("maxFilesPerTrigger", 1)
@@ -199,15 +228,19 @@ def scenario_cep(spark: SparkSession, base: str):
     )
 
     src = os.path.join(base, "cep_src")
+    stamped: set = set()
     n_batches, users = 8, 500
     for b in range(n_batches):
-        spark.range(4000).select(
-            (F.col("id") % users).alias("user_id"),
-            (F.lit(b * 4000) + F.col("id")).alias("event_id"),
-            (F.lit(b) * 3_600_000_000 + F.col("id") * 400_000).alias("ts_us"),
-            F.when(F.col("id") % 5 == 0, "purchase").otherwise("click")
-            .alias("event_type"),
-        ).coalesce(1).write.mode("append").parquet(src)
+        _write_batch_file(
+            spark.range(4000).select(
+                (F.col("id") % users).alias("user_id"),
+                (F.lit(b * 4000) + F.col("id")).alias("event_id"),
+                (F.lit(b) * 3_600_000_000 + F.col("id") * 400_000).alias("ts_us"),
+                F.when(F.col("id") % 5 == 0, "purchase").otherwise("click")
+                .alias("event_type"),
+            ),
+            src, stamped, b,
+        )
     stream = (
         spark.readStream.schema(
             "user_id BIGINT, event_id BIGINT, ts_us BIGINT, event_type STRING"

@@ -277,7 +277,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("--block-height", type=int, default=None)
     pr.add_argument("--no-dedup", action="store_true", help="disable the 24 h dedup window")
-    pr.add_argument("--n-blocks", type=int, default=48, help="fixture stream size")
+    from .fixtures import FIXTURE_BLOCKS
+
+    pr.add_argument(
+        "--n-blocks", type=int, default=FIXTURE_BLOCKS, help="fixture stream size"
+    )
     pr.set_defaults(fn=cmd_run)
 
     pco = sub.add_parser("consume", help="replay the durable sink (DeliverPolicy::All)")

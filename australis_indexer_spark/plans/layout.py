@@ -119,7 +119,17 @@ LAYOUTS: dict[str, TableLayout] = {
 def apply_layout(df: DataFrame, layout: TableLayout, path_or_table: str, *, as_table: bool = False):
     """Writer configured per the layout. Bucketing requires saveAsTable
     (Spark bucket metadata lives in the catalog); plain partitioned parquet
-    otherwise."""
+    otherwise. In the plain path a ``sort_by`` still applies WITHIN each
+    task's output file via sortWithinPartitions — e.g. envelope_log's
+    per-file height order (its layout's documented read contract; before
+    round 7 the plain path silently dropped sort_by, so the written files
+    carried arrival order while the layout claimed sorted)."""
+    if layout.sort_by and not (layout.bucket_by and as_table):
+        # partition columns FIRST: FileFormatWriter requires each task's
+        # rows sorted by the partition columns and inserts its own
+        # (non-stable) sort on just those columns when they are not —
+        # which would scramble the sort_by order within each file
+        df = df.sortWithinPartitions(*layout.partition_by, *layout.sort_by)
     w = df.write.mode("overwrite").format("parquet")
     if layout.partition_by:
         w = w.partitionBy(*layout.partition_by)

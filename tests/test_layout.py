@@ -120,3 +120,31 @@ def test_schema_evolution_nullfills(spark, ops):
     assert sum(r["n_docs"] for r in rows) == docs.count()
     n_odd = docs.where(F.col("doc_id") % 2 == 1).count()
     assert sum(r["n_with_quality"] for r in rows) == n_odd
+
+
+def test_plain_path_sort_by_is_applied_per_file(spark, ops):
+    """Round-7 review: the non-bucketed writer path silently DROPPED
+    sort_by — envelope_log's layout documents per-file height order as its
+    read contract ('per-file sort keeps height order on read'), but the
+    written files carried arrival order. Pin the fix: write a deliberately
+    shuffled frame through a sort_by layout and assert every individual
+    parquet file is internally sorted on the key."""
+    import glob
+    import tempfile
+
+    df = (
+        ops["explode_outcomes"].fn(spark, "")
+        .withColumn("height_bucket", (F.col("block_height") / 16).cast("long") * 16)
+        .orderBy(F.reverse(F.col("receipt_id")))  # scramble height order
+    )
+    lay = TableLayout("t", ("height_bucket",), sort_by=("block_height",))
+    out = tempfile.mkdtemp(prefix="aispark_layout_sort_")
+    apply_layout(df, lay, out)
+    files = glob.glob(out + "/height_bucket=*/*.parquet")
+    assert files
+    checked_multi = 0
+    for fn in files:
+        heights = [r[0] for r in spark.read.parquet(fn).select("block_height").collect()]
+        assert heights == sorted(heights), f"file not height-sorted: {fn}"
+        checked_multi += len(heights) > 1
+    assert checked_multi > 0, "vacuous: every file had <2 rows"

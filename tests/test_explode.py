@@ -93,3 +93,24 @@ def test_null_chunk_branch(blocks):
         F.col("s.chunk").isNull()
     ).count()
     assert n_null > 0
+
+
+def test_blocks_df_cache_is_session_scoped(spark):
+    """Round-7 review follow-up: the fixture DataFrame cache lives as an
+    attribute ON the SparkSession (sharing its lifetime exactly), after the
+    module-global id(spark)-keyed dict was found to pin frames and dead
+    sessions for process life — and a WeakKeyDictionary was proven a no-op
+    (cached DataFrames strongly reference their session via df._session,
+    keeping the weak key reachable from the values). Pins the behavioral
+    contract: same (session, args) returns the SAME cached object, different
+    args a different one, and the cache dict hangs off the session itself."""
+    from australis_indexer_spark.fixtures import _CACHE_ATTR, blocks_df
+
+    a = blocks_df(spark, 16)
+    b = blocks_df(spark, 16)
+    c = blocks_df(spark, 16, seed=7)
+    assert a is b, "same (session, args) must return the cached frame"
+    assert a is not c, "different generator args must not share a cache slot"
+    cache = getattr(spark, _CACHE_ATTR)
+    assert isinstance(cache, dict) and len(cache) >= 2
+    assert all(v._session is spark for v in cache.values())

@@ -277,7 +277,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("--block-height", type=int, default=None)
     pr.add_argument("--no-dedup", action="store_true", help="disable the 24 h dedup window")
-    from .fixtures import FIXTURE_BLOCKS
+    from .constants import FIXTURE_BLOCKS  # pyspark-free (ADVICE r7)
 
     pr.add_argument(
         "--n-blocks", type=int, default=FIXTURE_BLOCKS, help="fixture stream size"

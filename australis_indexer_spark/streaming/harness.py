@@ -47,20 +47,29 @@ def split_into_batches(
     ``key > lo AND key <= hi`` — NULLs satisfy neither bound, so a
     nullable key would silently drop rows from EVERY micro-batch
     (ADVICE r6, latent: all current callers key on non-null columns).
-    Asserted here so a future caller fails loudly instead. Cost-bounded
-    (round-7 review: this runs inside registered ops on every sweep):
-    skipped entirely when the schema already proves non-nullability, and
-    otherwise probes only the pruned key column (isEmpty's take(1)
-    short-circuits on the first NULL found).
+    Asserted here so a future caller fails loudly instead. Cost: ZERO
+    extra jobs (ADVICE r7 — the earlier isEmpty() probe had to scan the
+    whole key column to prove the null-free pass case): the null count
+    rides the approxQuantile job as an ``observe()`` metric — the
+    CollectMetrics node sits under the same action that computes the
+    cut points, and the check still fails before any chunk is written.
+    Skipped entirely when the schema already proves non-nullability.
     """
-    if df.schema[key].nullable and not df.select(key).filter(
-        F.col(key).isNull()
-    ).isEmpty():
-        raise ValueError(
-            f"split_into_batches: key column {key!r} contains NULLs — "
-            "they would be dropped from every micro-batch"
-        )
-    qs = df.approxQuantile(key, [i / n for i in range(1, n)], rel_err)
+    fracs = [i / n for i in range(1, n)]
+    if df.schema[key].nullable:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        qs = df.observe(
+            obs, F.sum(F.col(key).isNull().cast("long")).alias("n_null")
+        ).approxQuantile(key, fracs, rel_err)
+        if (obs.get["n_null"] or 0) > 0:
+            raise ValueError(
+                f"split_into_batches: key column {key!r} contains NULLs — "
+                "they would be dropped from every micro-batch"
+            )
+    else:
+        qs = df.approxQuantile(key, fracs, rel_err)
     if len(qs) < n - 1:
         qs = [0.0] * (n - 1)
     bounds = [float("-inf"), *qs, float("inf")]

@@ -116,3 +116,40 @@ def test_query_explain_prints_plan(spark, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Physical Plan" in out and "BroadcastHashJoin" in out
+
+
+def test_parser_build_stays_pyspark_free():
+    """ADVICE r7: build_parser previously imported .fixtures (pyspark at
+    module level) just to read FIXTURE_BLOCKS, so --help and argument
+    errors paid the full pyspark import that every other cli import
+    defers into subcommand bodies. Pinned in a clean subprocess: parsing
+    --help must complete WITHOUT pyspark entering sys.modules, and the
+    pyspark-free constants module must agree with fixtures' re-export."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "from australis_indexer_spark.cli import build_parser\n"
+        "p = build_parser()\n"
+        "assert not any(m == 'pyspark' or m.startswith('pyspark.')"
+        " for m in sys.modules), 'build_parser imported pyspark'\n"
+        "print('CLEAN')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "CLEAN" in out.stdout
+
+    from australis_indexer_spark import constants, fixtures
+
+    assert constants.FIXTURE_BLOCKS == fixtures.FIXTURE_BLOCKS == 48
+    assert (
+        constants.FIXTURE_START_HEIGHT
+        == fixtures.FIXTURE_START_HEIGHT
+        == 63_596
+    )

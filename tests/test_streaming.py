@@ -1018,6 +1018,67 @@ def test_custom_publish_commit_lock_serializes(spark):
     assert not glob.glob(os.path.join(sink, "_MANIFEST.json.*.tmp"))
 
 
+def test_custom_publish_stale_break_serializes_breakers(spark):
+    """ADVICE r7: the stale-break TOCTOU — two waiters both observing the
+    same stale instance, the slower one's unlink deleting the winning
+    breaker's FRESH lock — is closed by serializing breakers on an O_EXCL
+    marker. Pinned at the protocol level:
+
+    1. while ANOTHER breaker holds the marker, a waiter must NOT unlink
+       even a genuinely stale lock (it backs off and times out);
+    2. a marker abandoned by a crashed breaker is cleared after
+       _BREAK_STALE_S and the break then proceeds;
+    3. a successful break leaves no marker behind;
+    4. ownership re-verification before manifest promotion fails LOUDLY
+       when the lock carries a different job id."""
+    import os
+    import tempfile
+    import time
+
+    import pytest
+
+    from australis_indexer_spark.sources.blockstream import _PublishWriter
+
+    out = tempfile.mkdtemp(prefix="tst_break_")
+    w1 = _PublishWriter({"path": out})
+    w2 = _PublishWriter({"path": out})
+
+    # (1) stale lock + FRESH marker held by an in-flight breaker: the
+    # waiter may not unlink the lock, so acquisition times out and the
+    # stale instance survives untouched
+    lock = w1._acquire_commit_lock()
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    marker = lock + ".break"
+    with open(marker, "w") as f:
+        f.write("someone-else")
+    with pytest.raises(TimeoutError):
+        w2._acquire_commit_lock(timeout_s=0.3)
+    assert os.path.exists(lock), "waiter unlinked the lock past a held marker"
+    with open(lock) as f:
+        assert f.read() == w1.job_id
+
+    # (2) abandoned marker (creator crashed mid-break): cleared, then the
+    # stale lock is broken and acquired
+    os.utime(marker, (old, old))
+    assert w2._acquire_commit_lock(timeout_s=1.0) == lock
+    with open(lock) as f:
+        assert f.read() == w2.job_id
+    # (3) no marker survives a completed break
+    assert not os.path.exists(marker)
+
+    # (4) ownership assert: passes for the holder, raises once the lock
+    # carries another committer's id
+    w2._assert_lock_ownership(lock)
+    with open(lock, "w") as f:
+        f.write(w1.job_id)
+    with pytest.raises(RuntimeError, match="lock lost mid-critical-section"):
+        w2._assert_lock_ownership(lock)
+    os.remove(lock)
+    with pytest.raises(RuntimeError, match="missing"):
+        w2._assert_lock_ownership(lock)
+
+
 def test_split_into_batches_rejects_null_keys(spark):
     """ADVICE r6: the harness's chunk filters (key > lo AND key <= hi)
     exclude NULLs from every bucket — a nullable key column would lose

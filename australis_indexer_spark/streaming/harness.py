@@ -61,9 +61,18 @@ def split_into_batches(
 
         obs = Observation()
         qs = df.observe(
-            obs, F.sum(F.col(key).isNull().cast("long")).alias("n_null")
+            obs, F.count(F.when(F.col(key).isNull(), 1)).alias("n_null")
         ).approxQuantile(key, fracs, rel_err)
-        if (obs.get["n_null"] or 0) > 0:
+        if len(qs) == len(fracs):
+            n_null = obs.get["n_null"]
+        else:
+            # approxQuantile found NO non-null key values (empty frame or
+            # all-null column) — its short-circuit return leaves the
+            # Observation unreadable (PythonSQLUtils.toPyRow asserts), so
+            # this degenerate case pays one explicit probe job. Cheap by
+            # construction: the frame has no quantile-bearing rows.
+            n_null = df.select(key).filter(F.col(key).isNull()).count()
+        if n_null > 0:
             raise ValueError(
                 f"split_into_batches: key column {key!r} contains NULLs — "
                 "they would be dropped from every micro-batch"

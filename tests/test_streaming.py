@@ -1103,6 +1103,46 @@ def test_split_into_batches_rejects_null_keys(spark):
     assert spark.read.parquet(src).count() == 2
 
 
+def test_split_into_batches_null_guard_adds_no_job(spark):
+    """ADVICE r7: the null-key guard previously ran a dedicated isEmpty()
+    job that, in the common null-free case, scanned the whole key column.
+    The guard now rides the approxQuantile pass as an observe() metric —
+    pinned at the scheduler level: splitting a null-free NULLABLE-schema
+    frame must run exactly (bare approxQuantile jobs, measured as the
+    baseline on the same frame) + n write jobs — i.e. zero jobs
+    attributable to the guard."""
+    import tempfile
+
+    from australis_indexer_spark.streaming.harness import split_into_batches
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k BIGINT, v STRING"
+    )
+    assert df.schema["k"].nullable  # the guard-active case
+    sc = spark.sparkContext
+
+    sc.setJobGroup("nullguard-baseline", "bare approxQuantile job count")
+    try:
+        df.approxQuantile("k", [1 / 3, 2 / 3], 0.001)
+    finally:
+        sc.setJobGroup(None, None)
+    baseline = len(sc.statusTracker().getJobIdsForGroup("nullguard-baseline"))
+
+    src = tempfile.mkdtemp(prefix="tst_nulljob_")
+    group = "nullguard-jobcount"
+    sc.setJobGroup(group, "split_into_batches job audit")
+    try:
+        split_into_batches(df, "k", src, n=3)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert jobs == baseline + 3, (
+        f"expected {baseline + 3} jobs (quantile baseline {baseline} + 3 "
+        f"writes), got {jobs} — the null guard is running extra jobs again"
+    )
+    assert spark.read.parquet(src).count() == 100
+
+
 def test_custom_publish_concurrent_appends_lose_no_update(spark):
     """End-to-end race of the ADVICE r6 lost-update class: FOUR publishers
     append to the same sink root concurrently (threads — the lock is

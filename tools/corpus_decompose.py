@@ -42,6 +42,7 @@ from australis_indexer_spark.operators.curation import (
     _ngrams,
 )
 from australis_indexer_spark.registry import load_all
+from tools.docsplice import splice_section
 from tools.shuffle_telemetry import _stages, _ui_session
 
 SRC = "/root/testdata/sf0.1"
@@ -49,7 +50,6 @@ OUT_BASE = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/aispark_sfstress")
 STRIDE = 2**32
 FACTORS = (10, 100)
 _MARK = "### pipeline_corpus_build decomposition"
-_END_MARKS = ("## ", "### ")  # next section boundary after _MARK
 
 
 def _build_documents(spark, replicas: int, out: str) -> None:
@@ -270,20 +270,9 @@ def main() -> None:
         "",
     ]
 
-    md = REPO / "SCALING.md"
-    text = md.read_text()
-    if _MARK in text:
-        s = text.index(_MARK)
-        rest = text[s + len(_MARK):]
-        # cut to the next section heading after our block
-        nxt = min(
-            (rest.index("\n" + m) for m in _END_MARKS if "\n" + m in rest),
-            default=len(rest),
-        )
-        text = text[:s] + "\n".join(lines) + rest[nxt:]
-    else:
-        text = text.rstrip() + "\n\n" + "\n".join(lines)
-    md.write_text(text)
+    # Shared marker-bounded splice (tools/docsplice.py): same boundary
+    # rule as state_scale, with the outside-bytes-preserved guard.
+    splice_section(REPO / "SCALING.md", _MARK, "\n".join(lines) + "\n")
 
     print(
         json.dumps(

@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from australis_indexer_spark.fixtures import FIXTURE_START_HEIGHT
+from tools.docsplice import splice_section
 from australis_indexer_spark.session import get_session
 
 ROCKSDB = (
@@ -338,16 +339,11 @@ def main() -> int:
     lines.append("")
 
     scaling = Path(__file__).resolve().parent.parent / "SCALING.md"
-    text = scaling.read_text()
-    if _MARK in text:
-        head, _, rest = text.partition(_MARK)
-        # replace up to the next section heading (or EOF)
-        nxt = rest.find("\n## ")
-        tail = rest[nxt + 1:] if nxt != -1 else ""
-        text = head + "\n".join(lines) + "\n" + tail
-    else:
-        text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
-    scaling.write_text(text)
+    # Marker-bounded splice via the shared helper: stops at the next
+    # heading of ANY level and guards that everything outside the
+    # section is byte-identical (the round-8 clobber — stopping only at
+    # "\n## " and eating a trailing ###-section — can't recur).
+    splice_section(scaling, _MARK, "\n".join(lines) + "\n")
     print(f"spliced '{_MARK}' into {scaling}")
     return 1 if failures else 0
 

@@ -118,65 +118,14 @@ def op(
 # per-round budget. The ledger has been closed since r6 (246/246 green
 # latest evidence, 0 red, 0 never-seen); every round since is pure
 # stalest-first rotation. This tuple is the FULL explicit walk order for
-# all 246 ops, re-pinned for the r8 window (VERDICT r7 'Next round' #1):
+# all 246 ops, re-pinned for the r9 window (VERDICT r8 'Next round' #2):
 # every op ordered by LATEST green driver round ascending (name-sorted
-# within a round). After r7's window re-certified the 6 r1 + 41 r2 +
-# first 3 r3 greens, the stalest evidence is r3 — so the 50-op r8 window
-# covers the 47 remaining r3 greens and the first 3 r4 greens. The
-# committed per-round window plan lives in CERTIFICATION.md.
+# within a round). After r8's window re-certified the 47 remaining r3
+# greens and the first 3 r4 greens, the stalest evidence is r4 — so the
+# 50-op r9 window covers the 47 remaining r4 greens and the first 3 r5
+# greens. The committed per-round window plan lives in CERTIFICATION.md.
 _PRIORITY = (
-    # --- driver-green, latest green r3 (stalest-first for rotation)
-    "agg_grouping_sets",
-    "agg_linear_trend",
-    "doc_chunk_tokens",
-    "merge_scd2_dimension",
-    "pipeline_corpus_build",
-    "pipeline_corpus_curation",
-    "pipeline_decontaminate",
-    "pipeline_interleave_mix",
-    "pipeline_media_curation",
-    "pipeline_pack_sequences",
-    "profile_columns",
-    "project_props_variant",
-    "project_reencode",
-    "query_large_volume_customers",
-    "query_local_supplier_volume",
-    "query_returned_item_reporting",
-    "query_shipping_priority",
-    "sample_balanced_strata",
-    "sample_reservoir_uniform",
-    "sample_split_hash",
-    "sample_temporal_split",
-    "scalar_funcs_showcase",
-    "scan_custom_source",
-    "scan_custom_source_stream",
-    "scan_orc",
-    "sim_ann_pq",
-    "sink_clustered_stats",
-    "sink_compaction",
-    "sink_custom_publish",
-    "sink_partitioned_prune",
-    "stats_join_key_skew",
-    "stream_corpus_ingest",
-    "stream_stateful_gap_tracker",
-    "stream_stream_join_outcomes",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_normalize",
-    "text_pii_redact",
-    "text_regex_tokenize",
-    "text_repetition_stats",
-    "text_stats_quality",
-    "text_token_count",
-    "text_top_terms",
-    "window_rolling_7day_volume",
-    "window_session_user",
-    "window_time_hierarchical_rollup",
-    "window_time_sliding_events",
     # --- driver-green, latest green r4 (stalest-first for rotation)
-    "agg_countmin_heavyhitters",
-    "agg_dau_wau_mau",
-    "agg_decimal_money_exact",
     "agg_gini_concentration",
     "agg_histogram_fixed_bins",
     "agg_median_absolute_deviation",
@@ -376,6 +325,57 @@ _PRIORITY = (
     "window_session_stream",
     "window_time_hourly_events",
     "window_time_stream_complete",
+    # --- driver-green, latest green r8 (stalest-first for rotation)
+    "agg_countmin_heavyhitters",
+    "agg_dau_wau_mau",
+    "agg_decimal_money_exact",
+    "agg_grouping_sets",
+    "agg_linear_trend",
+    "doc_chunk_tokens",
+    "merge_scd2_dimension",
+    "pipeline_corpus_build",
+    "pipeline_corpus_curation",
+    "pipeline_decontaminate",
+    "pipeline_interleave_mix",
+    "pipeline_media_curation",
+    "pipeline_pack_sequences",
+    "profile_columns",
+    "project_props_variant",
+    "project_reencode",
+    "query_large_volume_customers",
+    "query_local_supplier_volume",
+    "query_returned_item_reporting",
+    "query_shipping_priority",
+    "sample_balanced_strata",
+    "sample_reservoir_uniform",
+    "sample_split_hash",
+    "sample_temporal_split",
+    "scalar_funcs_showcase",
+    "scan_custom_source",
+    "scan_custom_source_stream",
+    "scan_orc",
+    "sim_ann_pq",
+    "sink_clustered_stats",
+    "sink_compaction",
+    "sink_custom_publish",
+    "sink_partitioned_prune",
+    "stats_join_key_skew",
+    "stream_corpus_ingest",
+    "stream_stateful_gap_tracker",
+    "stream_stream_join_outcomes",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_normalize",
+    "text_pii_redact",
+    "text_regex_tokenize",
+    "text_repetition_stats",
+    "text_stats_quality",
+    "text_token_count",
+    "text_top_terms",
+    "window_rolling_7day_volume",
+    "window_session_user",
+    "window_time_hierarchical_rollup",
+    "window_time_sliding_events",
 )
 
 

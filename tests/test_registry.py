@@ -312,15 +312,38 @@ def test_r7_window_executed_plan():
     assert sorted(n for n in r7 if latest_green[n] == 3) == r3_all[:3]
 
 
-def test_r8_window_plan(ops):
-    """The live walk order IS the committed r8 window plan (VERDICT r7 #1):
-    the ledger stays closed (246/246 green-latest through r7, 0 red, 0
+def test_r8_window_executed_plan():
+    """The round-8 driver window executed the committed plan (VERDICT r7
+    #1). The walk order was since re-pinned for r9, so — like the r4–r7
+    checks above — this reads the r8 window from the r8 artifact itself:
+    exactly the 47 remaining r3 greens and the first 3 r4 greens
+    (stalest-first through r7), and all 50 came back green."""
+    import json
+
+    mod = _certification_module()
+    r8 = json.load(open(REPO / "CORRECTNESS_r08.json"))
+    assert len(r8) == 50
+    assert all(mod._is_green(row) for row in r8.values())
+    hist = mod.collect_rows(max_round=7)
+    latest_green = {
+        n: max(r for r, g, _ in rows if g) for n, rows in hist.items()
+    }
+    window_rounds = sorted(latest_green[n] for n in r8)
+    assert window_rounds == [3] * 47 + [4] * 3
+    # the 3 r4 slots were the name-sorted head of the r4 greens
+    r4_all = sorted(n for n, r in latest_green.items() if r == 4)
+    assert sorted(n for n in r8 if latest_green[n] == 4) == r4_all[:3]
+
+
+def test_r9_window_plan(ops):
+    """The live walk order IS the committed r9 window plan (VERDICT r8 #2):
+    the ledger stays closed (246/246 green-latest through r8, 0 red, 0
     never-seen), and the full walk is a pure stalest-first rotation —
     ordered by latest green driver round ascending, name-sorted within a
-    round. After r7's window the stalest evidence is r3, so the 50-op r8
-    window covers the 47 remaining r3 greens and the first 3 r4 greens."""
+    round. After r8's window the stalest evidence is r4, so the 50-op r9
+    window covers the 47 remaining r4 greens and the first 3 r5 greens."""
     mod = _certification_module()
-    hist = mod.collect_rows(max_round=7)
+    hist = mod.collect_rows(max_round=8)
     names = list(ops)
     assert all(n in hist for n in names), "no never-seen ops remain"
     assert all(hist[n][-1][1] for n in names), "no red-latest ops remain"
@@ -330,5 +353,5 @@ def test_r8_window_plan(ops):
     ] == sorted((latest_green[n], n) for n in names), (
         "walk must be latest-green-round ascending, name-sorted within"
     )
-    assert all(latest_green[n] == 3 for n in names[:47])
-    assert all(latest_green[n] == 4 for n in names[47:50])
+    assert all(latest_green[n] == 4 for n in names[:47])
+    assert all(latest_green[n] == 5 for n in names[47:50])

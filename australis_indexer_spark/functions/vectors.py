@@ -1,9 +1,18 @@
 """Vector scalar functions — JVM-side, no Python in the row path.
 
-Dot products are **sequential left folds** (`F.aggregate` over `zip_with`),
+Dot products are **sequential left folds** (`aggregate` over `zip_with`),
 which makes them bit-identical to DuckDB's `list_dot_product` on DOUBLE[]
 (verified empirically at build time) — the determinism anchor for every
 similarity/dedup oracle. sqrt and the final division are single IEEE ops.
+
+Construction cost matters as much as run cost here: the Column-by-Column
+form of a fold (two HOF builders + lambda plumbing) is ~15 py4j round-trips
+per call site, and the similarity operators instantiate dozens of folds per
+plan. When the operands are plain column names the functions therefore emit
+ONE `F.expr` whose SQL parses JVM-side in a single call and resolves to the
+IDENTICAL expression tree (same sequential fold, same `0.0D` zero, same
+operator shape) — results are bit-for-bit unchanged. Column-typed operands
+keep the original builder path.
 
 At scale these run inside whole-stage codegen; for very high dimensions a
 vectorized pandas UDF (numpy einsum per Arrow batch) is the drop-in upgrade
@@ -16,8 +25,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _dot_sql(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product of two array<double> columns."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -26,8 +41,9 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 
 def norm(a: Column | str) -> Column:
-    ca = F.col(a) if isinstance(a, str) else a
-    return F.sqrt(dot(ca, ca))
+    if isinstance(a, str):
+        return F.expr(f"SQRT({_dot_sql(a, a)})")
+    return F.sqrt(dot(a, a))
 
 
 def with_norm(
@@ -64,4 +80,4 @@ def with_norm(
 
 def cosine_cols(emb_a: str, emb_b: str, nrm_a: str, nrm_b: str) -> Column:
     """cosine = dot / (nrm_a * nrm_b) — same expression tree as the oracles."""
-    return dot(emb_a, emb_b) / (F.col(nrm_a) * F.col(nrm_b))
+    return F.expr(f"({_dot_sql(emb_a, emb_b)} / ({nrm_a} * {nrm_b}))")

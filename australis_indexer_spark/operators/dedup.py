@@ -123,10 +123,14 @@ SLICES_PER_MD5 = N_HASH // N_MD5  # 4 slices × 8 hex chars = one 128-bit md5
 def _minhash_sig(sh: DataFrame) -> DataFrame:
     """16 portable min-hashes per doc at the cost of FOUR md5 calls per
     shingle: each 128-bit md5(i || ':' || shingle) is sliced into four
-    independent 32-bit (8-hex-char) hashes, h_{4i+k} = MIN(slice_k). Fixed-
-    width lowercase hex makes lexicographic MIN == numeric MIN, and the
-    min-agg shuffles 8-char strings instead of 32 — 4× less hash CPU and
-    ~4× smaller partial-agg state than one-md5-per-hash."""
+    independent 32-bit (8-hex-char) hashes, h_{4i+k} = MIN(slice_k). The
+    slices are parsed to BIGINT before the MIN: fixed-width lowercase hex
+    makes lexicographic MIN == numeric MIN (same total order, bijective),
+    so the h values carry identical min/equality semantics as the oracle's
+    hex-string MIN — but a LONG agg buffer lets Spark plan a codegen
+    HashAggregate where 16×min(string) forces SortAggregate (a full sort
+    of every shingle row, the widest intermediate in the whole pipeline;
+    measured 2× op cost at the bench scale)."""
     md5s = sh.select(
         "doc_id",
         *[
@@ -135,9 +139,9 @@ def _minhash_sig(sh: DataFrame) -> DataFrame:
         ],
     )
     aggs = [
-        F.min(F.substring(F.col(f"m{i}"), 1 + 8 * k, 8)).alias(
-            f"h{i * SLICES_PER_MD5 + k}"
-        )
+        F.min(
+            F.conv(F.substring(F.col(f"m{i}"), 1 + 8 * k, 8), 16, 10).cast("long")
+        ).alias(f"h{i * SLICES_PER_MD5 + k}")
         for i in range(N_MD5)
         for k in range(SLICES_PER_MD5)
     ]
@@ -154,7 +158,16 @@ def _sql_minhash_sig() -> str:
 
 
 def _band_col(j: int) -> Column:
-    return F.md5(F.concat(*[F.col(f"h{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]))
+    """Band key = the band's 4 min-hashes as a struct. Join-key equality on
+    the struct is exactly the oracle's md5(concat)-equality (fixed-width
+    slices make the concat injective; md5 only compressed the key), minus
+    4 md5 calls per doc per band."""
+    return F.struct(
+        *[
+            F.col(f"h{j * ROWS_PER_BAND + r}").alias(f"r{r}")
+            for r in range(ROWS_PER_BAND)
+        ]
+    )
 
 
 def _sql_bands() -> str:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_cols, dot, with_norm
+from ..functions.vectors import cosine_cols, with_norm
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -153,14 +153,22 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 
 
 def _bucket_col(t: int) -> F.Column:
-    bits = [
-        F.when(
-            dot(F.col("emb"), F.array(*[F.lit(float(v)) for v in _plane(t, j)])) >= 0,
-            "1",
-        ).otherwise("0")
+    # ONE F.expr per table instead of building the plane literals and fold
+    # lambdas Column-by-Column: the Column form was ~200 py4j round-trips
+    # per plane (64 lit() calls + HOF lambda plumbing), which made
+    # driver-side plan construction the dominant cost of the whole ANN
+    # query (~2 s measured at sf0.1). The SQL text parses JVM-side in one
+    # call and resolves to the IDENTICAL expression tree: same sequential
+    # fold (aggregate over zip_with), same double literals, same
+    # sign-bit concat — bucket values are bit-for-bit unchanged.
+    bits = ", ".join(
+        "(CASE WHEN aggregate(zip_with(emb, "
+        f"array({', '.join(f'{float(v)}D' for v in _plane(t, j))}), "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) >= 0.0D "
+        "THEN '1' ELSE '0' END)"
         for j in range(N_PLANES)
-    ]
-    return F.concat(*bits)
+    )
+    return F.expr(f"concat({bits})")
 
 
 @op("sim_ann_lsh", tags=("northstar", "similarity", "vector"), oracle=_ANN_ORACLE)
@@ -191,6 +199,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     ).select("vec_id", "emb", "nrm", "tb.tbl", "tb.bucket")
+    # NOTE (r10): deriving q from `bucketed` (one shared subtree) beats
+    # re-bucketing a pruned query-side scan — the bucket expression trees
+    # dominate driver-side construction/analysis, so building them once is
+    # worth the extra (8-row) pass through the corpus repartition (measured:
+    # the two-scan variant was ~0.7 s slower per run at sf0.1).
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),

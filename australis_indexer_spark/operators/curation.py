@@ -55,19 +55,21 @@ def _tok(df: DataFrame) -> DataFrame:
     ).withColumn("n", F.size("toks"))
 
 
+def _gram_sql(k: int, first_pos: str = "p") -> str:
+    """``concat_ws`` SQL of the k tokens starting at ``first_pos``."""
+    terms = ", ".join(
+        f"element_at(toks, {first_pos})" if i == 0 else f"element_at(toks, {first_pos} + {i})"
+        for i in range(k)
+    )
+    return f"concat_ws(' ', {terms})"
+
+
 def _ngrams(df: DataFrame, k: int) -> DataFrame:
     """(doc_id, gram) for every k-token window — narrow explode, no shuffle."""
-    gram = F.concat_ws(
-        " ", *[F.element_at("toks", F.col("p") + i) for i in range(k)]
-    )
     return (
         df.filter(F.col("n") >= k)
-        .select(
-            "doc_id",
-            "toks",
-            F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("p"),
-        )
-        .select("doc_id", gram.alias("gram"))
+        .selectExpr("doc_id", "toks", f"explode(sequence(1, n - {k - 1})) AS p")
+        .selectExpr("doc_id", f"{_gram_sql(k)} AS gram")
     )
 
 
@@ -365,11 +367,9 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition and the dedup hash on canonical text; the eval-split gram
     set rides a broadcast."""
     norm = _canonical_text()
-    docs = (
-        lt(spark, sf_dir, "documents")
-        .select("doc_id", norm.alias("t"))
-        .withColumn("toks", F.split("t", " "))
-        .withColumn("n", F.size("toks"))
+    base = lt(spark, sf_dir, "documents").select("doc_id", norm.alias("t"))
+    docs = base.selectExpr(
+        "doc_id", "t", "split(t, ' ') AS toks", "size(split(t, ' ')) AS n"
     )
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     is_eval = F.col("doc_id") % 10 == 0
@@ -380,28 +380,13 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one explode over 2-gram positions p ∈ [1, n-1]; the 8-gram view is
     # defined at the subset of positions where it fits (NULL elsewhere —
     # NULL never equi-joins, so short docs simply cannot be contaminated)
-    g8 = F.when(
-        F.col("p") <= F.col("n") - (NGRAM - 1),
-        F.concat_ws(
-            " ", *[F.element_at("toks", F.col("p") + i) for i in range(NGRAM)]
-        ),
-    )
     pos = (
         train.filter(F.col("n") >= 2)
-        .select(
+        .selectExpr("doc_id", "toks", "n", "explode(sequence(1, n - 1)) AS p")
+        .selectExpr(
             "doc_id",
-            "toks",
-            "n",
-            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("p"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("toks", F.col("p")),
-                F.element_at("toks", F.col("p") + 1),
-            ).alias("g2"),
-            g8.alias("g8"),
+            f"{_gram_sql(2)} AS g2",
+            f"CASE WHEN p <= n - {NGRAM - 1} THEN {_gram_sql(NGRAM)} END AS g8",
         )
     )
     probed = pos.join(
@@ -417,35 +402,36 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
         F.max("h2").alias("contaminated"),
     )
+    # the keep/chunk branch probes the broadcast stats straight off its own
+    # scan: it needs no doc_id partitioning (its only exchange is the dedup
+    # window's hash(t)), and it ships ONLY (doc_id, t) through that window
+    # exchange — toks/n are recomputed from t after the survivors are
+    # decided, roughly halving the one corpus-wide shuffle's bytes
     kept = (
-        train.join(stats, "doc_id", "left")
+        base.filter(~is_eval)
+        .join(stats, "doc_id", "left")
         .filter(
             F.coalesce("keep", F.lit(True))
             & ~F.coalesce("contaminated", F.lit(False))
         )
-        .drop("keep", "contaminated")
+        .select("doc_id", "t")
     )
 
     w_dup = F.row_number().over(W.partitionBy("t").orderBy("doc_id"))
-    final = kept.withColumn("rn", w_dup).filter(F.col("rn") == 1).drop("rn")
-
-    starts = final.filter(F.col("n") >= 1).select(
-        "doc_id",
-        "toks",
-        "n",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
-        ).alias("s"),
+    final = (
+        kept.withColumn("rn", w_dup)
+        .filter(F.col("rn") == 1)
+        .selectExpr("doc_id", "split(t, ' ') AS toks", "size(split(t, ' ')) AS n")
     )
-    return starts.select(
+
+    starts = final.filter(F.col("n") >= 1).selectExpr(
+        "doc_id", "toks", "n", f"explode(sequence(0, n - 1, {CHUNK_STRIDE})) AS s"
+    )
+    return starts.selectExpr(
         "doc_id",
-        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
-        F.least(F.col("n") - F.col("s"), F.lit(CHUNK_TOKENS))
-        .cast("int")
-        .alias("n_tokens"),
-        F.array_join(
-            F.slice("toks", F.col("s") + 1, F.lit(CHUNK_TOKENS)), " "
-        ).alias("chunk_text"),
+        f"CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx",
+        f"CAST(LEAST(n - s, {CHUNK_TOKENS}) AS INT) AS n_tokens",
+        f"array_join(slice(toks, s + 1, {CHUNK_TOKENS}), ' ') AS chunk_text",
     )
 
 

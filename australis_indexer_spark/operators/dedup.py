@@ -88,9 +88,9 @@ def _shingles(spark: SparkSession, sf_dir: str, *, distinct: bool = True) -> Dat
     (exact Jaccard); min-hashing is duplicate-insensitive (MIN over a
     multiset == MIN over its set), so the signature path passes
     ``distinct=False`` and skips that entire shuffle."""
-    docs = lt(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).withColumn("n", F.size("toks"))
+    docs = lt(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "split(text, ' ') AS toks", "size(split(text, ' ')) AS n"
+    )
     # the documents table arrives as few parquet splits — repartition the
     # (tiny) doc rows by doc_id BEFORE the explode so shingling/hashing runs
     # on every core, and the downstream groupBy(doc_id) reuses this
@@ -98,19 +98,11 @@ def _shingles(spark: SparkSession, sf_dir: str, *, distinct: bool = True) -> Dat
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     out = (
         docs.filter(F.col("n") >= 3)
-        .select(
+        .selectExpr("doc_id", "toks", "explode(sequence(1, n - 2)) AS p")
+        .selectExpr(
             "doc_id",
-            "toks",
-            F.explode(F.sequence(F.lit(1), F.col("n") - 2)).alias("p"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("toks", F.col("p")),
-                F.element_at("toks", F.col("p") + 1),
-                F.element_at("toks", F.col("p") + 2),
-            ).alias("shingle"),
+            "concat_ws(' ', element_at(toks, p), element_at(toks, p + 1),"
+            " element_at(toks, p + 2)) AS shingle",
         )
     )
     return out.distinct() if distinct else out
@@ -131,16 +123,13 @@ def _minhash_sig(sh: DataFrame) -> DataFrame:
     HashAggregate where 16×min(string) forces SortAggregate (a full sort
     of every shingle row, the widest intermediate in the whole pipeline;
     measured 2× op cost at the bench scale)."""
-    md5s = sh.select(
+    md5s = sh.selectExpr(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"m{i}")
-            for i in range(N_MD5)
-        ],
+        *[f"md5(concat('{i}:', shingle)) AS m{i}" for i in range(N_MD5)],
     )
     aggs = [
-        F.min(
-            F.conv(F.substring(F.col(f"m{i}"), 1 + 8 * k, 8), 16, 10).cast("long")
+        F.expr(
+            f"min(CAST(conv(substring(m{i}, {1 + 8 * k}, 8), 16, 10) AS BIGINT))"
         ).alias(f"h{i * SLICES_PER_MD5 + k}")
         for i in range(N_MD5)
         for k in range(SLICES_PER_MD5)
@@ -157,17 +146,20 @@ def _sql_minhash_sig() -> str:
     return f"sig AS (\n  SELECT doc_id, {cols}\n  FROM shingles GROUP BY doc_id\n)"
 
 
-def _band_col(j: int) -> Column:
-    """Band key = the band's 4 min-hashes as a struct. Join-key equality on
-    the struct is exactly the oracle's md5(concat)-equality (fixed-width
-    slices make the concat injective; md5 only compressed the key), minus
-    4 md5 calls per doc per band."""
-    return F.struct(
-        *[
-            F.col(f"h{j * ROWS_PER_BAND + r}").alias(f"r{r}")
-            for r in range(ROWS_PER_BAND)
-        ]
+def _bands_sql() -> str:
+    """`explode(...) AS b` SQL producing (band, bk) long-form rows. Band key
+    = the band's 4 min-hashes as a struct: join-key equality on the struct
+    is exactly the oracle's md5(concat)-equality (fixed-width slices make
+    the concat injective; md5 only compressed the key), minus 4 md5 calls
+    per doc per band — and the single selectExpr string costs one py4j
+    call where the Column form was ~50."""
+    structs = ", ".join(
+        f"named_struct('band', {j}, 'bk', named_struct("
+        + ", ".join(f"'r{r}', h{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + "))"
+        for j in range(N_BANDS)
     )
+    return f"explode(array({structs})) AS b"
 
 
 def _sql_bands() -> str:
@@ -211,36 +203,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-form (doc, band_idx, band_key): ONE self-equi-join on
     # (band, key) replaces four joins + union — a single shuffle exchange
     # reused for both sides, with cross-band dupes removed by one distinct
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"), _band_col(j).alias("bk")
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bk")
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    bands = sig.selectExpr("doc_id", _bands_sql()).selectExpr(
+        "doc_id", "b.band AS band", "b.bk AS bk"
+    )
+    a = bands.selectExpr("doc_id AS doc_a", "band", "bk")
+    b = bands.selectExpr("doc_id AS doc_b", "band", "bk")
     cand = (
         a.join(b, ["band", "bk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_HASH)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_HASH)])
-    est = sum(
-        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0) for i in range(N_HASH)
-    ) / F.lit(float(N_HASH))
+    sa = sig.selectExpr("doc_id AS doc_a", *[f"h{i} AS ha{i}" for i in range(N_HASH)])
+    sb = sig.selectExpr("doc_id AS doc_b", *[f"h{i} AS hb{i}" for i in range(N_HASH)])
+    # same tree as the Column form (CASE sum -> cast double -> /16.0), one
+    # parse call instead of ~80 py4j round-trips
+    est_sql = (
+        "(CAST("
+        + " + ".join(f"(CASE WHEN ha{i} = hb{i} THEN 1 ELSE 0 END)" for i in range(N_HASH))
+        + f" AS DOUBLE) / {float(N_HASH)}D)"
+    )
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .selectExpr("doc_a", "doc_b", f"{est_sql} AS est_jaccard")
         .filter(F.col("est_jaccard") >= 0.5)
     )
 

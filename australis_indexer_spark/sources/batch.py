@@ -14,6 +14,7 @@ types), we never sample/infer.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +24,16 @@ TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+#: per-session memo of the lazy scan DataFrame, keyed by the file's
+#: identity (realpath + mtime + size). A DataFrame is an immutable PLAN —
+#: reusing it costs nothing at execution (every action still scans the
+#: parquet afresh; spark.catalog.clearCache() does not invalidate plans) —
+#: but building one is ~0.1 s of driver work (py4j + file listing + footer
+#: schema read), paid by EVERY operator call per table. The mtime/size key
+#: drops the memo if a tool regenerates a dataset in place.
+_DF_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """`scan_batch`: parallel columnar scan of one table.
@@ -37,6 +48,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lossless. Set here (not only in the session factory) because the driver's
     harness may hand us its own SparkSession.
     """
+    memo_key = None
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        memo_key = (
+            os.path.realpath(os.path.join(sf_dir, f"{name}.parquet")),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+        per_session = _DF_MEMO.setdefault(spark, {})
+        cached = per_session.get(memo_key)
+        if cached is not None:
+            return cached
+    except (OSError, TypeError):  # non-local path / non-weakref-able session
+        per_session = None
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -64,6 +89,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the extra exchange (shingle hashing in operators/dedup.py, cosine
     # scoring in functions/vectors.py). At 100 TB the writer controls row
     # groups (~128 MB) and none of this applies.
+    if per_session is not None:
+        per_session[memo_key] = df
     return df
 
 

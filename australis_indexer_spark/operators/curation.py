@@ -361,77 +361,90 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unchanged (oracle unchanged, value-exact).
 
     Scale shape: the gram aggregates run WITHOUT any gram-level shuffle —
-    the corpus is hash-partitioned by doc_id, which satisfies the
+    the train corpus is hash-partitioned by doc_id, which satisfies the
     clustered distribution of both groupBy(doc_id, g2) and
     groupBy(doc_id) — so the only corpus-wide shuffles are the doc_id
     repartition and the dedup hash on canonical text; the eval-split gram
-    set rides a broadcast."""
+    set rides a broadcast.
+
+    r10: (a) the eval branch no longer rides the doc_id repartition — its
+    only distribution requirement is the DISTINCT's own hash(gram)
+    exchange, so the doc_id shuffle of the eval split was pure cost at
+    every scale (plan: 4 exchanges → 3); (b) everything after the
+    normalize projection is ONE spark.sql parse — the selectExpr/join
+    chain cost ~0.4 s of py4j round-trips per build (guide §1.2 step 2:
+    per-call work, measured before/after with cProfile); (c) the keep
+    branch ships ONLY (doc_id, t) through the dedup window exchange.
+    Measured 1.07 s → 0.69 s interleaved at sf0.1, rows identical."""
     norm = _canonical_text()
     base = lt(spark, sf_dir, "documents").select("doc_id", norm.alias("t"))
-    docs = base.selectExpr(
-        "doc_id", "t", "split(t, ' ') AS toks", "size(split(t, ' ')) AS n"
-    )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    is_eval = F.col("doc_id") % 10 == 0
-    train = docs.filter(~is_eval)
-
-    eval_g8 = _ngrams(docs.filter(is_eval), NGRAM).select("gram").distinct()
-
-    # one explode over 2-gram positions p ∈ [1, n-1]; the 8-gram view is
-    # defined at the subset of positions where it fits (NULL elsewhere —
-    # NULL never equi-joins, so short docs simply cannot be contaminated)
-    pos = (
-        train.filter(F.col("n") >= 2)
-        .selectExpr("doc_id", "toks", "n", "explode(sequence(1, n - 1)) AS p")
-        .selectExpr(
-            "doc_id",
-            f"{_gram_sql(2)} AS g2",
-            f"CASE WHEN p <= n - {NGRAM - 1} THEN {_gram_sql(NGRAM)} END AS g8",
+    base.createOrReplaceTempView("_pcb_base")
+    par = spark.sparkContext.defaultParallelism
+    return spark.sql(
+        f"""
+        WITH docs AS (
+          SELECT /*+ REPARTITION({par}, doc_id) */
+                 doc_id, t, split(t, ' ') AS toks, size(split(t, ' ')) AS n
+          FROM _pcb_base WHERE doc_id % 10 != 0
+        ),
+        eval_docs AS (
+          SELECT doc_id, split(t, ' ') AS toks, size(split(t, ' ')) AS n
+          FROM _pcb_base WHERE doc_id % 10 = 0
+        ),
+        eval_g8 AS (
+          SELECT DISTINCT {_gram_sql(NGRAM)} AS gram
+          FROM (SELECT doc_id, toks, explode(sequence(1, n - {NGRAM - 1})) AS p
+                FROM eval_docs WHERE n >= {NGRAM})
+        ),
+        -- one explode over 2-gram positions p ∈ [1, n-1]; the 8-gram view
+        -- is defined at the subset of positions where it fits (NULL
+        -- elsewhere — NULL never equi-joins, so short docs simply cannot
+        -- be contaminated)
+        pos AS (
+          SELECT doc_id, {_gram_sql(2)} AS g2,
+                 CASE WHEN p <= n - {NGRAM - 1} THEN {_gram_sql(NGRAM)} END AS g8
+          FROM (SELECT doc_id, toks, n, explode(sequence(1, n - 1)) AS p
+                FROM docs WHERE n >= 2)
+        ),
+        probed AS (
+          SELECT /*+ BROADCAST(eval_g8) */ pos.doc_id, pos.g2,
+                 eval_g8.gram IS NOT NULL AS hit
+          FROM pos LEFT JOIN eval_g8 ON pos.g8 = eval_g8.gram
+        ),
+        per2 AS (
+          SELECT doc_id, g2, COUNT(*) AS c, MAX(hit) AS h2
+          FROM probed GROUP BY doc_id, g2
+        ),
+        stats AS (
+          SELECT doc_id,
+                 ((SUM(c) - COUNT(*)) / SUM(c) < 0.2)
+                   AND (MAX(c) / SUM(c) < 0.1) AS keep,
+                 MAX(h2) AS contaminated
+          FROM per2 GROUP BY doc_id
+        ),
+        kept AS (
+          SELECT b.doc_id, b.t
+          FROM _pcb_base b LEFT JOIN stats s ON b.doc_id = s.doc_id
+          WHERE b.doc_id % 10 != 0
+            AND coalesce(s.keep, true) AND NOT coalesce(s.contaminated, false)
+        ),
+        final AS (
+          SELECT doc_id, split(t, ' ') AS toks, size(split(t, ' ')) AS n
+          FROM (SELECT doc_id, t,
+                       ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+                FROM kept)
+          WHERE rn = 1
+        ),
+        starts AS (
+          SELECT doc_id, toks, n, explode(sequence(0, n - 1, {CHUNK_STRIDE})) AS s
+          FROM final WHERE n >= 1
         )
-    )
-    probed = pos.join(
-        F.broadcast(eval_g8), pos["g8"] == eval_g8["gram"], "left"
-    ).select("doc_id", "g2", F.col("gram").isNotNull().alias("hit"))
-    per2 = probed.groupBy("doc_id", "g2").agg(
-        F.count("*").alias("c"), F.max("hit").alias("h2")
-    )
-    stats = per2.groupBy("doc_id").agg(
-        (
-            ((F.sum("c") - F.count("*")) / F.sum("c") < 0.2)
-            & (F.max("c") / F.sum("c") < 0.1)
-        ).alias("keep"),
-        F.max("h2").alias("contaminated"),
-    )
-    # the keep/chunk branch probes the broadcast stats straight off its own
-    # scan: it needs no doc_id partitioning (its only exchange is the dedup
-    # window's hash(t)), and it ships ONLY (doc_id, t) through that window
-    # exchange — toks/n are recomputed from t after the survivors are
-    # decided, roughly halving the one corpus-wide shuffle's bytes
-    kept = (
-        base.filter(~is_eval)
-        .join(stats, "doc_id", "left")
-        .filter(
-            F.coalesce("keep", F.lit(True))
-            & ~F.coalesce("contaminated", F.lit(False))
-        )
-        .select("doc_id", "t")
-    )
-
-    w_dup = F.row_number().over(W.partitionBy("t").orderBy("doc_id"))
-    final = (
-        kept.withColumn("rn", w_dup)
-        .filter(F.col("rn") == 1)
-        .selectExpr("doc_id", "split(t, ' ') AS toks", "size(split(t, ' ')) AS n")
-    )
-
-    starts = final.filter(F.col("n") >= 1).selectExpr(
-        "doc_id", "toks", "n", f"explode(sequence(0, n - 1, {CHUNK_STRIDE})) AS s"
-    )
-    return starts.selectExpr(
-        "doc_id",
-        f"CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx",
-        f"CAST(LEAST(n - s, {CHUNK_TOKENS}) AS INT) AS n_tokens",
-        f"array_join(slice(toks, s + 1, {CHUNK_TOKENS}), ' ') AS chunk_text",
+        SELECT doc_id,
+               CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(LEAST(n - s, {CHUNK_TOKENS}) AS INT) AS n_tokens,
+               array_join(slice(toks, s + 1, {CHUNK_TOKENS}), ' ') AS chunk_text
+        FROM starts
+        """
     )
 
 

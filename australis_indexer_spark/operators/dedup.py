@@ -112,8 +112,10 @@ N_MD5 = 4
 SLICES_PER_MD5 = N_HASH // N_MD5  # 4 slices × 8 hex chars = one 128-bit md5
 
 
-def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """16 portable min-hashes per doc at the cost of FOUR md5 calls per
+def _minhash_sig_sql() -> str:
+    """Spark-SQL minhash aggregation over a ``_mh_shingles`` view.
+
+    16 portable min-hashes per doc at the cost of FOUR md5 calls per
     shingle: each 128-bit md5(i || ':' || shingle) is sliced into four
     independent 32-bit (8-hex-char) hashes, h_{4i+k} = MIN(slice_k). The
     slices are parsed to BIGINT before the MIN: fixed-width lowercase hex
@@ -122,19 +124,15 @@ def _minhash_sig(sh: DataFrame) -> DataFrame:
     hex-string MIN — but a LONG agg buffer lets Spark plan a codegen
     HashAggregate where 16×min(string) forces SortAggregate (a full sort
     of every shingle row, the widest intermediate in the whole pipeline;
-    measured 2× op cost at the bench scale)."""
-    md5s = sh.selectExpr(
-        "doc_id",
-        *[f"md5(concat('{i}:', shingle)) AS m{i}" for i in range(N_MD5)],
-    )
-    aggs = [
-        F.expr(
-            f"min(CAST(conv(substring(m{i}, {1 + 8 * k}, 8), 16, 10) AS BIGINT))"
-        ).alias(f"h{i * SLICES_PER_MD5 + k}")
+    measured 2× op cost at the bench scale). ONE spark.sql parse: the
+    selectExpr+16×F.expr form cost ~40 py4j round-trips per build."""
+    mins = ", ".join(
+        f"min(CAST(conv(substring(md5(concat('{i}:', shingle)), {1 + 8 * k}, 8),"
+        f" 16, 10) AS BIGINT)) AS h{i * SLICES_PER_MD5 + k}"
         for i in range(N_MD5)
         for k in range(SLICES_PER_MD5)
-    ]
-    return md5s.groupBy("doc_id").agg(*aggs)
+    )
+    return f"SELECT doc_id, {mins} FROM _mh_shingles GROUP BY doc_id"
 
 
 def _sql_minhash_sig() -> str:
@@ -146,20 +144,19 @@ def _sql_minhash_sig() -> str:
     return f"sig AS (\n  SELECT doc_id, {cols}\n  FROM shingles GROUP BY doc_id\n)"
 
 
-def _bands_sql() -> str:
-    """`explode(...) AS b` SQL producing (band, bk) long-form rows. Band key
-    = the band's 4 min-hashes as a struct: join-key equality on the struct
-    is exactly the oracle's md5(concat)-equality (fixed-width slices make
-    the concat injective; md5 only compressed the key), minus 4 md5 calls
-    per doc per band — and the single selectExpr string costs one py4j
-    call where the Column form was ~50."""
+def _bands_struct_sql() -> str:
+    """`array(named_struct(...))` SQL of the per-band keys. Band key = the
+    band's 4 min-hashes as a struct: join-key equality on the struct is
+    exactly the oracle's md5(concat)-equality (fixed-width slices make the
+    concat injective; md5 only compressed the key), minus 4 md5 calls per
+    doc per band."""
     structs = ", ".join(
         f"named_struct('band', {j}, 'bk', named_struct("
         + ", ".join(f"'r{r}', h{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
         + "))"
         for j in range(N_BANDS)
     )
-    return f"explode(array({structs})) AS b"
+    return f"array({structs})"
 
 
 def _sql_bands() -> str:
@@ -198,36 +195,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join per band → union → distinct pairs → estimated Jaccard ≥ 0.5.
 
     Each band candidate generation is a self-equi-join on the band hash —
-    the LSH trick that keeps 100 TB dedup shuffle-bound instead of O(n²)."""
-    sig = _minhash_sig(_shingles(spark, sf_dir, distinct=False)).cache()
+    the LSH trick that keeps 100 TB dedup shuffle-bound instead of O(n²).
+
+    Construction: the shingle scan is a DataFrame (shared with the other
+    dedup ops), registered as a temp view; everything after it is ONE
+    spark.sql parse. The chained selectExpr/join form cost ~500 py4j
+    round-trips per build (~0.5 s of driver time, measured by cProfile at
+    sf0.1 — construction was 45% of the op's bench seconds); the single
+    parse resolves to the identical tree. The cached signature is built
+    during execution (clearCache precedes every bench pass), and the temp
+    view resolves at sql() time so concurrent re-registration is safe."""
+    _shingles(spark, sf_dir, distinct=False).createOrReplaceTempView("_mh_shingles")
+    sig = spark.sql(_minhash_sig_sql()).cache()
+    sig.createOrReplaceTempView("_mh_sig")
     # long-form (doc, band_idx, band_key): ONE self-equi-join on
     # (band, key) replaces four joins + union — a single shuffle exchange
-    # reused for both sides, with cross-band dupes removed by one distinct
-    bands = sig.selectExpr("doc_id", _bands_sql()).selectExpr(
-        "doc_id", "b.band AS band", "b.bk AS bk"
-    )
-    a = bands.selectExpr("doc_id AS doc_a", "band", "bk")
-    b = bands.selectExpr("doc_id AS doc_b", "band", "bk")
-    cand = (
-        a.join(b, ["band", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sig.selectExpr("doc_id AS doc_a", *[f"h{i} AS ha{i}" for i in range(N_HASH)])
-    sb = sig.selectExpr("doc_id AS doc_b", *[f"h{i} AS hb{i}" for i in range(N_HASH)])
-    # same tree as the Column form (CASE sum -> cast double -> /16.0), one
-    # parse call instead of ~80 py4j round-trips
+    # reused for both sides, with cross-band dupes removed by one distinct;
+    # est_jaccard is the same tree as the Column form (CASE sum -> cast
+    # double -> /16.0)
     est_sql = (
         "(CAST("
-        + " + ".join(f"(CASE WHEN ha{i} = hb{i} THEN 1 ELSE 0 END)" for i in range(N_HASH))
+        + " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASH))
         + f" AS DOUBLE) / {float(N_HASH)}D)"
     )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .selectExpr("doc_a", "doc_b", f"{est_sql} AS est_jaccard")
-        .filter(F.col("est_jaccard") >= 0.5)
+    return spark.sql(
+        f"""
+        WITH bands AS (
+          SELECT doc_id, b.band AS band, b.bk AS bk
+          FROM (SELECT doc_id, explode({_bands_struct_sql()}) AS b FROM _mh_sig)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM (
+          SELECT cand.doc_a, cand.doc_b, {est_sql} AS est_jaccard
+          FROM cand
+          JOIN _mh_sig sa ON sa.doc_id = cand.doc_a
+          JOIN _mh_sig sb ON sb.doc_id = cand.doc_b
+        ) WHERE est_jaccard >= 0.5
+        """
     )
 
 

@@ -212,7 +212,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     # cosine is a pure function of the pair, so DISTINCT over
-    # (pair, cosine) dedups cross-table collisions exactly
+    # (pair, cosine) dedups cross-table collisions exactly. ONE exchange
+    # serves both the distinct and the ranking window (r10, guide §2.4):
+    # hash(query_id) clusters every duplicate row together — query_id is a
+    # subset of the dedup keys, so the explicit repartition satisfies the
+    # aggregate's clustered-distribution requirement AND the window's
+    # partitioning; a bare .distinct() planned a second exchange on
+    # hash(query_id, neighbor_id, cosine) before the window's
+    # hash(query_id). Measured 0.85 s → 0.59 s at sf0.1, rows identical.
     scored = (
         bucketed.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -221,7 +228,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             cosine_cols("qemb", "emb", "qnrm", "nrm").alias("cosine"),
         )
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "query_id")
+        .dropDuplicates()
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn(

@@ -28,7 +28,10 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # match local cores, not the 200 default (local mode has no network shuffle)
+    # filled in per-session from the actual core count in get_session()
+    # (local mode has no network shuffle; the 200 default just adds task-
+    # launch overhead, and a constant 32 over-partitions a local[8] run —
+    # the driver benches at several core counts to measure scaling)
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas_udf / toPandas / createDataFrame(pandas)
@@ -84,6 +87,10 @@ def get_session(app_name: str = "australis_indexer_spark", *, cpus: int | None =
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     for k, v in _LOCAL_DEFAULTS.items():
         builder = builder.config(k, v)
+    # scale-adaptive, not a constant tuned to one host: one shuffle
+    # partition per core locally (AQE still coalesces below that); the
+    # 100 TB value is CLUSTER_CONF's 8192
+    builder = builder.config("spark.sql.shuffle.partitions", str(cpus))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

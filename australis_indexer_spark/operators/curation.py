@@ -605,14 +605,15 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("toks", "grams")
     )
-    q = (
+    from ..streaming.pipeline import start_drained
+
+    q = start_drained(
         curated.writeStream.format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     return spark.read.parquet(sink)
 
 

@@ -87,11 +87,11 @@ def scan_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 core-NATS-style subscription: streaming scan paced one file per
     trigger (the 10 s poll loop, borealis-consumer/src/main.rs:618-632);
     every message is delivered exactly once to the foreachBatch 'callback'."""
-    from ..streaming.pipeline import run_pipeline, write_stream_source
+    from ..streaming.pipeline import run_pipeline, shared_stream_source
 
     base = scratch_dir(prefix="aispark_sub_")
-    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    write_stream_source(spark, src)
+    sink_d, ckpt = (os.path.join(base, d) for d in ("sink", "ckpt"))
+    src = shared_stream_source(spark)
     run_pipeline(spark, src, sink_d, ckpt, dedup=False)
     out = spark.read.parquet(sink_d)
     return out.groupBy("sequence_id").agg(F.count("*").alias("n_delivered"))
@@ -102,11 +102,11 @@ def scan_backfill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 await-synced gating: Trigger.AvailableNow drains the whole backlog
     then stops (WaitForFullSync, configs.rs:163-180) — verified by the sink
     holding every height after one bounded run."""
-    from ..streaming.pipeline import run_pipeline, write_stream_source
+    from ..streaming.pipeline import run_pipeline, shared_stream_source
 
     base = scratch_dir(prefix="aispark_backfill_")
-    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    write_stream_source(spark, src)
+    sink_d, ckpt = (os.path.join(base, d) for d in ("sink", "ckpt"))
+    src = shared_stream_source(spark)
     run_pipeline(spark, src, sink_d, ckpt, available_now=True)
     out = spark.read.parquet(sink_d)
     return out.agg(
@@ -326,23 +326,22 @@ def sink_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     subject-keyed topic dir (the engine's bus abstraction); Spark task retry
     + idempotent replace of the batch replaces the reference's infinite
     500 ms retry loop (main.rs:388-401). Emits per-subject publish counts."""
-    from ..streaming.pipeline import read_block_stream, write_stream_source
+    from ..streaming.pipeline import read_block_stream, shared_stream_source, start_drained
 
     base = scratch_dir(prefix="aispark_pub_")
-    src, topic, ckpt = (os.path.join(base, d) for d in ("src", "topic", "ckpt"))
-    write_stream_source(spark, src)
+    topic, ckpt = (os.path.join(base, d) for d in ("topic", "ckpt"))
+    src = shared_stream_source(spark)
     env = wrap_envelope(read_block_stream(spark, src), compression=None)
 
     def publish(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("append").partitionBy("subject").parquet(topic)
 
-    q = (
+    q = start_drained(
         env.writeStream.foreachBatch(publish)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     return (
         spark.read.parquet(topic)
         .groupBy("subject")
@@ -358,11 +357,11 @@ def sink_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 JetStream-style durable log: file-backed, deduplicated, replayable
     sink — height-bucketed parquet written through the checkpointed pipeline;
     re-reading it is the replay path. Emits per-bucket retention stats."""
-    from ..streaming.pipeline import run_pipeline, write_stream_source
+    from ..streaming.pipeline import run_pipeline, shared_stream_source
 
     base = scratch_dir(prefix="aispark_durable_")
-    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    write_stream_source(spark, src)
+    sink_d, ckpt = (os.path.join(base, d) for d in ("sink", "ckpt"))
+    src = shared_stream_source(spark)
     run_pipeline(spark, src, sink_d, ckpt, dedup=True)
     return (
         spark.read.parquet(sink_d)
@@ -435,11 +434,11 @@ def replay_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, then re-read it in full and from an arbitrary height (the
     BlockHeight sync mode, e.g. Aurora genesis 34834053) — partition pruning
     on height_bucket makes ranged replay a metadata operation at 100 TB."""
-    from ..streaming.pipeline import run_pipeline, write_stream_source
+    from ..streaming.pipeline import run_pipeline, shared_stream_source
 
     base = scratch_dir(prefix="aispark_replayall_")
-    src, sink_d, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    write_stream_source(spark, src)
+    sink_d, ckpt = (os.path.join(base, d) for d in ("sink", "ckpt"))
+    src = shared_stream_source(spark)
     run_pipeline(spark, src, sink_d, ckpt)
     log = spark.read.parquet(sink_d)
     full = log.agg(F.count("*").alias("n")).first()["n"]
@@ -733,6 +732,7 @@ def scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole source — the connector plumbing (partition planning, options,
     schema) is what's value-checked."""
     from ..sources.blockstream import register
+    from ..streaming.pipeline import start_drained
 
     register(spark)
     return (
@@ -760,12 +760,13 @@ def scan_custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.blockstream import register
+    from ..streaming.pipeline import start_drained
 
     register(spark)
     base = scratch_dir(prefix="aispark_blocksrc_")
     sink_d, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     for head in (63700, 63800, 63900):
-        q = (
+        q = start_drained(
             spark.readStream.format("australis_blocks")
             .option("start", 63600)
             .option("end", head)
@@ -774,10 +775,9 @@ def scan_custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", sink_d)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
+            spark,
         )
-        q.awaitTermination()
     return spark.read.parquet(sink_d)
 
 
@@ -806,6 +806,7 @@ def sink_custom_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.blockstream import register
+    from ..streaming.pipeline import start_drained
 
     register(spark)
     out = scratch_dir(prefix="aispark_pub_") + "/published"

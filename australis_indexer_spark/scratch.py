@@ -18,10 +18,15 @@ import tempfile
 _ROOT: str | None = None
 
 
-def scratch_dir(prefix: str) -> str:
-    """A fresh unique directory under the process-lifetime scratch root."""
+def scratch_root() -> str:
+    """The process-lifetime scratch root (created on first use)."""
     global _ROOT
     if _ROOT is None:
         _ROOT = tempfile.mkdtemp(prefix="aispark_scratch_")
         atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=_ROOT)
+    return _ROOT
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh unique directory under the process-lifetime scratch root."""
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())

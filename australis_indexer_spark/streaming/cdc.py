@@ -27,6 +27,7 @@ from ..scratch import scratch_dir
 from ..registry import op
 from ..sources.batch import load_table as lt
 from .harness import split_into_batches
+from .pipeline import start_drained
 
 N_STATE_BUCKETS = 8  # 1000+ on a real cluster: the unit of state rewrite
 
@@ -114,16 +115,15 @@ def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     def upsert(batch: DataFrame, batch_id: int) -> None:
         apply_batch(state, batch)
 
-    q = (
+    q = start_drained(
         spark.readStream.schema(merged_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .writeStream.foreachBatch(upsert)
         .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     out = spark.read.parquet(state).select(
         "o_custkey", "last_orderdate", "last_orderkey", "last_totalprice"

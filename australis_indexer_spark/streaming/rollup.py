@@ -35,6 +35,7 @@ from ..functions.det import cents
 from ..registry import op
 from ..sources.batch import load_table as lt
 from .harness import split_into_batches, state_versions
+from .pipeline import start_drained
 
 
 def _rollup(df: DataFrame) -> DataFrame:
@@ -84,16 +85,15 @@ def run_incremental_rollup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame,
             f"{state_base}{batch_id}"
         )
 
-    q = (
+    q = start_drained(
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .writeStream.foreachBatch(fold)
         .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     out = spark.read.parquet(f"{state_base}{max(versions())}")
     return out, n_batches
@@ -177,14 +177,13 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
-    q = (
+    q = start_drained(
         agg.writeStream.format("memory")
         .queryName(sink_tbl)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     # NULL event_type is a real leaderboard row (missing type at ingest),
     # but on count ties a named type must outrank it — and the engines
     # disagree on default NULL order (Spark NULLS FIRST, DuckDB NULLS
@@ -279,14 +278,13 @@ def stream_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = delta
         merged.coalesce(1).write.mode("overwrite").parquet(f"{state_base}{batch_id}")
 
-    q = (
+    q = start_drained(
         spark.readStream.schema(orders.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .writeStream.foreachBatch(fold)
         .option("checkpointLocation", os.path.join(base, f"ckpt_{uuid.uuid4().hex[:8]}"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     return spark.read.parquet(f"{state_base}{max(versions())}")

@@ -33,6 +33,7 @@ from ..operators import fixture_oracles as FO
 from ..registry import op
 from ..sources.batch import load_table as lt
 from .harness import split_into_batches
+from .pipeline import start_drained
 
 _RUNNING_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 _STATE_SCHEMA = "n BIGINT, total BIGINT"
@@ -104,14 +105,13 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink_tbl = f"stateful_totals_{uuid.uuid4().hex[:12]}"
-    q = (
+    q = start_drained(
         updates.writeStream.format("memory")
         .queryName(sink_tbl)
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     # the FINAL emission per key is the answer. n_events is genuinely
     # monotone; total_value is only monotone while every value is
     # non-negative, so take the argmax EMISSION via a struct max keyed on
@@ -178,12 +178,10 @@ def stream_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         height_bucket_expr,
         to_envelope_stream,
         read_block_stream,
-        write_stream_source,
+        shared_stream_source,
     )
 
-    base = scratch_dir(prefix="aispark_gap_")
-    src = os.path.join(base, "src")
-    write_stream_source(spark, src)
+    src = shared_stream_source(spark)
     env = to_envelope_stream(read_block_stream(spark, src)).withColumn(
         "bucket", height_bucket_expr(size=16) * 16
     )
@@ -195,14 +193,13 @@ def stream_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink_tbl = f"gap_tracker_{uuid.uuid4().hex[:12]}"
-    q = (
+    q = start_drained(
         updates.writeStream.format("memory")
         .queryName(sink_tbl)
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     final = (
         spark.table(sink_tbl)
         .groupBy("bucket")
@@ -351,14 +348,13 @@ def stream_stateful_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink_tbl = f"cep_{uuid.uuid4().hex[:12]}"
-    q = (
+    q = start_drained(
         updates.writeStream.format("memory")
         .queryName(sink_tbl)
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     final = (
         spark.table(sink_tbl)
         .groupBy("user_id")

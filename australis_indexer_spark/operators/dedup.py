@@ -374,27 +374,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal byte → candidate (catches all pairs with Hamming ≤ 6 among bands);
     exact Hamming filter after. Same LSH-shaped plan: equi-joins on band
     substrings, no cross product."""
-    fp = dedup_simhash(spark, sf_dir).cache()
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash32"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("simhash32_b"))
-    cand = None
-    for k in range(4):
-        aj = a.select("doc_a", "simhash32", F.substring("simhash32", k * 8 + 1, 8).alias("band"))
-        bj = b.select("doc_b", "simhash32_b", F.substring("simhash32_b", k * 8 + 1, 8).alias("band"))
-        pj = aj.join(bj, "band").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b", "simhash32", "simhash32_b"
-        )
-        cand = pj if cand is None else cand.unionByName(pj)
+    # One banded self-join instead of four separate joins + union: explode
+    # each fingerprint into its 4 (band_idx, byte) rows and equi-join on
+    # (band_idx, band) — the same candidate set (a pair collides in band k
+    # exactly when the old k-th join emitted it), with 2 exchanges where
+    # the union-of-joins shape planned 8 (and both sides shuffle the same
+    # subtree on the same key, so ReusedExchange collapses them to ONE map
+    # side — guide §2.4). Hamming is computed per candidate BEFORE the
+    # dedup so the distinct shuffles (doc_a, doc_b, hamming) instead of
+    # two 32-char fingerprints per row; it is pair-determined, so
+    # distinct-then-filter is unchanged.
+    fp = dedup_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash32",
+        F.posexplode(
+            F.array(*[F.substring("simhash32", k * 8 + 1, 8) for k in range(4)])
+        ).alias("band_idx", "band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
         F.when(
-            F.substring("simhash32", i + 1, 1) == F.substring("simhash32_b", i + 1, 1), 0
+            F.substring(F.col("a.simhash32"), i + 1, 1)
+            == F.substring(F.col("b.simhash32"), i + 1, 1),
+            0,
         ).otherwise(1)
         for i in range(32)
     )
     return (
-        cand.distinct()
-        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
         .filter(F.col("hamming") <= 6)
+        .distinct()
     )
 
 

@@ -37,12 +37,24 @@ N_ITER = 3
 DIM = 64
 
 
-def _sq_dist(emb_col, centroid: list[float]):
-    """Squared L2 distance to one (literal) centroid: zip-subtract-square,
-    ordered fold — stays whole-stage-codegen, no Python."""
-    carr = F.array(*[F.lit(float(v)) for v in centroid])
-    diffs = F.zip_with(emb_col, carr, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+def _argmin_sql(centroids: list[list[float]]) -> str:
+    """Nearest-centroid struct (dist, cid) as ONE SQL string: squared-L2
+    zip-subtract-square fold per (literal) centroid, argmin via array_min
+    on (dist, cid) structs — lexicographic, so ties break toward the lower
+    cid, exactly the Column-builder tree this replaces. Emitted as a single
+    ``F.expr`` parse because building it centroid-by-centroid through the
+    Column API cost hundreds of py4j round trips per Lloyd round (the
+    pq.py `_assign_expr` finding, guide §1.2 step 2); the expression tree
+    Catalyst sees is identical."""
+    cands = ", ".join(
+        "named_struct('dist', aggregate(zip_with(emb, array({lits}),"
+        " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x),"
+        " 'cid', {cid})".format(
+            lits=", ".join(f"{float(v)!r}D" for v in c), cid=cid
+        )
+        for cid, c in enumerate(centroids)
+    )
+    return f"array_min(array({cands}))"
 
 
 def train(
@@ -59,38 +71,33 @@ def train(
 
     trace: list[tuple[int, int, int, float]] = []
     for it in range(N_ITER):
-        # argmin over the broadcast centroids: array_min on (dist, cid)
-        # structs is lexicographic, so ties break toward the lower cid
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist(F.col("emb"), c).alias("dist"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, c in enumerate(centroids)
-                ]
-            )
-        )
-        assigned = e.select(
-            "emb",
-            best.getField("cid").alias("cluster_id"),
-            best.getField("dist").alias("dist2"),
-        )
+        assigned = e.selectExpr(
+            "emb", f"{_argmin_sql(centroids)} AS best"
+        ).selectExpr("emb", "best.cid AS cluster_id", "best.dist AS dist2")
+        # one parse for the whole per-cluster summary: counts, inertia and
+        # the DIM per-dimension means (the same avg(emb[d]) aggregates as
+        # the one-column-per-dim form, packed into a struct row)
         stats = (
             assigned.groupBy("cluster_id")
             .agg(
-                F.count("*").alias("n"),
-                F.sum("dist2").alias("inertia"),
-                *[F.avg(F.col("emb")[d]).alias(f"m{d}") for d in range(DIM)],
+                F.expr(
+                    "struct(count(*) AS n, sum(dist2) AS inertia, array("
+                    + ", ".join(f"avg(emb[{d}])" for d in range(DIM))
+                    + ") AS means)"
+                ).alias("s")
             )
             .collect()
         )
         new_centroids = list(centroids)  # empty cluster keeps its centroid
         for r in stats:
-            new_centroids[r["cluster_id"]] = [r[f"m{d}"] for d in range(DIM)]
-            trace.append((it, r["cluster_id"], r["n"], float(r["inertia"])))
+            s = r["s"]
+            new_centroids[r["cluster_id"]] = list(s["means"])
+            trace.append((it, r["cluster_id"], s["n"], float(s["inertia"])))
         centroids = new_centroids
+    # the trained state is now plain driver-side floats; drop the cached
+    # corpus projection so it cannot linger in executor storage (or be
+    # silently re-served to a later call's identical plan)
+    e.unpersist()
     return centroids, trace
 
 
@@ -152,7 +159,10 @@ def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_trained_serve(
-    spark: SparkSession, sf_dir: str, nprobe: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """The composed train→serve path: k-means centroids from `train` feed
     the same IVF serving join as `sim_ann_ivf` (operators/similarity.py) —
@@ -175,7 +185,8 @@ def ivf_trained_serve(
 
     from .similarity import ivf_serve, normed_corpus, sim_topk_bruteforce
 
-    centroids, _ = train(spark, sf_dir)
+    if centroids is None:  # callers in a retry loop train ONCE and pass in
+        centroids, _ = train(spark, sf_dir)
     rows = [
         (cid, c, math.sqrt(sum(x * x for x in c))) for cid, c in enumerate(centroids)
     ]
@@ -229,11 +240,15 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     brute = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     brute.cache()
+    # Centroids are nprobe-independent: train ONCE and reuse across gate
+    # retries instead of re-running the Lloyd loop per doubling (the
+    # pq.py codebook precedent, ADVICE r4 #3).
+    centroids, _ = train(spark, sf_dir)
 
     def gate(nprobe: int) -> DataFrame:
-        approx = ivf_trained_serve(spark, sf_dir, nprobe=nprobe).select(
-            "query_id", "neighbor_id"
-        )
+        approx = ivf_trained_serve(
+            spark, sf_dir, nprobe=nprobe, centroids=centroids
+        ).select("query_id", "neighbor_id")
         b, a = brute.alias("b"), approx.alias("a")
         per = (
             b.join(

@@ -578,10 +578,17 @@ def scan_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = lt(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     out = scratch_dir(prefix="aispark_dirty_")
     docs.write.mode("overwrite").json(out)
+    # Plant the malformed lines with plain file I/O — they are driver-side
+    # string constants, and the old createDataFrame(7 rows).coalesce(1)
+    # .write.text() route cost ~4 s per call: the 7-row local relation
+    # parallelizes to defaultParallelism pickled partitions and coalesce(1)
+    # funnels all of them through ONE task that starts a Python worker per
+    # parent partition serially. Identical bytes either way (the text
+    # writer emits one line per row); the tolerant-scan path under test is
+    # untouched.
     corrupt = [f'{{"doc_id": BROKEN-{i}' for i in range(_N_CORRUPT_PLANTED)]
-    spark.createDataFrame([(c,) for c in corrupt], "value string").coalesce(
-        1
-    ).write.mode("append").text(out)
+    with open(os.path.join(out, "corrupt-planted.txt"), "w") as fh:
+        fh.write("\n".join(corrupt) + "\n")
     schema = docs.schema.add("_corrupt_record", "string")
     back = (
         spark.read.schema(schema)

@@ -377,14 +377,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One banded self-join instead of four separate joins + union: explode
     # each fingerprint into its 4 (band_idx, byte) rows and equi-join on
     # (band_idx, band) — the same candidate set (a pair collides in band k
-    # exactly when the old k-th join emitted it), with 2 exchanges where
-    # the union-of-joins shape planned 8 (and both sides shuffle the same
-    # subtree on the same key, so ReusedExchange collapses them to ONE map
-    # side — guide §2.4). Hamming is computed per candidate BEFORE the
-    # dedup so the distinct shuffles (doc_a, doc_b, hamming) instead of
-    # two 32-char fingerprints per row; it is pair-determined, so
-    # distinct-then-filter is unchanged.
-    fp = dedup_simhash(spark, sf_dir)
+    # exactly when the old k-th join emitted it), with far fewer exchanges
+    # than the union-of-joins shape (guide §2.4). Hamming is computed per
+    # candidate BEFORE the dedup so the distinct shuffles (doc_a, doc_b,
+    # hamming) instead of two 32-char fingerprints per row; it is
+    # pair-determined, so distinct-then-filter is unchanged. The
+    # fingerprint stays CACHED: AQE broadcasts one side of the self-join,
+    # which defeats ReusedExchange, and recomputing the 32-bit-vote
+    # aggregate per side is ~9x the whole op at sf0.1 (measured 24.6 s
+    # uncached vs 2.8 s; the cache fills during execution — clearCache
+    # precedes every bench pass).
+    fp = dedup_simhash(spark, sf_dir).cache()
     bands = fp.select(
         "doc_id",
         "simhash32",

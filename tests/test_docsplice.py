@@ -106,3 +106,73 @@ def test_body_must_start_with_marker(tmp_path):
     with pytest.raises(ValueError):
         splice_section(md, "## Decade stress", "not the marker\n")
     assert md.read_text() == DOC
+
+
+def test_marker_quoted_in_prose_is_not_a_match(tmp_path):
+    """ADVICE r9: a marker string quoted mid-line in earlier prose must
+    not anchor the splice — only a line-start occurrence counts."""
+    md = tmp_path / "SCALING.md"
+    md.write_text(
+        "# Title\n"
+        "\n"
+        "prose that quotes ## Decade stress mid-line\n"
+        "\n"
+        "## Decade stress\n"
+        "\n"
+        "old table\n"
+    )
+    splice_section(md, "## Decade stress", "## Decade stress\n\nnew table\n")
+    out = md.read_text()
+    assert out.startswith(
+        "# Title\n\nprose that quotes ## Decade stress mid-line\n\n"
+    )
+    assert "old table" not in out and "new table" in out
+
+
+def test_heading_inside_fence_is_not_a_boundary(tmp_path):
+    """A `## `-looking line inside a fenced code block is content, not a
+    section boundary — the splice must span past it."""
+    doc = (
+        "# Title\n"
+        "\n"
+        "## A\n"
+        "\n"
+        "```\n"
+        "## not a heading\n"
+        "```\n"
+        "\n"
+        "still section A\n"
+        "\n"
+        "## B\n"
+        "\n"
+        "b body\n"
+    )
+    md = tmp_path / "SCALING.md"
+    md.write_text(doc)
+    splice_section(md, "## A", "## A\n\nreplaced\n")
+    out = md.read_text()
+    assert "not a heading" not in out and "still section A" not in out
+    assert out.endswith("## B\n\nb body\n")
+
+
+def test_duplicate_line_start_marker_raises(tmp_path):
+    """Two line-start occurrences of the marker are ambiguous — refuse
+    rather than splice the first silently."""
+    doc = "# Title\n\n## Dup\n\none\n\n## Dup\n\ntwo\n"
+    md = tmp_path / "SCALING.md"
+    md.write_text(doc)
+    with pytest.raises(RuntimeError):
+        splice_section(md, "## Dup", "## Dup\n\nnew\n")
+    assert md.read_text() == doc  # nothing written
+
+
+def test_trailing_h4_section_preserved(tmp_path):
+    """The r8 failure class one heading level over: a trailing ####-level
+    section after the marker must survive the splice."""
+    doc = "# Title\n\n## S\n\nold\n\n#### deep trailing\n\nkeep me\n"
+    md = tmp_path / "SCALING.md"
+    md.write_text(doc)
+    splice_section(md, "## S", "## S\n\nnew\n")
+    out = md.read_text()
+    assert "old" not in out and "new" in out
+    assert out.endswith("#### deep trailing\n\nkeep me\n")

@@ -8,9 +8,13 @@ swallowed to EOF) is unwritable.  Both tools/state_scale.py and
 tools/corpus_decompose.py import `splice_section` from here.
 
 Rules:
+- The marker must sit at the START of a line, outside any ``` / ~~~
+  fenced block, and may occur at most once (a second line-start
+  occurrence raises).  A marker merely quoted mid-line in prose is
+  not a match.
 - A section starts at its marker line (any heading level) and ends at
-  the next heading of ANY level in END_MARKS (`## ` or `### `) — or
-  EOF if none follows.
+  the next line-start heading of ANY level in END_MARKS (`## ` through
+  `###### `), again outside fences — or EOF if none follows.
 - Everything outside the replaced span must be byte-identical after
   the splice.  The guard re-parses the new text with the same boundary
   rule and raises if the preserved head/tail drifted (e.g. the new
@@ -21,26 +25,42 @@ from __future__ import annotations
 
 from pathlib import Path
 
-END_MARKS = ("## ", "### ")
+END_MARKS = ("## ", "### ", "#### ", "##### ", "###### ")
+
+_FENCES = ("```", "~~~")
 
 
 def _split(text: str, mark: str, end_marks: tuple[str, ...]):
     """Return (head, section, tail) for the section starting at `mark`,
-    or None if `mark` is absent.  The section spans from the marker up
-    to AND INCLUDING the newline before the next heading (any level in
-    `end_marks`); `tail` therefore starts with a heading prefix or is
-    empty (marker section runs to EOF)."""
-    if mark not in text:
+    or None if no line outside a fence starts with `mark`.  The section
+    spans from the marker line up to (excluding) the next line-start
+    heading in `end_marks` outside a fence; `tail` therefore starts
+    with a heading prefix or is empty (marker section runs to EOF).
+    Raises RuntimeError if `mark` starts more than one line."""
+    lines = text.splitlines(keepends=True)
+    fenced = False
+    start = None
+    end = None
+    for i, ln in enumerate(lines):
+        if ln.startswith(_FENCES):
+            fenced = not fenced
+            continue
+        if fenced:
+            continue
+        if ln.startswith(mark):
+            if start is not None:
+                raise RuntimeError(
+                    f"marker {mark!r} starts more than one line; refusing"
+                )
+            start = i
+            continue
+        if start is not None and end is None and ln.startswith(end_marks):
+            end = i
+    if start is None:
         return None
-    s = text.index(mark)
-    rest = text[s:]
-    # rest starts AT the marker, so searching for "\n" + heading-prefix
-    # can only find headings strictly after it.
-    nxt = min(
-        (rest.index("\n" + m) + 1 for m in end_marks if "\n" + m in rest),
-        default=len(rest),
-    )
-    return text[:s], rest[:nxt], text[s + nxt:]
+    if end is None:
+        end = len(lines)
+    return "".join(lines[:start]), "".join(lines[start:end]), "".join(lines[end:])
 
 
 def splice_section(

@@ -118,65 +118,14 @@ def op(
 # per-round budget. The ledger has been closed since r6 (246/246 green
 # latest evidence, 0 red, 0 never-seen); every round since is pure
 # stalest-first rotation. This tuple is the FULL explicit walk order for
-# all 246 ops, re-pinned for the r9 window (VERDICT r8 'Next round' #2):
+# all 246 ops, re-pinned for the r10 window (VERDICT r9 'Next round' #1):
 # every op ordered by LATEST green driver round ascending (name-sorted
-# within a round). After r8's window re-certified the 47 remaining r3
-# greens and the first 3 r4 greens, the stalest evidence is r4 — so the
-# 50-op r9 window covers the 47 remaining r4 greens and the first 3 r5
+# within a round). After r9's window re-certified the 47 remaining r4
+# greens and the first 3 r5 greens, the stalest evidence is r5 — so the
+# 50-op r10 window covers the 46 remaining r5 greens and the first 4 r6
 # greens. The committed per-round window plan lives in CERTIFICATION.md.
 _PRIORITY = (
-    # --- driver-green, latest green r4 (stalest-first for rotation)
-    "agg_gini_concentration",
-    "agg_histogram_fixed_bins",
-    "agg_median_absolute_deviation",
-    "agg_new_vs_returning_users",
-    "agg_quantile_from_histogram",
-    "cbor_encode",
-    "compress_roundtrip",
-    "health_check",
-    "join_null_safe_eq",
-    "join_outer_reconciliation",
-    "profile_benford_digits",
-    "profile_constraints",
-    "profile_fd_discovery",
-    "profile_k_anonymity",
-    "profile_parquet_metadata",
-    "query_bridge_decomposition",
-    "query_customer_distribution",
-    "query_disjunctive_predicates",
-    "query_dormant_rich_customers",
-    "query_exists_late_orders",
-    "query_forecast_revenue",
-    "query_lateral_topk",
-    "query_market_share",
-    "query_nation_pair_trade",
-    "query_promo_revenue",
-    "query_rfm_segmentation",
-    "query_small_quantity_revenue",
-    "query_top_supplier",
-    "query_waiting_suppliers",
-    "query_yoy_growth",
-    "scan_stream",
-    "stats_association_rules",
-    "stats_markov_transitions",
-    "stats_seasonality_heatmap",
-    "stats_triangle_count",
-    "window_longest_streak",
-    "window_pareto_concentration",
-    "window_pattern_cep",
-    "window_running_distinct",
-    "window_share_of_total",
-    "window_sliding_distinct_users",
-    "window_time_gapfill_locf",
-    "window_time_in_state",
-    "window_time_interpolate_linear",
-    "window_time_ohlc_bars",
-    "window_time_rate_of_change",
-    "window_value_functions",
-    # --- driver-green, latest green r5 (stalest-first for rotation)
-    "agg_argmax_latest_order",
-    "agg_bitmap_distinct",
-    "agg_bitmap_set_ops",
+    # --- driver-green, latest green r5
     "agg_hll_daily_merge",
     "agg_listagg_ordered",
     "agg_mode_per_group",
@@ -223,7 +172,7 @@ _PRIORITY = (
     "udf_pandas_grouped_agg",
     "udf_pandas_scalar_batch",
     "udf_python_udtf_chunks",
-    # --- driver-green, latest green r6 (stalest-first for rotation)
+    # --- driver-green, latest green r6
     "agg_approx_distinct_users",
     "agg_cube_order_status",
     "agg_distinct_active_users",
@@ -274,7 +223,7 @@ _PRIORITY = (
     "text_langid_margin",
     "text_novelty_by_source",
     "text_tokenizer_fertility",
-    # --- driver-green, latest green r7 (stalest-first for rotation)
+    # --- driver-green, latest green r7
     "agg_anomalous_hours",
     "agg_cohort_retention",
     "agg_funnel_steps",
@@ -325,7 +274,7 @@ _PRIORITY = (
     "window_session_stream",
     "window_time_hourly_events",
     "window_time_stream_complete",
-    # --- driver-green, latest green r8 (stalest-first for rotation)
+    # --- driver-green, latest green r8
     "agg_countmin_heavyhitters",
     "agg_dau_wau_mau",
     "agg_decimal_money_exact",
@@ -376,6 +325,57 @@ _PRIORITY = (
     "window_session_user",
     "window_time_hierarchical_rollup",
     "window_time_sliding_events",
+    # --- driver-green, latest green r9
+    "agg_argmax_latest_order",
+    "agg_bitmap_distinct",
+    "agg_bitmap_set_ops",
+    "agg_gini_concentration",
+    "agg_histogram_fixed_bins",
+    "agg_median_absolute_deviation",
+    "agg_new_vs_returning_users",
+    "agg_quantile_from_histogram",
+    "cbor_encode",
+    "compress_roundtrip",
+    "health_check",
+    "join_null_safe_eq",
+    "join_outer_reconciliation",
+    "profile_benford_digits",
+    "profile_constraints",
+    "profile_fd_discovery",
+    "profile_k_anonymity",
+    "profile_parquet_metadata",
+    "query_bridge_decomposition",
+    "query_customer_distribution",
+    "query_disjunctive_predicates",
+    "query_dormant_rich_customers",
+    "query_exists_late_orders",
+    "query_forecast_revenue",
+    "query_lateral_topk",
+    "query_market_share",
+    "query_nation_pair_trade",
+    "query_promo_revenue",
+    "query_rfm_segmentation",
+    "query_small_quantity_revenue",
+    "query_top_supplier",
+    "query_waiting_suppliers",
+    "query_yoy_growth",
+    "scan_stream",
+    "stats_association_rules",
+    "stats_markov_transitions",
+    "stats_seasonality_heatmap",
+    "stats_triangle_count",
+    "window_longest_streak",
+    "window_pareto_concentration",
+    "window_pattern_cep",
+    "window_running_distinct",
+    "window_share_of_total",
+    "window_sliding_distinct_users",
+    "window_time_gapfill_locf",
+    "window_time_in_state",
+    "window_time_interpolate_linear",
+    "window_time_ohlc_bars",
+    "window_time_rate_of_change",
+    "window_value_functions",
 )
 
 

@@ -335,15 +335,38 @@ def test_r8_window_executed_plan():
     assert sorted(n for n in r8 if latest_green[n] == 4) == r4_all[:3]
 
 
-def test_r9_window_plan(ops):
-    """The live walk order IS the committed r9 window plan (VERDICT r8 #2):
-    the ledger stays closed (246/246 green-latest through r8, 0 red, 0
+def test_r9_window_executed_plan():
+    """The round-9 driver window executed the committed plan (VERDICT r8
+    #2). The walk order was since re-pinned for r10, so — like the r4–r8
+    checks above — this reads the r9 window from the r9 artifact itself:
+    exactly the 47 remaining r4 greens and the first 3 r5 greens
+    (stalest-first through r8), and all 50 came back green."""
+    import json
+
+    mod = _certification_module()
+    r9 = json.load(open(REPO / "CORRECTNESS_r09.json"))
+    assert len(r9) == 50
+    assert all(mod._is_green(row) for row in r9.values())
+    hist = mod.collect_rows(max_round=8)
+    latest_green = {
+        n: max(r for r, g, _ in rows if g) for n, rows in hist.items()
+    }
+    window_rounds = sorted(latest_green[n] for n in r9)
+    assert window_rounds == [4] * 47 + [5] * 3
+    # the 3 r5 slots were the name-sorted head of the r5 greens
+    r5_all = sorted(n for n, r in latest_green.items() if r == 5)
+    assert sorted(n for n in r9 if latest_green[n] == 5) == r5_all[:3]
+
+
+def test_r10_window_plan(ops):
+    """The live walk order IS the committed r10 window plan (VERDICT r9 #1):
+    the ledger stays closed (246/246 green-latest through r9, 0 red, 0
     never-seen), and the full walk is a pure stalest-first rotation —
     ordered by latest green driver round ascending, name-sorted within a
-    round. After r8's window the stalest evidence is r4, so the 50-op r9
-    window covers the 47 remaining r4 greens and the first 3 r5 greens."""
+    round. After r9's window the stalest evidence is r5, so the 50-op r10
+    window covers the 46 remaining r5 greens and the first 4 r6 greens."""
     mod = _certification_module()
-    hist = mod.collect_rows(max_round=8)
+    hist = mod.collect_rows(max_round=9)
     names = list(ops)
     assert all(n in hist for n in names), "no never-seen ops remain"
     assert all(hist[n][-1][1] for n in names), "no red-latest ops remain"
@@ -353,5 +376,5 @@ def test_r9_window_plan(ops):
     ] == sorted((latest_green[n], n) for n in names), (
         "walk must be latest-green-round ascending, name-sorted within"
     )
-    assert all(latest_green[n] == 4 for n in names[:47])
-    assert all(latest_green[n] == 5 for n in names[47:50])
+    assert all(latest_green[n] == 5 for n in names[:46])
+    assert all(latest_green[n] == 6 for n in names[46:50])

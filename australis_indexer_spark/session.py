@@ -77,15 +77,24 @@ CLUSTER_CONF: dict[str, str] = {
 }
 
 
-def get_session(app_name: str = "australis_indexer_spark", *, cpus: int | None = None) -> SparkSession:
+def get_session(
+    app_name: str = "australis_indexer_spark",
+    *,
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) the local session used by tests, bench and the driver.
 
-    ``cpus`` defaults to $SPARK_GRAFT_CPUS then all cores.
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS then all cores. ``extra_conf``
+    entries override the defaults — only honored at session CREATION (a
+    getOrCreate against a live session cannot change static confs); used by
+    tooling that needs process-scoped isolation, e.g. the invariance sweep's
+    lane-scoped ``spark.sql.warehouse.dir``.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
-    for k, v in _LOCAL_DEFAULTS.items():
+    for k, v in {**_LOCAL_DEFAULTS, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     # scale-adaptive, not a constant tuned to one host: one shuffle
     # partition per core locally (AQE still coalesces below that); the

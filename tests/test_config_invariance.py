@@ -138,3 +138,33 @@ def test_cli_rejects_unknown_fuzz_profiles():
     )
     assert r.returncode == 2
     assert "unknown profile" in r.stderr
+
+
+def test_lanes_get_isolated_warehouse_dirs():
+    """Concurrent single-profile lanes must not share a spark-warehouse:
+    the r9 invariance sweep's first concurrent pass raced two lanes'
+    join_bucketed_colocated saveAsTable on one table's _temporary/0 commit
+    dir (VERDICT r9 'Next round' #3). Each lane now creates its session
+    with a mkdtemp-scoped spark.sql.warehouse.dir, so two fresh processes
+    must report DIFFERENT warehouse dirs, neither the shared default."""
+    import subprocess
+
+    probe = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from australis_indexer_spark.session import get_session\n"
+        "import os, tempfile\n"
+        "lane = tempfile.mkdtemp(prefix='aispark_inv_lane_')\n"
+        "spark = get_session('lane_probe', cpus=2, extra_conf="
+        "{'spark.sql.warehouse.dir': os.path.join(lane, 'warehouse')})\n"
+        "print(spark.conf.get('spark.sql.warehouse.dir'))\n"
+    ) % str(Path(__file__).resolve().parent.parent)
+    dirs = []
+    for _ in range(2):
+        r = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True, text=True, timeout=180,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        dirs.append(r.stdout.strip().splitlines()[-1])
+    assert dirs[0] != dirs[1]
+    assert all("aispark_inv_lane_" in d for d in dirs)

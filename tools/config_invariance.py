@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -169,7 +170,16 @@ def main() -> int:
     from australis_indexer_spark.registry import load_all
 
     ops = load_all()
-    spark = get_session("config_invariance")
+    # lane-scoped warehouse: concurrent single-profile lanes used to share
+    # ./spark-warehouse, and join_bucketed_colocated's saveAsTable raced on
+    # the table's _temporary/0 commit dir across processes (INVARIANCE_r9
+    # infra failure, VERDICT r9 'Next round' #3). Each lane now writes its
+    # managed tables under its own temp dir.
+    lane = tempfile.mkdtemp(prefix="aispark_inv_lane_")
+    spark = get_session(
+        "config_invariance",
+        extra_conf={"spark.sql.warehouse.dir": os.path.join(lane, "warehouse")},
+    )
     con = connect_oracle(sf_dir)
     summary: list[tuple[str, int, int, list[str]]] = []
     for name, confs in PROFILES.items():

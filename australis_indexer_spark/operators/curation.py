@@ -375,7 +375,24 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain cost ~0.4 s of py4j round-trips per build (guide §1.2 step 2:
     per-call work, measured before/after with cProfile); (c) the keep
     branch ships ONLY (doc_id, t) through the dedup window exchange.
-    Measured 1.07 s → 0.69 s interleaved at sf0.1, rows identical."""
+    Measured 1.07 s → 0.69 s interleaved at sf0.1, rows identical.
+
+    r10 session 3 (guide §2.3 "project before the exchange"): the doc_id
+    exchange now carries (doc_id, t) instead of (doc_id, toks, n) —
+    split() runs once per doc ABOVE the exchange, so the shuffled row is
+    the raw text instead of its tokenized copy (UnsafeRow array<string>
+    ≈ 2× the string bytes: per-element offsets + 8-byte padding).
+    Explodes are CASE-guarded instead of WHERE-filtered: the pushed-down
+    `size(split(t)) >= k` scan filters re-ran the normalize regex a
+    second time per doc (Filter and Project don't share subexpressions
+    across operators), and the vacuous `n >= 1` chunk gate pushed all the
+    way into the kept branch's scan. A ReusedExchange variant (kept
+    branch fed from the doc_id exchange, saving the 3rd scan+normalize)
+    was A/B'd and REJECTED: the reuse serializes the kept branch behind
+    the shuffle-stage barrier that the parallel parquet re-scan never
+    waits on (min3avg 0.84 vs 0.67 s at sf0.1, 8 interleaved reps).
+    Measured: min3avg 0.77 → 0.67 s at sf0.1, rows identical, oracle
+    exact at sf0.001/sf0.01/sf0.1."""
     norm = _canonical_text()
     base = lt(spark, sf_dir, "documents").select("doc_id", norm.alias("t"))
     base.createOrReplaceTempView("_pcb_base")
@@ -383,9 +400,12 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH docs AS (
-          SELECT /*+ REPARTITION({par}, doc_id) */
-                 doc_id, t, split(t, ' ') AS toks, size(split(t, ' ')) AS n
+          SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, t
           FROM _pcb_base WHERE doc_id % 10 != 0
+        ),
+        docs_tok AS (
+          SELECT doc_id, split(t, ' ') AS toks, size(split(t, ' ')) AS n
+          FROM docs
         ),
         eval_docs AS (
           SELECT doc_id, split(t, ' ') AS toks, size(split(t, ' ')) AS n
@@ -393,18 +413,22 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         eval_g8 AS (
           SELECT DISTINCT {_gram_sql(NGRAM)} AS gram
-          FROM (SELECT doc_id, toks, explode(sequence(1, n - {NGRAM - 1})) AS p
-                FROM eval_docs WHERE n >= {NGRAM})
+          FROM (SELECT doc_id, toks,
+                       explode(CASE WHEN n >= {NGRAM}
+                               THEN sequence(1, n - {NGRAM - 1}) END) AS p
+                FROM eval_docs)
         ),
         -- one explode over 2-gram positions p ∈ [1, n-1]; the 8-gram view
         -- is defined at the subset of positions where it fits (NULL
         -- elsewhere — NULL never equi-joins, so short docs simply cannot
-        -- be contaminated)
+        -- be contaminated). CASE-guard, not WHERE: a WHERE on n pushes
+        -- below the exchange as a second regex evaluation per doc.
         pos AS (
           SELECT doc_id, {_gram_sql(2)} AS g2,
                  CASE WHEN p <= n - {NGRAM - 1} THEN {_gram_sql(NGRAM)} END AS g8
-          FROM (SELECT doc_id, toks, n, explode(sequence(1, n - 1)) AS p
-                FROM docs WHERE n >= 2)
+          FROM (SELECT doc_id, toks, n,
+                       explode(CASE WHEN n >= 2 THEN sequence(1, n - 1) END) AS p
+                FROM docs_tok)
         ),
         probed AS (
           SELECT /*+ BROADCAST(eval_g8) */ pos.doc_id, pos.g2,
@@ -435,9 +459,13 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM kept)
           WHERE rn = 1
         ),
+        -- no `WHERE n >= 1`: split() never returns an empty array so the
+        -- gate is vacuous (NULL t yields NULL n and the explode drops the
+        -- row), and the pushed-down form re-ran the normalize regex in
+        -- the kept branch's scan filter
         starts AS (
           SELECT doc_id, toks, n, explode(sequence(0, n - 1, {CHUNK_STRIDE})) AS s
-          FROM final WHERE n >= 1
+          FROM final
         )
         SELECT doc_id,
                CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,

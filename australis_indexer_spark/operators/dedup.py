@@ -204,37 +204,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 — construction was 45% of the op's bench seconds); the single
     parse resolves to the identical tree. The cached signature is built
     during execution (clearCache precedes every bench pass), and the temp
-    view resolves at sql() time so concurrent re-registration is safe."""
+    view resolves at sql() time so concurrent re-registration is safe.
+
+    r10 session 3: the 16 min-hashes ride the band explode, so the
+    banded self-join emits est_jaccard directly and the `>= 0.5` gate
+    runs BEFORE the pair distinct — the two joins back to the signature
+    table are gone, and the distinct exchange carries only passing pairs
+    instead of every cross-band candidate. At 100 TB the signature table
+    is corpus-sized (it could never broadcast), so the old shape paid
+    two full doc_id shuffles of it; carrying the 128-byte signature
+    through the band exchange moves those bytes once (guide §2.3 "shuffle
+    keys and metadata instead of payloads" — here the signature IS the
+    needed metadata). Interleaved A/B at sf0.1: min3avg 0.80 → 0.73 s,
+    rows identical (256 pairs), oracle exact at sf0.001/sf0.01."""
     _shingles(spark, sf_dir, distinct=False).createOrReplaceTempView("_mh_shingles")
     sig = spark.sql(_minhash_sig_sql()).cache()
     sig.createOrReplaceTempView("_mh_sig")
-    # long-form (doc, band_idx, band_key): ONE self-equi-join on
+    # long-form (doc, h0..h15, band_idx, band_key): ONE self-equi-join on
     # (band, key) replaces four joins + union — a single shuffle exchange
-    # reused for both sides, with cross-band dupes removed by one distinct;
-    # est_jaccard is the same tree as the Column form (CASE sum -> cast
-    # double -> /16.0)
+    # reused for both sides; est_jaccard is the same tree as the Column
+    # form (CASE sum -> cast double -> /16.0)
     est_sql = (
         "(CAST("
-        + " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASH))
+        + " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASH))
         + f" AS DOUBLE) / {float(N_HASH)}D)"
     )
+    h_cols = ", ".join(f"h{i}" for i in range(N_HASH))
     return spark.sql(
         f"""
         WITH bands AS (
-          SELECT doc_id, b.band AS band, b.bk AS bk
-          FROM (SELECT doc_id, explode({_bands_struct_sql()}) AS b FROM _mh_sig)
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
-          WHERE a.doc_id < b.doc_id
+          SELECT doc_id, {h_cols}, b.band AS band, b.bk AS bk
+          FROM (SELECT *, explode({_bands_struct_sql()}) AS b FROM _mh_sig)
         )
-        SELECT doc_a, doc_b, est_jaccard FROM (
-          SELECT cand.doc_a, cand.doc_b, {est_sql} AS est_jaccard
-          FROM cand
-          JOIN _mh_sig sa ON sa.doc_id = cand.doc_a
-          JOIN _mh_sig sb ON sb.doc_id = cand.doc_b
-        ) WHERE est_jaccard >= 0.5
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {est_sql} AS est_jaccard
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id AND {est_sql} >= 0.5
         """
     )
 

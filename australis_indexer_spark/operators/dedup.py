@@ -88,14 +88,19 @@ def _shingles(spark: SparkSession, sf_dir: str, *, distinct: bool = True) -> Dat
     (exact Jaccard); min-hashing is duplicate-insensitive (MIN over a
     multiset == MIN over its set), so the signature path passes
     ``distinct=False`` and skips that entire shuffle."""
-    docs = lt(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "split(text, ' ') AS toks", "size(split(text, ' ')) AS n"
-    )
     # the documents table arrives as few parquet splits — repartition the
     # (tiny) doc rows by doc_id BEFORE the explode so shingling/hashing runs
     # on every core, and the downstream groupBy(doc_id) reuses this
-    # partitioning with no further exchange
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # partitioning with no further exchange. split() runs ABOVE the
+    # exchange: the raw text is ~half the bytes of its tokenized copy
+    # (guide §2.3 "project before the exchange"; measured 0.46 → 0.33 s
+    # to the signature aggregate at sf0.1)
+    docs = (
+        lt(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .selectExpr("doc_id", "split(text, ' ') AS toks", "size(split(text, ' ')) AS n")
+    )
     out = (
         docs.filter(F.col("n") >= 3)
         .selectExpr("doc_id", "toks", "explode(sequence(1, n - 2)) AS p")
@@ -330,9 +335,19 @@ SELECT doc_id, {_FP_CONCAT} AS simhash32 FROM votes
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: per-token md5, ±1 vote per bit, sign → 32-bit
     fingerprint (emitted as a bit string — portable across engines). One
-    explode + one groupBy(doc_id); near-pair search is `dedup_simhash_pairs`."""
+    explode + one groupBy(doc_id); near-pair search is `dedup_simhash_pairs`.
+
+    Same input-spread shape as `_shingles` (guide §2.5 — the documents
+    table arrives as few parquet splits, so without the repartition the
+    explode + per-token md5 + 32 vote sums all run in ONE task): raw
+    (doc_id, text) rows cross the exchange, tokenization happens above
+    it, and the groupBy(doc_id) reuses the partitioning with no further
+    exchange. Measured 1.24 → 0.59 s min3avg at sf0.1 (7 interleaved
+    reps), rows identical."""
     hashed = (
         lt(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .select("doc_id", F.md5("tok").alias("tok_md5"))
     )

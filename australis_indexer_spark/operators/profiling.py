@@ -374,6 +374,12 @@ def stats_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
         )
     )
+    # pin the wedge join's partitioning (REPARTITION_BY_NUM is exempt from
+    # AQE coalescing): the join's INPUT is tiny, so AQE sized the wedge
+    # stage from it and coalesced the O(m^1.5) wedge GENERATION into a
+    # single task — the output-explosive-join trap (guide §2.5/§3.4).
+    # Measured 2.4 → 1.8 s warm (and 12.5 s → 5.5 s cold) at sf0.01.
+    oriented = oriented.repartition(spark.sparkContext.defaultParallelism, "src")
     o2 = oriented.select(
         F.col("src"), F.col("dst").alias("dst2"), F.col("dst_d").alias("dst_d2")
     )

@@ -315,27 +315,37 @@ def normed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_members(e: DataFrame, c: DataFrame) -> DataFrame:
+    """Corpus→nearest-centroid assignment (broadcast argmax, one narrow
+    pass) — the nprobe-independent half of the IVF index."""
+    w_assign = W.partitionBy("vec_id").orderBy(
+        cosine_cols("emb", "cemb", "nrm", "cnrm").desc(), F.col("cid")
+    )
+    return (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "emb", "nrm", "cid")
+    )
+
+
 def ivf_serve(
     e: DataFrame, c: DataFrame, *, nprobe: int | None = None,
-    with_candidates: bool = False,
+    with_candidates: bool = False, members: DataFrame | None = None,
 ):
     """The IVF serving join, parameterized by the centroid table ``c``
     (cid, cemb, cnrm): assign corpus→nearest centroid (broadcast argmax,
     one narrow pass), probe ``nprobe`` cells per query, exact cosine within
     the probed cells. Shared by `sim_ann_ivf` (fixed deterministic
     centroids, oracle-checked) and `sim_ann_ivf_trained`
-    (operators/iterative.py k-means centroids)."""
+    (operators/iterative.py k-means centroids). ``members`` lets a caller
+    that sweeps nprobe settings pass the (nprobe-independent) assignment
+    once instead of re-deriving it per setting — mirrors
+    ivf_trained_serve's precomputed-centroids parameter."""
     nprobe = NPROBE if nprobe is None else nprobe
     c = F.broadcast(c)
-    w_assign = W.partitionBy("vec_id").orderBy(
-        cosine_cols("emb", "cemb", "nrm", "cnrm").desc(), F.col("cid")
-    )
-    members = (
-        e.crossJoin(c)
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "emb", "nrm", "cid")
-    )
+    if members is None:
+        members = ivf_members(e, c)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -678,10 +688,24 @@ def sim_ann_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("cemb"),
         F.col("nrm").alias("cnrm"),
     )
-    brute = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # r10 session 3: the nprobe SWEEP re-derived the corpus→centroid
+    # assignment and the brute-force ground truth once per setting — both
+    # are setting-independent, so the 4-block union plan embedded (and
+    # re-executed) each subtree 4×, and Catalyst re-analyzed the 4×-wide
+    # tree. localCheckpoint materializes each once per invocation (a
+    # within-query intermediate, recomputed fresh every run — not a
+    # cross-run cache) and truncates the lineage the union re-analyzes.
+    # What each gate reports (candidates scanned, hits) is unchanged.
+    # Interleaved A/B at sf0.01: min3avg 4.66 → 2.94 s, rows identical.
+    members = ivf_members(e, c).localCheckpoint(eager=True)
+    brute = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     out = None
     for p in _CURVE_PROBES:
-        ranked, scored = ivf_serve(e, c, nprobe=p, with_candidates=True)
+        ranked, scored = ivf_serve(e, c, nprobe=p, with_candidates=True, members=members)
         cand = scored.agg(F.count("*").alias("n_candidates"))
         hits = ranked.join(brute, ["query_id", "neighbor_id"]).agg(
             F.count("*").alias("sum_hits")

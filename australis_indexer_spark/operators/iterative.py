@@ -283,11 +283,16 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = gate(nprobe)
             if nprobe >= K_TRAIN:  # all cells probed == exact search
                 return out
+            # checkpoint the 1-row summary before collecting so the caller's
+            # action reads it instead of re-executing the whole brute+serve
+            # pipeline (the pq.py shortlist-gate fix, r10 session 3). A
+            # within-invocation intermediate: every call recomputes.
+            out = out.localCheckpoint(eager=True)
             row = out.collect()[0]  # 1-row quality summary
             if row["recall_ge_080"]:
                 return out
             nprobe *= 2
     finally:
-        # Drop the cached truth set once tuning settles (ADVICE r4 #3); the
-        # returned plan recomputes brute once at the caller's collect.
+        # Drop the cached truth set once tuning settles (ADVICE r4 #3);
+        # the checkpointed return no longer references it.
         brute.unpersist()

@@ -22,9 +22,31 @@ from pyspark.sql import functions as F
 
 
 def cents(c: Column | str, scale: int = 2) -> Column:
-    """Exact integer representation of a fixed-point double column."""
+    """Exact integer representation of a fixed-point double column.
+
+    Computed as ``sign-mirrored floor(|y| + 0.5)`` instead of
+    ``round(y).cast(long)``: Spark's double ``round()`` allocates a
+    ``BigDecimal`` from the value's shortest decimal string PER ROW, which
+    made the cents conversion cost more than the aggregation it feeds
+    (measured at sf0.1: the Q1-shape aggregate dropped 0.47 → 0.22 s, the
+    whole cost of the 4 per-row rounds — guide §1.2 step 2 "per-task work").
+
+    Value-identical to ``round()`` for every |y| < 2**51, proven not
+    assumed: 0.5 is an exact multiple of ulp(y) there, so ``y + 0.5`` is
+    EXACT in IEEE and ``floor`` reproduces round-half-away-from-zero on the
+    binary value; the BigDecimal path rounds the shortest decimal STRING,
+    which cannot sit on the other side of X.5 from the binary value because
+    X.5 is itself representable (a string ≥ X.5 would re-parse to a double
+    ≥ X.5). Above 2**51 doubles are spaced ≥ 0.5 apart and carry no cents —
+    money columns are bounded far below (the test data's are < 10**7).
+    Verified empirically: zero mismatches vs round() over every money column
+    of every table at sf0.001/0.01/0.1, and the full oracle differential
+    stays value-exact (DIFFCHECK_r11)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(col * (10**scale)).cast("long")
+    y = col * (10**scale)
+    return F.when(y >= 0, F.floor(y + F.lit(0.5))).otherwise(
+        -F.floor(F.lit(0.5) - y)
+    )
 
 
 def dsum(c: Column | str, scale: int = 2) -> Column:

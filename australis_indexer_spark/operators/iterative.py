@@ -280,19 +280,22 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = 2
     try:
         while True:
-            out = gate(nprobe)
+            # checkpoint the 1-row summary BEFORE any return so the caller's
+            # action reads it instead of re-executing the whole brute+serve
+            # pipeline (the pq.py shortlist-gate fix, r10 session 3). The
+            # exhausted path (nprobe >= K_TRAIN) previously returned the raw
+            # frame — after the finally-unpersist the caller's action then
+            # re-ran brute+train+serve uncached, the exact 2× this removes
+            # (ADVICE r10 #1). A within-invocation intermediate: every call
+            # recomputes.
+            out = gate(nprobe).localCheckpoint(eager=True)
             if nprobe >= K_TRAIN:  # all cells probed == exact search
                 return out
-            # checkpoint the 1-row summary before collecting so the caller's
-            # action reads it instead of re-executing the whole brute+serve
-            # pipeline (the pq.py shortlist-gate fix, r10 session 3). A
-            # within-invocation intermediate: every call recomputes.
-            out = out.localCheckpoint(eager=True)
             row = out.collect()[0]  # 1-row quality summary
             if row["recall_ge_080"]:
                 return out
             nprobe *= 2
     finally:
         # Drop the cached truth set once tuning settles (ADVICE r4 #3);
-        # the checkpointed return no longer references it.
+        # every return is checkpointed, so nothing references it.
         brute.unpersist()

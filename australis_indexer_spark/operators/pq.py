@@ -388,23 +388,25 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = SHORTLIST
     try:
         while True:
-            out = gate(shortlist)
-            if shortlist >= n_corpus:  # full-corpus re-rank == exact search
-                return out
             # materialize the 1-row summary ONCE and hand the caller the
             # checkpointed frame: the tuning collect() previously executed
             # the whole brute+ADC pipeline, and the caller's action then
             # re-executed it from scratch — a full 2× of the op (r10
-            # session 3; measured 6.9 → 3.4 s min at sf0.01). A
-            # within-invocation intermediate: every call recomputes.
-            out = out.localCheckpoint(eager=True)
+            # session 3; measured 6.9 → 3.4 s min at sf0.01). Checkpoint
+            # BEFORE the exhausted-path return too — that path previously
+            # returned the raw frame, so after the finally-unpersist the
+            # caller's action re-ran everything uncached (ADVICE r10 #1).
+            # A within-invocation intermediate: every call recomputes.
+            out = gate(shortlist).localCheckpoint(eager=True)
+            if shortlist >= n_corpus:  # full-corpus re-rank == exact search
+                return out
             row = out.collect()[0]  # 1-row quality summary
             if row[f"recall_ge_{int(RECALL_GATE * 100):03d}"]:
                 return out
             shortlist *= 2
     finally:
         # Drop the cached truth set once tuning settles (ADVICE r4 #3);
-        # the checkpointed return no longer references it.
+        # every return is checkpointed, so nothing references it.
         brute.unpersist()
 
 

@@ -697,6 +697,13 @@ def sim_ann_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-run cache) and truncates the lineage the union re-analyzes.
     # What each gate reports (candidates scanned, hits) is unchanged.
     # Interleaved A/B at sf0.01: min3avg 4.66 → 2.94 s, rows identical.
+    # SCALE CAVEAT (ADVICE r10 #3): checkpointing members pins the full
+    # corpus assignment (vec_id, emb, nrm, cid) in executor block storage
+    # for the op's lifetime, with no lineage to recompute it on executor
+    # loss. That is the bench/query-SAMPLE shape — at 100 TB this op runs
+    # on a sampled query batch (docstring below), and the hoisted
+    # invariants should be persist(MEMORY_AND_DISK) or a reliable
+    # checkpoint instead (DEPLOY.md §local-checkpoint).
     members = ivf_members(e, c).localCheckpoint(eager=True)
     brute = (
         sim_topk_bruteforce(spark, sf_dir)

@@ -14,7 +14,6 @@ types), we never sample/infer.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,14 +24,19 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-#: per-session memo of the lazy scan DataFrame, keyed by the file's
-#: identity (realpath + mtime + size). A DataFrame is an immutable PLAN —
-#: reusing it costs nothing at execution (every action still scans the
-#: parquet afresh; spark.catalog.clearCache() does not invalidate plans) —
-#: but building one is ~0.1 s of driver work (py4j + file listing + footer
-#: schema read), paid by EVERY operator call per table. The mtime/size key
-#: drops the memo if a tool regenerates a dataset in place.
-_DF_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+#: Attribute name of the per-session memo of the lazy scan DataFrame, keyed
+#: by the file's identity (realpath + mtime + size). A DataFrame is an
+#: immutable PLAN — reusing it costs nothing at execution (every action
+#: still scans the parquet afresh; spark.catalog.clearCache() does not
+#: invalidate plans) — but building one is ~0.1 s of driver work (py4j +
+#: file listing + footer schema read), paid by EVERY operator call per
+#: table. The mtime/size key drops the memo if a tool regenerates a dataset
+#: in place. The memo hangs ON the session object (the fixtures.py shape)
+#: so it dies exactly with the session: the r10 WeakKeyDictionary was a
+#: no-op — its DataFrame values strongly reference their session
+#: (df._session), keeping the weak key reachable from its own values
+#: (VERDICT r10 What's-wrong #1; same caveat 7a4e8ff fixed in fixtures.py).
+_MEMO_ATTR = "_aispark_scan_df_memo"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,11 +60,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             st.st_mtime_ns,
             st.st_size,
         )
-        per_session = _DF_MEMO.setdefault(spark, {})
+        per_session = getattr(spark, _MEMO_ATTR, None)
+        if per_session is None:
+            per_session = {}
+            setattr(spark, _MEMO_ATTR, per_session)
         cached = per_session.get(memo_key)
         if cached is not None:
             return cached
-    except (OSError, TypeError):  # non-local path / non-weakref-able session
+    except OSError:  # non-local path — no file identity to key on
         per_session = None
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -43,7 +43,15 @@ def cents(c: Column | str, scale: int = 2) -> Column:
     of every table at sf0.001/0.01/0.1, and the full oracle differential
     stays value-exact (DIFFCHECK_r11)."""
     col = F.col(c) if isinstance(c, str) else c
-    y = col * (10**scale)
+    return fround(col * (10**scale))
+
+
+def fround(y: Column) -> Column:
+    """Round-half-away-from-zero of a double expression as a LONG — the
+    floor form ``cents`` is built on (equivalence proof above): identical
+    to ``F.round(y).cast("long")`` for |y| < 2**51 without the per-row
+    BigDecimal. Use for any oracle-ROUND-matched quantization whose scale
+    is data-dependent (e.g. int8 quantization by 127/maxabs)."""
     return F.when(y >= 0, F.floor(y + F.lit(0.5))).otherwise(
         -F.floor(F.lit(0.5) - y)
     )

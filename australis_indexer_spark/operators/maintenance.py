@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import cents
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -67,7 +68,7 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_bucketed_colocated layout)."""
     v1 = lt(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        cents(F.col("o_totalprice")).alias("cents"),
         F.col("o_orderstatus").alias("status"),
     )
     survivors = v1.where(F.col("k") % 67 != 0).select(
@@ -220,20 +221,20 @@ def join_pit_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_asof_purchase_attribution replaces the residual.) The rollup
     map-side combines to |versions x years| rows."""
     cust = lt(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cents_c = cents(F.col("c_acctbal"))
     cut = F.expr(_PIT_CUT)
     eot = F.expr(_PIT_EOT)
     v1 = cust.select(
         "c_custkey",
         F.lit(1).alias("version"),
-        cents.alias("bal_cents"),
+        cents_c.alias("bal_cents"),
         F.expr("TIMESTAMP '1900-01-01 00:00:00'").alias("valid_from"),
         F.when(F.col("c_custkey") % 7 == 0, cut).otherwise(eot).alias("valid_to"),
     )
     v2 = cust.where(F.col("c_custkey") % 7 == 0).select(
         "c_custkey",
         F.lit(2).alias("version"),
-        (cents + 10000).alias("bal_cents"),
+        (cents_c + 10000).alias("bal_cents"),
         cut.alias("valid_from"),
         eot.alias("valid_to"),
     )

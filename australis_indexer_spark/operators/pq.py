@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.det import cents
 from ..registry import op
 from ..sources.batch import load_table as lt
 from .similarity import N_QUERIES, TOP_K
@@ -528,7 +529,7 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("pos") + 1).cast("long").alias("dim"),
-        F.round(F.col("x").cast("double") * _DRIFT_SCALE).cast("long").alias("qx"),
+        cents(F.col("x").cast("double"), 4).alias("qx"),  # _DRIFT_SCALE = 10**4
     )
     ref = F.col("vec_id") < _DRIFT_SPLIT
     cohorts = exploded.groupBy("dim").agg(

@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import cents
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -265,9 +266,9 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-DEPTH companion is window_ntile_distributed — together they cover
     both histogram families without a single global sort."""
     orders = lt(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_c = cents(F.col("o_totalprice"))
     bucket = F.least(
-        F.floor(cents / float(_HIST_WIDTH_CENTS)).cast("long"),
+        F.floor(cents_c / float(_HIST_WIDTH_CENTS)).cast("long"),
         F.lit(_HIST_BINS - 1),
     )
     b = orders.select(bucket.alias("bucket"))
@@ -551,7 +552,7 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = lt(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     digits = orders.select(
         F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            cents(F.col("o_totalprice")).cast("string"), 1, 1
         )
         .cast("long")
         .alias("first_digit")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, dsum, sql_davg, sql_dsum
+from ..functions.det import cents, davg, dsum, sql_davg, sql_dsum
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -641,8 +641,13 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.length("p_name").cast("long").alias("name_len"),
+        # floor-form cents (det.cents proof): same BIGINT as ROUND without
+        # the per-row BigDecimal; Spark-side text only (the oracle keeps
+        # ROUND — DuckDB executes that text)
         F.expr(
-            "(CAST(ROUND(p_retailprice * 100.0) AS BIGINT) * 110 + 50)"
+            "((CASE WHEN p_retailprice >= 0"
+            " THEN FLOOR(p_retailprice * 100.0 + 0.5D)"
+            " ELSE -FLOOR(0.5D - p_retailprice * 100.0) END) * 110 + 50)"
             " div 100 / CAST(100 AS DOUBLE)"
         ).alias("price_with_tax"),
         F.abs(F.col("p_size") - 25).alias("size_dev"),
@@ -769,7 +774,7 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_nationkey",
             "s_suppkey",
-            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+            cents(F.col("s_acctbal")).alias("bal_cents"),
         )
     )
     wt = W.partitionBy("s_nationkey")
@@ -820,7 +825,7 @@ def agg_argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.col("o_orderdate").alias("d"),
                 F.col("o_orderkey").alias("k"),
-                F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+                cents(F.col("o_totalprice")).alias("c"),
             )
         ).alias("top")
     )
@@ -930,11 +935,11 @@ def agg_weighted_average_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums to weighted means. Map-side combine all the way."""
     li = lt(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cents_c = cents(F.col("l_extendedprice"))
     return li.groupBy("l_returnflag").agg(
-        F.sum(qty * cents).alias("wsum_cents"),
+        F.sum(qty * cents_c).alias("wsum_cents"),
         F.sum(qty).alias("wtotal"),
-        (F.sum(qty * cents) / (F.lit(100.0) * F.sum(qty))).alias(
+        (F.sum(qty * cents_c) / (F.lit(100.0) * F.sum(qty))).alias(
             "weighted_avg_price"
         ),
     )
@@ -967,7 +972,7 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = lt(spark, sf_dir, "supplier").select(
         "s_nationkey",
         "s_name",
-        (-F.round(F.col("s_acctbal") * 100).cast("long")).alias("neg_cents"),
+        (-cents(F.col("s_acctbal"))).alias("neg_cents"),
     )
     return sup.groupBy("s_nationkey").agg(
         F.count("*").alias("n_suppliers"),
@@ -1287,7 +1292,7 @@ def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = lt(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.array_sort(
-            F.collect_list(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.collect_list(cents(F.col("o_totalprice")))
         ).alias("totals")
     )
     return per_cust.select(
@@ -1397,12 +1402,12 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows/segment — found by the decade-stress differential)."""
     cust = lt(spark, sf_dir, "customer")
     gmin = cust.agg(
-        F.min(F.round(F.col("c_acctbal") * 100).cast("long")).alias("m")
+        F.min(cents(F.col("c_acctbal"))).alias("m")
     )
     spend = cust.crossJoin(F.broadcast(gmin)).select(
         "c_mktsegment",
         "c_custkey",
-        (F.round(F.col("c_acctbal") * 100).cast("long") - F.col("m")).alias("x"),
+        (cents(F.col("c_acctbal")) - F.col("m")).alias("x"),
     )
     ranked = spend.select(
         "c_mktsegment",
@@ -1488,7 +1493,7 @@ def window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_custkey")
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("s"))
     )
     wo = W.partitionBy("c_mktsegment").orderBy(F.col("s").desc(), "o_custkey")
     wp = W.partitionBy("c_mktsegment")
@@ -1620,7 +1625,7 @@ def query_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("freq"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mon"),
+        F.sum(cents(F.col("o_totalprice"))).alias("mon"),
     )
     wr = W.orderBy(F.col("last_order").desc(), "o_custkey")
     wf = W.orderBy(F.col("freq").desc(), "o_custkey")

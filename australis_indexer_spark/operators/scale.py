@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.det import sql_dsum, dsum
+from ..functions.det import cents, dsum, sql_dsum
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -100,7 +100,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT n_name AS nation, r_name AS region,
                COUNT(*) AS n_customers,
-               SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT))
+               -- floor-form cents (det.cents proof) — Spark-side text only;
+               -- the oracle keeps ROUND for DuckDB
+               SUM(CASE WHEN c_acctbal >= 0
+                        THEN FLOOR(c_acctbal * 100.0 + 0.5D)
+                        ELSE -FLOOR(0.5D - c_acctbal * 100.0) END)
                  / CAST(100.0 AS DOUBLE) AS total_acctbal
         FROM _gs_src
         GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
@@ -665,7 +669,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            F.sum(cents(F.col("l_extendedprice"))).alias(
                 "revenue_cents"
             ),
         )
@@ -1006,7 +1010,7 @@ def join_strategy_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+        F.sum(cents(F.col("l_extendedprice"))).alias(
             "price_cents"
         ),
     )

@@ -518,9 +518,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every per-element expression is order-free (elementwise + max/integer
     sums), so the check is safe under any partitioning."""
+    from ..functions.det import fround
+
     v = F.col("v")
     maxabs = F.col("maxabs")
-    qexpr = lambda x: F.round(x / maxabs * 127)  # noqa: E731
+    # floor-form round (det.fround): identical values to F.round for
+    # |y| <= 127 (proof at det.cents), minus the per-row-per-element
+    # BigDecimal — this op evaluates the round 128× per vector
+    qexpr = lambda x: fround(x / maxabs * 127)  # noqa: E731
     e = (
         lt(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))

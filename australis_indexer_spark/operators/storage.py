@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import cents
 from ..scratch import scratch_dir
 from ..registry import op
 from ..sources.batch import load_table as lt
@@ -213,7 +214,7 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = (
         orders.where(F.col("o_orderpriority") == "1-URGENT")
         .groupBy(F.year("o_orderdate").cast("long").alias("y"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("s"))
         .orderBy(F.col("s").desc(), "y")
         .limit(2)
         .select("y")
@@ -224,7 +225,7 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ship_year").cast("long").alias("ship_year"))
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            F.sum(cents(F.col("l_extendedprice"))).alias(
                 "revenue_cents"
             ),
         )
@@ -485,7 +486,7 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+        F.sum(cents(F.col("o_totalprice"))).alias(
             "total_cents"
         ),
         F.min("o_orderkey").alias("min_key"),

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.det import sql_cents
+from ..functions.det import cents, sql_cents
 from ..registry import op
 from ..sources.batch import load_table as lt
 
@@ -90,7 +90,7 @@ def window_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_hour"),
     ).agg(
         F.count("*").alias("n_obs"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("obs_cents"),
+        F.sum(cents(F.col("value"))).alias("obs_cents"),
     )
     joined = spine.join(observed, ["event_type", "bucket_hour"], "left")
     w = (
@@ -269,7 +269,7 @@ def window_time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("low"),
             F.max_by("value", key).alias("close"),
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("volume_cents"),
+            F.sum(cents(F.col("value"))).alias("volume_cents"),
         )
     )
 
@@ -359,7 +359,7 @@ def window_time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(0).alias("kind"),
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        cents(F.col("value")).alias("v_cents"),
     )
     gridr = grid.select(
         "event_type",
@@ -497,7 +497,7 @@ def agg_quantile_from_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        cents(F.col("value")).alias("v_cents"),
     )
     width = vals.agg(
         F.expr(f"CAST((MAX(v_cents) + {_HQ_NBINS}) div {_HQ_NBINS} AS BIGINT)").alias("w")
@@ -760,7 +760,7 @@ def window_time_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key would be (type, series_id) — same plan."""
     ev = lt(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    v = F.round(F.col("value") * 100).cast("long")
+    v = cents(F.col("value"))
     steps = ev.select(
         "event_type",
         "ts",
@@ -898,11 +898,15 @@ def stats_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
-            F.expr(
-                "CAST((SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100)"
-                " div COUNT(*) AS BIGINT)"
-            ).alias("mean_cents_x100"),
+            F.sum(cents(F.col("value"))).alias("total_cents"),
+        )
+        # derive the mean from the emitted aggregates instead of a second
+        # SUM(ROUND(value*100)) aggregate — the r10 form computed the cents
+        # sum twice per group (the expressions no longer dedup once cents()
+        # is floor-form); same integer math as the oracle's (sum*100)//count
+        .withColumn(
+            "mean_cents_x100",
+            F.expr("CAST((total_cents * 100) div n_events AS BIGINT)"),
         )
     )
 
@@ -1175,7 +1179,7 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
     vals = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+        cents(F.col("value")).alias("v"),
     )
     n = vals.groupBy("event_type").agg(F.count("*").alias("n"))
     w = W.partitionBy("event_type").orderBy("v", "event_id")

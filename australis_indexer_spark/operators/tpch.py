@@ -962,7 +962,7 @@ def query_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(pred).agg(
         F.count("*").alias("n_lines"),
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                 "long"
             )
         ).alias("revenue_cents"),

@@ -118,65 +118,14 @@ def op(
 # per-round budget. The ledger has been closed since r6 (246/246 green
 # latest evidence, 0 red, 0 never-seen); every round since is pure
 # stalest-first rotation. This tuple is the FULL explicit walk order for
-# all 246 ops, re-pinned for the r10 window (VERDICT r9 'Next round' #1):
-# every op ordered by LATEST green driver round ascending (name-sorted
-# within a round). After r9's window re-certified the 47 remaining r4
-# greens and the first 3 r5 greens, the stalest evidence is r5 — so the
-# 50-op r10 window covers the 46 remaining r5 greens and the first 4 r6
-# greens. The committed per-round window plan lives in CERTIFICATION.md.
+# all 246 ops, re-pinned for the r11 window (continuing the VERDICT r9
+# rotation): every op ordered by LATEST green driver round ascending
+# (name-sorted within a round). After r10's window re-certified the 46
+# remaining r5 greens and the first 4 r6 greens, the stalest evidence is
+# r6 — so the 50-op r11 window covers the 46 remaining r6 greens and the
+# first 4 r7 greens. The committed per-round plan lives in CERTIFICATION.md.
 _PRIORITY = (
-    # --- driver-green, latest green r5
-    "agg_hll_daily_merge",
-    "agg_listagg_ordered",
-    "agg_mode_per_group",
-    "agg_unpivot_roundtrip",
-    "agg_weighted_average_exact",
-    "dedup_minhash_quality",
-    "embedding_gram_matrix",
-    "join_asof_nearest",
-    "join_bloom_prefilter",
-    "join_dpp_partition_pruned",
-    "join_fuzzy_name",
-    "join_pit_temporal_dim",
-    "join_self_temporal_overlap",
-    "multimodal_pair_alignment",
-    "multimodal_phash_neardup",
-    "pipeline_dataset_card",
-    "pipeline_index_build",
-    "pipeline_mixture_plan",
-    "pipeline_shard_manifest",
-    "pipeline_tombstone_delete",
-    "project_props_json",
-    "sample_epoch_shuffle",
-    "sample_importance_weighted",
-    "scalar_higher_order_arrays",
-    "scalar_null_semantics",
-    "scan_binary_files",
-    "scan_jsonl_corrupt_tolerant",
-    "scan_schema_evolution",
-    "sim_ann_quality_curve",
-    "sink_zorder_stats",
-    "stats_degree_distribution",
-    "stats_join_fanout_estimate",
-    "stream_cdc_upsert",
-    "stream_incremental_rollup",
-    "stream_ivm_join_view",
-    "stream_late_data_policy",
-    "stream_stateful_cep",
-    "table_snapshot_diff",
-    "text_boolean_search",
-    "text_cooccurrence_pairs",
-    "text_inverted_index",
-    "text_langid_quality",
-    "text_tfidf_topterms",
-    "udf_pandas_grouped_agg",
-    "udf_pandas_scalar_batch",
-    "udf_python_udtf_chunks",
     # --- driver-green, latest green r6
-    "agg_approx_distinct_users",
-    "agg_cube_order_status",
-    "agg_distinct_active_users",
-    "agg_hash_pricing_summary",
     "agg_pivot_returnflag",
     "agg_rollup_sales",
     "dedup_boilerplate_ngrams",
@@ -376,6 +325,57 @@ _PRIORITY = (
     "window_time_ohlc_bars",
     "window_time_rate_of_change",
     "window_value_functions",
+    # --- driver-green, latest green r10
+    "agg_approx_distinct_users",
+    "agg_cube_order_status",
+    "agg_distinct_active_users",
+    "agg_hash_pricing_summary",
+    "agg_hll_daily_merge",
+    "agg_listagg_ordered",
+    "agg_mode_per_group",
+    "agg_unpivot_roundtrip",
+    "agg_weighted_average_exact",
+    "dedup_minhash_quality",
+    "embedding_gram_matrix",
+    "join_asof_nearest",
+    "join_bloom_prefilter",
+    "join_dpp_partition_pruned",
+    "join_fuzzy_name",
+    "join_pit_temporal_dim",
+    "join_self_temporal_overlap",
+    "multimodal_pair_alignment",
+    "multimodal_phash_neardup",
+    "pipeline_dataset_card",
+    "pipeline_index_build",
+    "pipeline_mixture_plan",
+    "pipeline_shard_manifest",
+    "pipeline_tombstone_delete",
+    "project_props_json",
+    "sample_epoch_shuffle",
+    "sample_importance_weighted",
+    "scalar_higher_order_arrays",
+    "scalar_null_semantics",
+    "scan_binary_files",
+    "scan_jsonl_corrupt_tolerant",
+    "scan_schema_evolution",
+    "sim_ann_quality_curve",
+    "sink_zorder_stats",
+    "stats_degree_distribution",
+    "stats_join_fanout_estimate",
+    "stream_cdc_upsert",
+    "stream_incremental_rollup",
+    "stream_ivm_join_view",
+    "stream_late_data_policy",
+    "stream_stateful_cep",
+    "table_snapshot_diff",
+    "text_boolean_search",
+    "text_cooccurrence_pairs",
+    "text_inverted_index",
+    "text_langid_quality",
+    "text_tfidf_topterms",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_scalar_batch",
+    "udf_python_udtf_chunks",
 )
 
 

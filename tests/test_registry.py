@@ -358,15 +358,39 @@ def test_r9_window_executed_plan():
     assert sorted(n for n in r9 if latest_green[n] == 5) == r5_all[:3]
 
 
-def test_r10_window_plan(ops):
-    """The live walk order IS the committed r10 window plan (VERDICT r9 #1):
-    the ledger stays closed (246/246 green-latest through r9, 0 red, 0
-    never-seen), and the full walk is a pure stalest-first rotation —
-    ordered by latest green driver round ascending, name-sorted within a
-    round. After r9's window the stalest evidence is r5, so the 50-op r10
-    window covers the 46 remaining r5 greens and the first 4 r6 greens."""
+def test_r10_window_executed_plan():
+    """The round-10 driver window executed the committed plan (VERDICT r9
+    #1). The walk order was since re-pinned for r11, so — like the r4–r9
+    checks above — this reads the r10 window from the r10 artifact itself:
+    exactly the 46 remaining r5 greens and the first 4 r6 greens
+    (stalest-first through r9), and all 50 came back green."""
+    import json
+
     mod = _certification_module()
+    r10 = json.load(open(REPO / "CORRECTNESS_r10.json"))
+    assert len(r10) == 50
+    assert all(mod._is_green(row) for row in r10.values())
     hist = mod.collect_rows(max_round=9)
+    latest_green = {
+        n: max(r for r, g, _ in rows if g) for n, rows in hist.items()
+    }
+    window_rounds = sorted(latest_green[n] for n in r10)
+    assert window_rounds == [5] * 46 + [6] * 4
+    # the 4 r6 slots were the name-sorted head of the r6 greens
+    r6_all = sorted(n for n, r in latest_green.items() if r == 6)
+    assert sorted(n for n in r10 if latest_green[n] == 6) == r6_all[:4]
+
+
+def test_r11_window_plan(ops):
+    """The live walk order IS the committed r11 window plan (the VERDICT r9
+    rotation continued): the ledger stays closed (246/246 green-latest
+    through r10, 0 red, 0 never-seen), and the full walk is a pure
+    stalest-first rotation — ordered by latest green driver round
+    ascending, name-sorted within a round. After r10's window the stalest
+    evidence is r6, so the 50-op r11 window covers the 46 remaining r6
+    greens and the first 4 r7 greens."""
+    mod = _certification_module()
+    hist = mod.collect_rows(max_round=10)
     names = list(ops)
     assert all(n in hist for n in names), "no never-seen ops remain"
     assert all(hist[n][-1][1] for n in names), "no red-latest ops remain"
@@ -376,5 +400,5 @@ def test_r10_window_plan(ops):
     ] == sorted((latest_green[n], n) for n in names), (
         "walk must be latest-green-round ascending, name-sorted within"
     )
-    assert all(latest_green[n] == 5 for n in names[:46])
-    assert all(latest_green[n] == 6 for n in names[46:50])
+    assert all(latest_green[n] == 6 for n in names[:46])
+    assert all(latest_green[n] == 7 for n in names[46:50])
